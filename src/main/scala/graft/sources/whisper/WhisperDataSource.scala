@@ -1,0 +1,121 @@
+package graft.sources.whisper
+
+import java.util
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.format.WhisperCodec
+import graft.format.WhisperCodec.FileMeta
+
+/**
+ * DataSource V2 provider: `spark.read.format("whisper").load(path...)`.
+ *
+ * Planning is header-only: per file we read `16 + 12*archive_count` bytes
+ * (seek/stream, never the whole file — unlike the reference's eager
+ * whole-file read, `whisper_pandas.py:263-269`, which cannot scale).
+ * Point data is only touched executor-side, per partition.
+ */
+class WhisperDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "whisper"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WhisperOptions(options).schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = {
+    val map = new CaseInsensitiveStringMap(properties)
+    new WhisperTable(WhisperIO.resolvePaths(map), WhisperOptions(map))
+  }
+}
+
+/** Path resolution + header-only metadata reads (driver and executor side). */
+object WhisperIO {
+
+  /** Extract paths from reader options: single `path` or JSON `paths` array
+   * (DataFrameReader.load(paths*) passes the latter). Globs and directories
+   * are expanded; directories pick up `*.wsp` / `*.wsp.gz`. */
+  def resolvePaths(map: CaseInsensitiveStringMap): Seq[String] = {
+    val raw = mutable.ArrayBuffer[String]()
+    Option(map.get("paths")).foreach { json =>
+      val arr = new ObjectMapper().readTree(json)
+      arr.elements().asScala.foreach(n => raw += n.asText())
+    }
+    Option(map.get("path")).foreach(raw += _)
+    require(raw.nonEmpty, "whisper source requires a path: spark.read.format(\"whisper\").load(path)")
+    raw.toSeq.flatMap(expand)
+  }
+
+  private def expand(pattern: String): Seq[String] = {
+    val p = new HPath(pattern)
+    val fs = p.getFileSystem(new Configuration())
+    val matches: Seq[FileStatus] =
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    require(matches.nonEmpty, s"whisper path matches no files: $pattern")
+    matches.flatMap { st =>
+      if (st.isDirectory) {
+        fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && (f.getPath.getName.endsWith(".wsp") || f.getPath.getName.endsWith(".wsp.gz")))
+          .map(_.getPath.toString)
+      } else Seq(st.getPath.toString)
+    }.sorted
+  }
+
+  /** Header-only metadata read (gzip-aware). Mirrors `WhisperFile.read` +
+   * `WhisperFileMeta.from_buffer` (`whisper_pandas.py:244-275, 98-123`) but
+   * reads only the header bytes. `fileSizeActual` for gzip files is the
+   * decompressed size, matching the reference which measures the decompressed
+   * buffer (`test_whisper_pandas.py:91-97`) — computed by streaming the file
+   * once without materializing it. */
+  def readMeta(pathStr: String, gzip: Boolean): FileMeta = {
+    val p = new HPath(pathStr)
+    val fs = p.getFileSystem(new Configuration())
+    val onDiskSize = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      if (gzip) {
+        val gin = new GZIPInputStream(in)
+        // decompressed size: header first, then count remaining bytes
+        val headBuf = new Array[Byte](64 * 1024)
+        var headLen = WhisperCodec.readFully(gin, headBuf, headBuf.length)
+        var total = headLen.toLong
+        val skipBuf = new Array[Byte](1 << 20)
+        var n = 0
+        while (n >= 0) {
+          n = gin.read(skipBuf)
+          if (n > 0) total += n
+        }
+        WhisperCodec.parseMeta(headBuf.take(headLen), pathStr, total)
+      } else {
+        val meta = WhisperCodec.readMeta(in, pathStr, onDiskSize)
+        meta
+      }
+    } finally in.close()
+  }
+}
+
+class WhisperTable(paths: Seq[String], options: WhisperOptions) extends Table with SupportsRead {
+  override def name(): String = s"whisper(${paths.mkString(",")})"
+  override def schema(): StructType = options.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new WhisperScanBuilder(paths, options)
+}

@@ -1,0 +1,65 @@
+package graft.sources.whisper
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * Reader options — the four user-facing knobs of the reference's `to_frame`
+ * (defaults at `whisper_pandas.py:188-191`) plus compression inference
+ * (`whisper_pandas.py:252-261`) and a scale knob the reference lacks.
+ *
+ *  - `dropTimeZero` (default true): drop never-filled ring slots (timestamp 0).
+ *  - `toDatetime`   (default true): timestamp as TimestampType (UTC) vs raw int seconds.
+ *  - `timeSort`     (default true): emit each archive in chronological order
+ *                   (the ring buffer is physically rotated).
+ *  - `dtype`        (default "double"): value column type, "double" | "float".
+ *  - `compression`  (default "infer"): "infer" (by .gz suffix) | "none" | "gzip".
+ *  - `maxPointsPerSplit` (default 8M): when `timeSort=false`, archives larger than
+ *                   this are split into multiple scan partitions (byte-range reads);
+ *                   with `timeSort=true` an archive is one partition so ordering
+ *                   can be restored by ring rotation without a shuffle.
+ */
+final case class WhisperOptions(
+    dropTimeZero: Boolean,
+    toDatetime: Boolean,
+    timeSort: Boolean,
+    dtype: String,
+    compression: String,
+    maxPointsPerSplit: Long
+) {
+  require(dtype == "double" || dtype == "float", s"dtype must be double|float, got $dtype")
+  require(
+    Seq("infer", "none", "gzip").contains(compression),
+    s"compression must be infer|none|gzip, got $compression"
+  )
+
+  def timestampType: DataType = if (toDatetime) TimestampType else IntegerType
+  def valueType: DataType = if (dtype == "float") FloatType else DoubleType
+
+  /** Full points schema; `position` materializes the pandas row index
+   * (notebook cell 33 `reset_index()`, `whisper_pandas.ipynb:1199`). */
+  def schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("archive", IntegerType, nullable = false),
+    StructField("position", LongType, nullable = false),
+    StructField("timestamp", timestampType, nullable = false),
+    StructField("value", valueType, nullable = false)
+  ))
+
+  def gzipFor(path: String): Boolean = compression match {
+    case "gzip" => true
+    case "none" => false
+    case _      => path.endsWith(".gz")
+  }
+}
+
+object WhisperOptions {
+  def apply(map: CaseInsensitiveStringMap): WhisperOptions = WhisperOptions(
+    dropTimeZero = map.getBoolean("dropTimeZero", true),
+    toDatetime = map.getBoolean("toDatetime", true),
+    timeSort = map.getBoolean("timeSort", true),
+    dtype = map.getOrDefault("dtype", "double").toLowerCase,
+    compression = map.getOrDefault("compression", "infer").toLowerCase,
+    maxPointsPerSplit = map.getLong("maxPointsPerSplit", 8L * 1000 * 1000)
+  )
+}

@@ -1,0 +1,395 @@
+package graft.sources.whisper
+
+import java.util.zip.GZIPInputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.format.WhisperCodec
+
+/**
+ * Scan pipeline for the whisper source.
+ *
+ * Scale design (the reference reads whole files eagerly on one node,
+ * `whisper_pandas.py:263-269`; we do not):
+ *  - planning reads ONLY headers (16 + 12*N bytes per file);
+ *  - one InputPartition per (file, archive); with `timeSort=false`, archives
+ *    larger than `maxPointsPerSplit` are split into byte-range chunks so a
+ *    5M-point archive does not serialize through one task;
+ *  - filters on archive/file prune partitions at plan time; filters on
+ *    timestamp/position/value are evaluated during decode, before rows are
+ *    materialized (`SupportsPushDownFilters`);
+ *  - column pruning (`SupportsPushDownRequiredColumns`) means a
+ *    value-only or metadata-only query never materializes the other columns;
+ *  - `timeSort=true` restores chronological order WITHOUT a shuffle: a
+ *    well-formed ring buffer is at most 2 ascending runs
+ *    (`whisper_pandas.py:231-232` does a full pandas sort instead), so the
+ *    reader emits the rotation; a full per-partition sort is only a fallback.
+ */
+final case class WhisperInputPartition(
+    filePath: String,
+    gzip: Boolean,
+    archiveIndex: Int,
+    archiveOffset: Long,
+    secondsPerPoint: Long,
+    points: Long,
+    posStart: Long,
+    posCount: Long
+) extends InputPartition
+
+/** Serializable subset of pushed-down predicates, evaluated exactly in the
+ * reader (so Spark can drop its own copy of these filters). */
+sealed trait WPred extends Serializable {
+  def eval(file: String, archive: Int, pos: Long, ts: Long, value: Double): Boolean
+}
+final case class NumCmp(col: String, op: String, v: Long) extends WPred {
+  private def pick(archive: Int, pos: Long, ts: Long): Long = col match {
+    case "archive"  => archive.toLong
+    case "position" => pos
+    case _          => ts
+  }
+  def eval(file: String, archive: Int, pos: Long, ts: Long, value: Double): Boolean = {
+    val x = pick(archive, pos, ts)
+    op match {
+      case "="  => x == v
+      case "!=" => x != v
+      case ">"  => x > v
+      case ">=" => x >= v
+      case "<"  => x < v
+      case "<=" => x <= v
+    }
+  }
+}
+final case class NumIn(col: String, vs: Set[Long]) extends WPred {
+  def eval(file: String, archive: Int, pos: Long, ts: Long, value: Double): Boolean = {
+    val x = col match {
+      case "archive"  => archive.toLong
+      case "position" => pos
+      case _          => ts
+    }
+    vs.contains(x)
+  }
+}
+final case class ValCmp(op: String, v: Double) extends WPred {
+  def eval(file: String, archive: Int, pos: Long, ts: Long, value: Double): Boolean = op match {
+    case "="  => value == v
+    case "!=" => value != v
+    case ">"  => value > v
+    case ">=" => value >= v
+    case "<"  => value < v
+    case "<=" => value <= v
+  }
+}
+final case class FileCmp(op: String, v: String) extends WPred {
+  def eval(file: String, archive: Int, pos: Long, ts: Long, value: Double): Boolean = op match {
+    case "="  => file == v
+    case "!=" => file != v
+  }
+}
+final case class FileIn(vs: Set[String]) extends WPred {
+  def eval(file: String, archive: Int, pos: Long, ts: Long, value: Double): Boolean = vs.contains(file)
+}
+
+object WPred {
+  /** Convert timestamp-typed filter values to whole epoch seconds; None when
+   * the value has sub-second precision (then we refuse the pushdown and Spark
+   * evaluates the original filter itself — never wrong, only slower). */
+  private def epochSeconds(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      val inst = t.toInstant
+      if (inst.getNano == 0) Some(inst.getEpochSecond) else None
+    case i: java.time.Instant =>
+      if (i.getNano == 0) Some(i.getEpochSecond) else None
+    case _ => num(v)
+  }
+
+  private def num(v: Any): Option[Long] = v match {
+    case i: Int    => Some(i.toLong)
+    case l: Long   => Some(l)
+    case s: Short  => Some(s.toLong)
+    case b: Byte   => Some(b.toLong)
+    case _         => None
+  }
+
+  private def dbl(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float  => Some(f.toDouble)
+    case other     => num(other).map(_.toDouble)
+  }
+
+  private def cmp(col: String, op: String, v: Any): Option[WPred] = col match {
+    case "archive" | "position" => num(v).map(NumCmp(col, op, _))
+    case "timestamp"            => epochSeconds(v).map(NumCmp(col, op, _))
+    case "value"                => dbl(v).map(ValCmp(op, _))
+    case "file" =>
+      v match {
+        case s: String if op == "=" || op == "!=" => Some(FileCmp(op, s))
+        case u: UTF8String if op == "=" || op == "!=" => Some(FileCmp(op, u.toString))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Translate a V1 source filter; None = not supported, stays with Spark. */
+  def translate(f: Filter): Option[WPred] = f match {
+    case EqualTo(c, v)            => cmp(c, "=", v)
+    case GreaterThan(c, v)        => cmp(c, ">", v)
+    case GreaterThanOrEqual(c, v) => cmp(c, ">=", v)
+    case LessThan(c, v)           => cmp(c, "<", v)
+    case LessThanOrEqual(c, v)    => cmp(c, "<=", v)
+    case Not(EqualTo(c, v))       => cmp(c, "!=", v)
+    case In(c, vs) =>
+      c match {
+        case "archive" | "position" | "timestamp" =>
+          val longs = vs.toSeq.map(v => if (c == "timestamp") epochSeconds(v) else num(v))
+          if (longs.forall(_.isDefined)) Some(NumIn(c, longs.flatten.toSet)) else None
+        case "file" =>
+          val strs = vs.toSeq.collect { case s: String => s; case u: UTF8String => u.toString }
+          if (strs.length == vs.length) Some(FileIn(strs.toSet)) else None
+        case _ => None
+      }
+    // All five columns are non-nullable: IsNotNull is trivially true.
+    case IsNotNull("file" | "archive" | "position" | "timestamp" | "value") =>
+      Some(NumCmp("archive", ">=", Long.MinValue))
+    case _ => None
+  }
+}
+
+class WhisperScanBuilder(paths: Seq[String], options: WhisperOptions)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var preds: Seq[WPred] = Seq.empty
+  private var requiredSchema: StructType = options.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition(f => WPred.translate(f).isDefined)
+    pushed = accepted
+    preds = accepted.flatMap(WPred.translate).toSeq
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = {
+    // Keep our column order but only the requested fields (empty = count(*)).
+    val names = required.fieldNames.toSet
+    requiredSchema = StructType(options.schema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = new WhisperScan(paths, options, preds, pushed, requiredSchema)
+}
+
+class WhisperScan(
+    paths: Seq[String],
+    options: WhisperOptions,
+    preds: Seq[WPred],
+    pushedV1: Array[Filter],
+    requiredSchema: StructType
+) extends Scan
+    with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WhisperScan(files=${paths.size}, pushed=[${pushedV1.mkString(", ")}], cols=${requiredSchema.fieldNames.mkString(",")})"
+
+  /** Plan-time pruning: archive/file predicates decide whole partitions. */
+  private def partitionSurvives(file: String, archive: Int): Boolean =
+    preds.forall {
+      case p @ (NumCmp("archive", _, _) | NumIn("archive", _)) => p.eval(file, archive, 0, 0, 0)
+      case p @ (FileCmp(_, _) | FileIn(_))                     => p.eval(file, archive, 0, 0, 0)
+      case _                                                   => true
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    paths.flatMap { path =>
+      val gz = options.gzipFor(path)
+      val meta = WhisperIO.readMeta(path, gz)
+      meta.archives.filter(a => partitionSurvives(path, a.index)).flatMap { a =>
+        if (options.timeSort || a.points <= options.maxPointsPerSplit || gz) {
+          // gzip is non-splittable: one stream per file/archive regardless.
+          Seq(WhisperInputPartition(path, gz, a.index, a.offset, a.secondsPerPoint, a.points, 0L, a.points))
+        } else {
+          (0L until a.points by options.maxPointsPerSplit).map { start =>
+            val cnt = math.min(options.maxPointsPerSplit, a.points - start)
+            WhisperInputPartition(path, gz, a.index, a.offset, a.secondsPerPoint, a.points, start, cnt)
+          }
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WhisperReaderFactory(options, preds, requiredSchema)
+}
+
+class WhisperReaderFactory(options: WhisperOptions, preds: Seq[WPred], requiredSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WhisperPartitionReader(partition.asInstanceOf[WhisperInputPartition], options, preds, requiredSchema)
+}
+
+/**
+ * Executor-side reader for one (file, archive[, chunk]).
+ *
+ * Decodes the 12-byte big-endian records (`whisper_pandas.py:31,178-184`),
+ * applies dropTimeZero (`:214-215`) and pushed predicates during decode, then
+ * restores chronological order by ring rotation (vs the reference's full sort,
+ * `:231-232`). Truncated files stop cleanly at EOF (`test_whisper_pandas.py:100-103`).
+ */
+class WhisperPartitionReader(
+    part: WhisperInputPartition,
+    options: WhisperOptions,
+    preds: Seq[WPred],
+    requiredSchema: StructType
+) extends PartitionReader[InternalRow] {
+
+  private var rowIdx = -1
+  private var nRows = 0
+  private var positions: Array[Long] = _
+  private var timestamps: Array[Long] = _
+  private var values: Array[Double] = _
+  private var order: Array[Int] = _
+
+  private val fieldWriters: Array[(GenericInternalRow, Int, Int) => Unit] =
+    requiredSchema.fields.map { f =>
+      f.name match {
+        case "file" =>
+          val u = UTF8String.fromString(part.filePath)
+          (row: GenericInternalRow, out: Int, i: Int) => row.update(out, u)
+        case "archive" =>
+          (row: GenericInternalRow, out: Int, i: Int) => row.setInt(out, part.archiveIndex)
+        case "position" =>
+          (row: GenericInternalRow, out: Int, i: Int) => row.setLong(out, positions(i))
+        case "timestamp" =>
+          if (options.toDatetime)
+            (row: GenericInternalRow, out: Int, i: Int) => row.setLong(out, timestamps(i) * 1000000L)
+          else
+            (row: GenericInternalRow, out: Int, i: Int) => row.setInt(out, timestamps(i).toInt)
+        case "value" =>
+          if (options.dtype == "float")
+            (row: GenericInternalRow, out: Int, i: Int) => row.setFloat(out, values(i).toFloat)
+          else
+            (row: GenericInternalRow, out: Int, i: Int) => row.setDouble(out, values(i))
+      }
+    }
+
+  private val row = new GenericInternalRow(requiredSchema.length)
+
+  load()
+
+  private def load(): Unit = {
+    val byteStart = part.archiveOffset + part.posStart * WhisperCodec.PointSize
+    val byteLen = part.posCount * WhisperCodec.PointSize
+    require(byteLen <= Int.MaxValue, s"split too large: $byteLen bytes; lower maxPointsPerSplit")
+
+    val p = new HPath(part.filePath)
+    val fs = p.getFileSystem(new Configuration())
+    val raw = fs.open(p)
+    val buf = new Array[Byte](byteLen.toInt)
+    var got = 0
+    try {
+      if (part.gzip) {
+        val gin = new GZIPInputStream(raw, 1 << 16)
+        var toSkip = byteStart
+        while (toSkip > 0) {
+          val s = gin.skip(toSkip)
+          if (s <= 0) toSkip = 0 else toSkip -= s
+        }
+        got = WhisperCodec.readFully(gin, buf, buf.length)
+      } else {
+        raw.seek(byteStart)
+        got = WhisperCodec.readFully(raw, buf, buf.length)
+      }
+    } catch {
+      case _: java.io.EOFException => // truncated: keep what we read
+    } finally raw.close()
+
+    val nPoints = got / WhisperCodec.PointSize
+    positions = new Array[Long](nPoints)
+    timestamps = new Array[Long](nPoints)
+    values = new Array[Double](nPoints)
+    var n = 0
+    WhisperCodec.foreachPoint(buf, 0, nPoints, part.posStart) { (pos, ts, v) =>
+      val keep = (!options.dropTimeZero || ts != 0L) &&
+        preds.forall(_.eval(part.filePath, part.archiveIndex, pos, ts, v))
+      if (keep) {
+        positions(n) = pos
+        timestamps(n) = ts
+        values(n) = v
+        n += 1
+      }
+    }
+    nRows = n
+
+    order = buildOrder()
+  }
+
+  /** Identity order, or the ring rotation when timeSort is on. A well-formed
+   * ring's filled slots form at most 2 ascending runs; >1 descent falls back
+   * to a real sort. */
+  private def buildOrder(): Array[Int] = {
+    val ord = Array.tabulate(nRows)(identity)
+    if (!options.timeSort || nRows <= 1) return ord
+    var drops = 0
+    var dropAt = 0
+    var i = 1
+    while (i < nRows && drops <= 1) {
+      if (timestamps(i) < timestamps(i - 1)) { drops += 1; dropAt = i }
+      i += 1
+    }
+    if (drops == 0) ord
+    else if (drops == 1) {
+      // rotated: [dropAt..n) then [0..dropAt)
+      val out = new Array[Int](nRows)
+      var k = 0
+      var j = dropAt
+      while (j < nRows) { out(k) = j; k += 1; j += 1 }
+      j = 0
+      while (j < dropAt) { out(k) = j; k += 1; j += 1 }
+      // the rotation must itself be ascending; otherwise sort for safety
+      var ok = true
+      k = 1
+      while (k < nRows && ok) {
+        if (timestamps(out(k)) < timestamps(out(k - 1))) ok = false
+        k += 1
+      }
+      if (ok) out else sortedOrder()
+    } else sortedOrder()
+  }
+
+  private def sortedOrder(): Array[Int] = {
+    val boxed: Array[Integer] = Array.tabulate[Integer](nRows)(i => Integer.valueOf(i))
+    java.util.Arrays.sort(
+      boxed,
+      (a: Integer, b: Integer) => java.lang.Long.compare(timestamps(a), timestamps(b))
+    )
+    boxed.map(_.intValue())
+  }
+
+  override def next(): Boolean = {
+    rowIdx += 1
+    rowIdx < nRows
+  }
+
+  override def get(): InternalRow = {
+    val i = order(rowIdx)
+    var f = 0
+    while (f < fieldWriters.length) {
+      fieldWriters(f)(row, f, i)
+      f += 1
+    }
+    row
+  }
+
+  override def close(): Unit = {}
+}

@@ -1,0 +1,215 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.{WhisperCodec, WhisperWriter}
+import graft.format.WhisperWriter.{ArchiveSpec, FileSpec}
+import graft.meta.WhisperMeta
+
+/**
+ * Port of the reference test suite (`/root/reference/test_whisper_pandas.py`)
+ * onto synthesized fixtures (the reference's large binary fixtures are
+ * stripped from its clone), plus connector-specific coverage the reference
+ * cannot have (pushdown, pruning, multi-file).
+ *
+ * Fixture `mini.wsp` mirrors the reference example file's 3-tier structure
+ * (structure golden values at `test_whisper_pandas.py:19-40`), downscaled per
+ * /root/repo/FIXTURES.md.
+ */
+class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("whisper-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir: Path = Files.createTempDirectory("whisper-fixtures")
+  val mini: Path = dir.resolve("mini.wsp")
+  val miniGz: Path = dir.resolve("mini.wsp.gz")
+  val miniTrunc: Path = dir.resolve("mini_truncated.wsp")
+
+  // FIXTURES.md golden structure: (spp, points, offset)
+  // arch0 (10, 8640, 52), arch1 (60, 43200, 103732), arch2 (3600, 8760, 622132)
+  val spec: FileSpec = FileSpec(
+    aggregationMethod = "average",
+    xFilesFactor = 0.5f,
+    archives = Seq(
+      ArchiveSpec(10, 8640, filled = 8640, lastTimestamp = 1600000000L, rotation = 4000),
+      ArchiveSpec(60, 43200, filled = 23000, lastTimestamp = 1599999960L, rotation = 100),
+      ArchiveSpec(3600, 8760, filled = 8000, lastTimestamp = 1599998400L, rotation = 0)
+    )
+  )
+  val expectedSize = 727252L // 52 + (8640 + 43200 + 8760) * 12
+
+  override def beforeAll(): Unit = {
+    WhisperWriter.writeFile(mini, spec)
+    WhisperWriter.writeFile(miniGz, spec)
+    WhisperWriter.truncateCopy(mini, miniTrunc, 4096)
+    (0 until 4).foreach { i =>
+      WhisperWriter.writeFile(
+        dir.resolve(s"multi/m$i.wsp"),
+        FileSpec(archives = Seq(ArchiveSpec(10, 100, filled = 50, lastTimestamp = 1600000000L + i * 10, rotation = 7)))
+      )
+    }
+    super.beforeAll()
+  }
+
+  override def afterAll(): Unit = {
+    try spark.stop()
+    finally super.afterAll()
+  }
+
+  private def read(path: String, opts: Map[String, String] = Map.empty) = {
+    val r = spark.read.format("whisper")
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(path)
+  }
+
+  // --- metadata (test_whisper_pandas.py:19-40) ---
+
+  test("file meta golden values") {
+    val m = WhisperMeta.read(mini.toString)
+    assert(m.aggregationMethod == "average")
+    assert(m.xFilesFactor == 0.5f)
+    assert(m.headerSize == 52L)
+    assert(m.maxRetention == 31536000L)
+    assert(m.fileSizeExpected == expectedSize)
+    assert(m.fileSizeActual == expectedSize)
+    assert(!m.fileSizeMismatch)
+    assert(m.archives.map(a => (a.secondsPerPoint, a.points, a.offset)) ==
+      Seq((10L, 8640L, 52L), (60L, 43200L, 103732L), (3600L, 8760L, 622132L)))
+    assert(m.archives.map(_.retention) == Seq(86400L, 2592000L, 31536000L))
+    assert(m.archives.map(_.size) == Seq(103680L, 518400L, 105120L))
+  }
+
+  test("describe DataFrames") {
+    val dm = WhisperMeta.describeMeta(spark, mini.toString).collect().head
+    assert(dm.getAs[String]("aggregation_method") == "average")
+    assert(dm.getAs[Boolean]("file_size_mismatch") == false)
+    val da = WhisperMeta.describeArchives(spark, mini.toString).collect()
+    assert(da.length == 3)
+    assert(da.map(_.getAs[Long]("points")).toSeq == Seq(8640L, 43200L, 8760L))
+  }
+
+  // --- data reads (test_whisper_pandas.py:43-77) ---
+
+  test("default read: schema, counts per archive") {
+    val df = read(mini.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("file", "archive", "position", "timestamp", "value"))
+    assert(df.schema("timestamp").dataType == TimestampType)
+    assert(df.schema("value").dataType == DoubleType)
+    val counts = df.groupBy("archive").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> 8640L, 1 -> 23000L, 2 -> 8000L))
+  }
+
+  test("ring rotation: sorted output starts at rotation position") {
+    // oldest point of archive 0 lives at physical position = rotation (4000);
+    // newest at rotation-1 (3999) — cf. golden indices test_whisper_pandas.py:47-50
+    val a0 = read(mini.toString).filter(col("archive") === 0).select("position", "timestamp", "value")
+    import spark.implicits._
+    val rows = a0.as[(Long, java.sql.Timestamp, Double)].collect()
+    assert(rows.head._1 == 4000L)
+    assert(rows.last._1 == 3999L)
+    // monotonic non-decreasing timestamps (test_whisper_pandas.py:62-64)
+    assert(rows.sliding(2).forall(p => !p(1)._2.before(p(0)._2)))
+    // golden first/last timestamps
+    assert(rows.head._2.toInstant.getEpochSecond == 1600000000L - 8639L * 10)
+    assert(rows.last._2.toInstant.getEpochSecond == 1600000000L)
+    // value precision to 1e-5 (test_whisper_pandas.py:52)
+    assert(math.abs(rows.last._3 - math.sin(3999 / 10.0) * 100.0) < 1e-5)
+  }
+
+  test("archive 1: partial fill + rotation") {
+    import spark.implicits._
+    val rows = read(mini.toString).filter(col("archive") === 1)
+      .select("position").as[Long].collect()
+    assert(rows.length == 23000)
+    assert(rows.head == 100L)
+    assert(rows.last == (100L + 23000L - 1) % 43200L)
+  }
+
+  // --- option knobs (test_whisper_pandas.py:80-84) ---
+
+  test("toDatetime=false, dtype=float") {
+    val df = read(mini.toString, Map("toDatetime" -> "false", "dtype" -> "float"))
+    assert(df.schema("timestamp").dataType == IntegerType)
+    assert(df.schema("value").dataType == FloatType)
+    val first = df.filter(col("archive") === 2).select("timestamp").head().getInt(0)
+    assert(first == 1599998400 - 7999 * 3600)
+  }
+
+  test("dropTimeZero=false keeps unfilled slots") {
+    val df = read(mini.toString, Map("dropTimeZero" -> "false"))
+    val counts = df.groupBy("archive").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> 8640L, 1 -> 43200L, 2 -> 8760L))
+  }
+
+  test("timeSort=false emits physical ring order") {
+    import spark.implicits._
+    val pos = read(mini.toString, Map("timeSort" -> "false"))
+      .filter(col("archive") === 0).select("position").as[Long].collect()
+    assert(pos.toSeq == (0L until 8640L))
+  }
+
+  // --- gzip (test_whisper_pandas.py:91-97) ---
+
+  test("gzip: same data, decompressed size reported") {
+    val m = WhisperMeta.read(miniGz.toString)
+    assert(m.fileSizeActual == expectedSize) // decompressed, != on-disk
+    assert(!m.fileSizeMismatch)
+    val counts = read(miniGz.toString).groupBy("archive").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> 8640L, 1 -> 23000L, 2 -> 8000L))
+  }
+
+  // --- corruption (test_whisper_pandas.py:100-103) ---
+
+  test("truncated file: headers parse, mismatch flagged, scan degrades cleanly") {
+    val m = WhisperMeta.read(miniTrunc.toString)
+    assert(m.archives.length == 3)
+    assert(m.fileSizeActual == 4096L)
+    assert(m.fileSizeMismatch)
+    // only (4096 - 52) / 12 = 337 points of archive 0 exist on disk
+    val df = read(miniTrunc.toString)
+    assert(df.count() == 337L)
+    assert(df.select("archive").distinct().head().getInt(0) == 0)
+  }
+
+  // --- pushdown & pruning (connector-specific) ---
+
+  test("filter pushdown appears in plan and prunes partitions") {
+    val df = read(mini.toString).filter(col("archive") === 1 && col("timestamp") >= to_timestamp(lit("2020-09-01 00:00:00")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WhisperScan"))
+    assert(df.rdd.getNumPartitions >= 1)
+    val cnt = df.count()
+    val oracle = read(mini.toString).collect().count { r =>
+      r.getInt(1) == 1 && !r.getTimestamp(3).before(java.sql.Timestamp.valueOf("2020-09-01 00:00:00"))
+    }
+    assert(cnt == oracle)
+  }
+
+  test("column pruning: value-only projection") {
+    val df = read(mini.toString).select("value")
+    assert(df.schema.fieldNames.toSeq == Seq("value"))
+    assert(df.count() == 39640L)
+  }
+
+  // --- multi-file (scale path, no reference analogue) ---
+
+  test("glob read unions files with file column") {
+    val df = read(dir.resolve("multi").toString + "/*.wsp")
+    assert(df.select("file").distinct().count() == 4L)
+    assert(df.count() == 200L) // 4 files x 50 filled
+  }
+
+}
