@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loader for the driver's parquet testdata (TESTDATA.md). */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+      // default (PARQUET_TYPE_ILLEGAL). Read it as a nanos long and normalize
+      // to a microsecond TimestampType so downstream code sees a timestamp.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}
+
+/**
+ * Core relational operator inventory (SURVEY.md §2.2, §2.4, §2.5) expressed
+ * over the driver's TPC-H-ish tables. Each query has a DuckDB oracle in
+ * `SparkEntry.oracleSql` with identical column names/types; declarative
+ * DataFrame code so Catalyst handles pushdown, pruning, join strategy, AQE.
+ *
+ * Determinism rules used throughout (the oracle hash-compares values):
+ *  - every result has a total ORDER BY on output keys;
+ *  - float aggregates are rounded (sum/avg order is engine-dependent in the
+ *    last ulp); raw column values are emitted unrounded (bit-exact both sides);
+ *  - integer aggregates are cast to BIGINT on the DuckDB side (it widens sums
+ *    to HUGEINT, Spark stays at LongType);
+ *  - timestamps are emitted as strings or epoch seconds, never raw (parquet
+ *    ns-vs-us truncation would differ).
+ */
+object RelationalOps {
+  import Tables.t
+
+  /** P1/P5/P7: filter + projection (`whisper_pandas.py:214-215,229`). */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 50)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+
+  /** P3: epoch seconds <-> datetime conversion (`whisper_pandas.py:222-223`). */
+  def datetimeConvert(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("ts_sec"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour_bucket")
+      )
+      .orderBy("event_id")
+
+  /** P6 + limit: global sort + deterministic top-k (`whisper_pandas.py:231-232`). */
+  def sortTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+
+  /** W2/W3: constant-column tag + union (`whisper_pandas.ipynb:1199-1205`). */
+  def unionTag(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val hi = e.filter(col("value") >= 100).select(lit("high").as("tag"), col("event_id"), col("value"))
+    val lo = e.filter(col("value") < 100).select(lit("low").as("tag"), col("event_id"), col("value"))
+    hi.unionByName(lo).orderBy("event_id", "tag")
+  }
+
+  /**
+   * The 8 Whisper aggregation methods (`whisper_pandas.py:33-42`) as a
+   * time-bucketed downsample — the reference only *decodes* this enum; we
+   * execute it. absmax/absmin here use magnitude semantics (deterministic
+   * under ties); signed Graphite semantics live in [[TimeSeriesOps]].
+   */
+  def downsample8(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(
+        col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour_bucket")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("agg_average"),
+        round(sum(col("value")), 2).as("agg_sum"),
+        max_by(col("value"), col("event_id")).as("agg_last"),
+        max(col("value")).as("agg_max"),
+        min(col("value")).as("agg_min"),
+        round(avg(coalesce(col("value"), lit(0.0))), 4).as("agg_avg_zero"),
+        max(abs(col("value"))).as("agg_absmax"),
+        min(abs(col("value"))).as("agg_absmin")
+      )
+      .orderBy("event_type", "hour_bucket")
+
+  /** Star join over broadcast-able dims (customer x nation x region). */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("r_name", "n_name")
+
+  /** Fact-fact shuffle join (lineitem x orders) + aggregation. */
+  def joinShuffle(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue")
+      )
+      .orderBy("o_orderpriority")
+
+  /** Anti join: customers with no orders in the last generated year. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(
+        t(spark, dir, "orders").filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01"))),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Semi join: customers with >=1 urgent order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(
+        t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi"
+      )
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  /** TPC-H Q1 shape: scan-heavy grouped aggregate over lineitem. */
+  def tpchQ1(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q6 shape: pure filter + scalar aggregate (pushdown showcase). */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24
+      )
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** TPC-H Q3 shape: 3-way join, grouped revenue, top-10. */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")) && col("l_shipdate") > to_timestamp(lit("1997-01-01")))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Window: rank within group (top-3 orders by price per priority). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Window: running sum per user (accumulation order fixed by event_id, so
+   * the double result is bit-identical across engines before rounding). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), round(sum(col("value")).over(w), 2).as("running"))
+      .orderBy("event_id")
+  }
+
+  /** Set op: EXCEPT (users who errored but never made a big purchase). */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.filter(col("event_type") === "error").select(col("user_id"))
+      .except(e.filter(col("event_type") === "purchase" && col("value") > 250).select(col("user_id")))
+      .orderBy("user_id")
+  }
+
+  /** Set op: INTERSECT (users who both clicked and purchased). */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy("user_id")
+  }
+
+  /** Scalar string/date function surface (SURVEY §2.5). */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head10"),
+        length(col("text")).cast("bigint").as("len"),
+        col("n_chars"),
+        concat_ws("_", col("lang"), col("source")).as("tag")
+      )
+      .orderBy("doc_id")
+
+  /** Date part extraction (year/month/quarter over orders). */
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("int").as("oyear"),
+        quarter(col("o_orderdate")).cast("int").as("oquarter")
+      )
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy("oyear", "oquarter")
+}
