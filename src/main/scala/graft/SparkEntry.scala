@@ -39,7 +39,20 @@ object SparkEntry {
     "q15_set_except" -> (RelationalOps.setExcept(_, _)),
     "q16_set_intersect" -> (RelationalOps.setIntersect(_, _)),
     "q17_scalar_funcs" -> (RelationalOps.scalarFuncs(_, _)),
-    "q18_date_parts" -> (RelationalOps.dateParts(_, _))
+    "q18_date_parts" -> (RelationalOps.dateParts(_, _)),
+    // -- extension ops: text analysis (BASELINE.json north star) --
+    "q20_text_tokens" -> (TextOps.tokenCount(_, _)),
+    "q21_text_quality" -> (TextOps.qualityScore(_, _)),
+    "q22_text_fingerprint" -> (TextOps.fingerprint(_, _)),
+    "q23_text_langid" -> (TextOps.langId(_, _)),
+    // -- extension ops: deduplication --
+    "q24_dedup_exact" -> (DedupOps.exact(_, _)),
+    "q25_dedup_minhash_lsh" -> (DedupOps.minhashLsh(_, _)),
+    "q26_dedup_ngram_jaccard" -> (DedupOps.ngramJaccard(_, _)),
+    "q29_dedup_simhash" -> (DedupOps.simhash(_, _)),
+    // -- extension ops: similarity search --
+    "q27_knn_bruteforce" -> (VectorOps.knnBruteForce(_, _)),
+    "q28_dedup_embedding" -> (VectorOps.embeddingDedup(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,6 +154,83 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS INT) AS oyear,
         |CAST(quarter(o_orderdate) AS INT) AS oquarter,
         |CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice),2) AS total
-        |FROM orders GROUP BY 1,2 ORDER BY oyear, oquarter""".stripMargin
+        |FROM orders GROUP BY 1,2 ORDER BY oyear, oquarter""".stripMargin,
+    "q20_text_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_pieces,
+        |round(CAST(length(replace(text,' ','')) AS DOUBLE)/len(string_split(text,' ')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_text_quality" ->
+      """WITH q AS (SELECT doc_id, text, string_split(text,' ') AS toks,
+        |  CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text) AS punct_r,
+        |  CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_r
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, round(punct_r,4) AS punct_ratio,
+        |round(stop_r,4) AS stopword_ratio,
+        |round(least(1.0, length(text)/500.0)*(1.0-punct_r)*(0.5+0.5*stop_r),4) AS quality_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q22_text_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp, substr(md5(lower(text)),1,8) AS fp_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_text_langid" ->
+      """WITH c AS (SELECT doc_id, lang,
+        | len(list_filter(string_split(text,' '), x->list_contains(['the','a','of','and','to','in'],x))) AS c_en,
+        | len(list_filter(string_split(text,' '), x->list_contains(['der','die','das','und','nicht'],x))) AS c_de,
+        | len(list_filter(string_split(text,' '), x->list_contains(['el','la','de','y','que'],x))) AS c_es,
+        | len(list_filter(string_split(text,' '), x->list_contains(['le','la','de','et','les'],x))) AS c_fr,
+        | len(list_filter(string_split(text,' '), x->list_contains(['的','是','在'],x))) AS c_zh
+        |FROM documents)
+        |SELECT doc_id, lang AS lang_label,
+        |CASE WHEN c_zh>=c_fr AND c_zh>=c_es AND c_zh>=c_en AND c_zh>=c_de THEN 'zh'
+        | WHEN c_fr>=c_es AND c_fr>=c_en AND c_fr>=c_de THEN 'fr'
+        | WHEN c_es>=c_en AND c_es>=c_de THEN 'es'
+        | WHEN c_en>=c_de THEN 'en' ELSE 'de' END AS lang_pred,
+        |CAST(c_en AS BIGINT) AS hits_en FROM c ORDER BY doc_id""".stripMargin,
+    "q24_dedup_exact" ->
+      """SELECT md5(lower(text)) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q25_dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(arr)-1), i -> arr[i]||' '||arr[i+1]||' '||arr[i+2])) AS s
+        |  FROM toks WHERE len(arr)>=3)),
+        |sig AS (SELECT doc_id, min(md5('0|'||s)) h0, min(md5('1|'||s)) h1, min(md5('2|'||s)) h2,
+        |  min(md5('3|'||s)) h3, min(md5('4|'||s)) h4, min(md5('5|'||s)) h5, min(md5('6|'||s)) h6,
+        |  min(md5('7|'||s)) h7 FROM sh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, '0'||h0||h1 AS bk FROM sig UNION ALL SELECT doc_id, '1'||h2||h3 FROM sig
+        |  UNION ALL SELECT doc_id, '2'||h4||h5 FROM sig UNION ALL SELECT doc_id, '3'||h6||h7 FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+        |  JOIN bands y ON x.bk=y.bk AND x.doc_id<y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |common AS (SELECT c.a, c.b, count(*) AS cm FROM cand c JOIN sh sa ON sa.doc_id=c.a
+        |  JOIN sh sb ON sb.doc_id=c.b AND sb.s=sa.s GROUP BY c.a, c.b)
+        |SELECT a, b, round(cm::DOUBLE/(na.n+nb.n-cm),4) AS jaccard FROM common
+        |JOIN sizes na ON na.doc_id=a JOIN sizes nb ON nb.doc_id=b
+        |WHERE cm::DOUBLE/(na.n+nb.n-cm) >= 0.5 ORDER BY a, b""".stripMargin,
+    "q26_dedup_ngram_jaccard" ->
+      """WITH g0 AS (SELECT DISTINCT * FROM (SELECT doc_id, n_chars,
+        |  unnest(list_transform(range(1, length(text)-2), i -> substr(text, i, 4))) AS g
+        |  FROM documents WHERE length(text) >= 4)),
+        |rare AS (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 200),
+        |g1 AS (SELECT g0.* FROM g0 JOIN rare USING (g)),
+        |sizes AS (SELECT doc_id, count(*) n FROM g1 GROUP BY 1),
+        |common AS (SELECT x.doc_id a, y.doc_id b, count(*) cm FROM g1 x JOIN g1 y
+        |  ON x.g=y.g AND x.doc_id<y.doc_id AND abs(x.n_chars-y.n_chars)<=10 GROUP BY 1,2)
+        |SELECT a, b, round(cm::DOUBLE/(na.n+nb.n-cm),4) AS jaccard FROM common
+        |JOIN sizes na ON na.doc_id=a JOIN sizes nb ON nb.doc_id=b
+        |WHERE cm::DOUBLE/(na.n+nb.n-cm) >= 0.6 ORDER BY a, b""".stripMargin,
+    "q27_knn_bruteforce" ->
+      """SELECT vec_id, round(list_inner_product(embedding::DOUBLE[], q.qe)
+        |  /(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_inner_product(q.qe,q.qe))),6) AS cos
+        |FROM embeddings, (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id=0) q
+        |WHERE vec_id<>0 ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q28_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |round(list_inner_product(x.emb,y.emb)/(sqrt(list_inner_product(x.emb,x.emb))*sqrt(list_inner_product(y.emb,y.emb))),4) AS cos
+        |FROM e x JOIN e y ON x.label=y.label AND x.vec_id<y.vec_id
+        |WHERE list_inner_product(x.emb,y.emb)/(sqrt(list_inner_product(x.emb,x.emb))*sqrt(list_inner_product(y.emb,y.emb))) >= 0.35
+        |ORDER BY a, b""".stripMargin
   )
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators (BASELINE.json extension surface), designed for
+ * 100 TB scale: everything is shuffle-by-key or LSH-bucketed — no all-pairs
+ * comparison ever materializes. The only O(n^2) work happens INSIDE a bucket
+ * (LSH band, frequency-pruned gram, blocking key), which is the standard
+ * scale-out shape for near-dup detection (MinHash/LSH as in Broder '97;
+ * banding analysis as in Mining of Massive Datasets ch.3).
+ *
+ * Hash choice: md5 over strings — deterministic, engine-portable (DuckDB
+ * computes the identical hex), so every query here is oracle-checkable.
+ * xxhash64 (Spark-native, faster) backs the SimHash variant, which therefore
+ * gets a rows-only check.
+ */
+object DedupOps {
+  import Tables.t
+
+  /** Exact dedup via content-hash groupBy: one group per distinct normalized
+   * text, keeping the smallest doc_id (deterministic survivor pick — Spark's
+   * dropDuplicates keeps an arbitrary row, which is not reproducible). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(lower(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  /** Distinct 3-word shingles per document (the MinHash input set). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("arr", expr("split(text, ' ')"))
+      .filter(expr("size(arr) >= 3"))
+      .select(
+        col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(arr) - 2), i -> concat_ws(' ', element_at(arr, i), element_at(arr, i+1), element_at(arr, i+2)))"
+        ))).as("s")
+      )
+
+  /**
+   * MinHash + LSH near-duplicate pairs.
+   *
+   * 8 min-hashes (h_i = min over shingles of md5("i|" + shingle); min over a
+   * keyed hash of a set is a valid MinHash permutation), banded 4x2: docs
+   * sharing any band key become candidates, candidates are verified against
+   * true shingle Jaccard >= 0.5. For j ~ 0.9 the detection probability is
+   * 1-(1-j^2)^4 > 0.999; random pairs essentially never collide on a band.
+   *
+   * Scale shape: groupBy doc (signature), explode 4 band keys, self-join on
+   * band key (shuffle on band — tiny), verify join only on candidates.
+   */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val hashes = (0 until 8).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id").agg(hashes.head, hashes.tail: _*)
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array(
+        concat(lit("0"), col("h0"), col("h1")),
+        concat(lit("1"), col("h2"), col("h3")),
+        concat(lit("2"), col("h4"), col("h5")),
+        concat(lit("3"), col("h6"), col("h7"))
+      )).as("bk")
+    )
+    val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = broadcast(cand)
+      .join(sh.as("sa"), col("sa.doc_id") === col("a"))
+      .join(sh.as("sb"), col("sb.doc_id") === col("b") && col("sb.s") === col("sa.s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cm"))
+    common
+      .join(sizes.as("na"), col("na.doc_id") === col("a"))
+      .join(sizes.as("nb"), col("nb.doc_id") === col("b"))
+      .withColumn("j", col("cm").cast("double") / (col("na.n") + col("nb.n") - col("cm")))
+      .filter(col("j") >= 0.5)
+      .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /**
+   * Character-4-gram Jaccard near-dup with two scale guards:
+   * (1) blocking — only pairs with |n_chars delta| <= 10 are compared, via a
+   * range-band condition on the gram equi-join (near-identical docs have
+   * near-identical lengths); (2) frequency pruning — grams present in > 200
+   * documents carry no discriminative signal and are dropped from both sets
+   * BEFORE the join (same deterministic rule in the oracle), which caps the
+   * join fan-out per gram.
+   */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 4)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))"
+        ))).as("g")
+      )
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 200)
+    val pruned = grams.join(broadcast(rare).select("g"), Seq("g")).cache()
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = pruned.as("x")
+      .join(
+        pruned.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.n_chars") - col("y.n_chars")) <= 10
+      )
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("cm"))
+    common
+      .join(sizes.as("na"), col("na.doc_id") === col("a"))
+      .join(sizes.as("nb"), col("nb.doc_id") === col("b"))
+      .withColumn("j", col("cm").cast("double") / (col("na.n") + col("nb.n") - col("cm")))
+      .filter(col("j") >= 0.6)
+      .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /**
+   * SimHash near-dup (rows-only check: xxhash64 has no DuckDB analogue).
+   * 64-bit SimHash per doc from token xxhash64s; Hamming-LSH via 4x16-bit
+   * chunks (two fingerprints within Hamming distance 6 share at least one
+   * exact 16-bit chunk only probabilistically — with <= 3 differing bits
+   * spread over 4 chunks one chunk is always clean by pigeonhole; 6 bits is
+   * best-effort recall, standard for chunked SimHash lookup).
+   */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = t(spark, dir, "documents")
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn(
+        "simhash",
+        expr(
+          """aggregate(sequence(0, 63), 0L, (acc, b) ->
+            | acc + shiftleft(case when
+            |   aggregate(toks, 0L, (a, t) -> a + case when (shiftright(xxhash64(t), b) & 1) = 1 then 1L else -1L end) >= 0
+            | then 1L else 0L end, b))""".stripMargin
+        )
+      )
+      .select(col("doc_id"), col("simhash"))
+    val chunks = fp.select(
+      col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), c -> struct(c as c, shiftright(simhash, c * 16) & 65535 as v))"
+      )).as("ck")
+    ).select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+    chunks.as("x").join(
+      chunks.as("y"),
+      col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id")
+    )
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline (BASELINE.json
+ * extension surface): token counting, quality scoring, fingerprinting,
+ * language ID. All pure `functions._`/`expr` (codegen'd, no UDFs), so they
+ * stay inside whole-stage codegen and scale linearly with document count —
+ * no shuffle except the final presentation ORDER BY.
+ */
+object TextOps {
+  import Tables.t
+
+  /** Shared stopword lists (tiny, inlined into the plan as literals). */
+  val StopEn = Seq("the", "a", "of", "and", "to", "in")
+  val StopDe = Seq("der", "die", "das", "und", "nicht")
+  val StopEs = Seq("el", "la", "de", "y", "que")
+  val StopFr = Seq("le", "la", "de", "et", "les")
+  val StopZh = Seq("的", "是", "在")
+
+  private def inList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString("(", ",", ")")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").selectExpr(
+      "doc_id",
+      "cast(size(split(text, ' ')) as bigint) as n_tokens",
+      "cast(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') as bigint) as n_bpe_pieces",
+      "round(cast(length(replace(text, ' ', '')) as double) / size(split(text, ' ')), 4) as avg_token_len"
+    ).orderBy("doc_id")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, composite. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("punct_r", expr("cast(regexp_count(text, '[^A-Za-z0-9 ]') as double) / length(text)"))
+      .withColumn(
+        "stop_r",
+        expr(s"cast(size(filter(toks, x -> x in ${inList(StopEn)})) as double) / size(toks)")
+      )
+      .selectExpr(
+        "doc_id",
+        "cast(size(toks) as bigint) as n_tokens",
+        "round(punct_r, 4) as punct_ratio",
+        "round(stop_r, 4) as stopword_ratio",
+        "round(least(1.0, length(text) / 500.0) * (1.0 - punct_r) * (0.5 + 0.5 * stop_r), 4) as quality_score"
+      ).orderBy("doc_id")
+
+  /** Document fingerprinting: md5 of normalized text (same hex in DuckDB). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").selectExpr(
+      "doc_id",
+      "md5(lower(text)) as fp",
+      "substr(md5(lower(text)), 1, 8) as fp_prefix"
+    ).orderBy("doc_id")
+
+  /** Language ID by stopword-hit voting with a fixed descending tie-break
+   * (zh > fr > es > en > de — first language whose score ties the max wins). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("c_en", expr(s"size(filter(toks, x -> x in ${inList(StopEn)}))"))
+      .withColumn("c_de", expr(s"size(filter(toks, x -> x in ${inList(StopDe)}))"))
+      .withColumn("c_es", expr(s"size(filter(toks, x -> x in ${inList(StopEs)}))"))
+      .withColumn("c_fr", expr(s"size(filter(toks, x -> x in ${inList(StopFr)}))"))
+      .withColumn("c_zh", expr(s"size(filter(toks, x -> x in ${inList(StopZh)}))"))
+      .selectExpr(
+        "doc_id",
+        "lang as lang_label",
+        """case
+           | when c_zh >= c_fr and c_zh >= c_es and c_zh >= c_en and c_zh >= c_de then 'zh'
+           | when c_fr >= c_es and c_fr >= c_en and c_fr >= c_de then 'fr'
+           | when c_es >= c_en and c_es >= c_de then 'es'
+           | when c_en >= c_de then 'en'
+           | else 'de'
+           |end as lang_pred""".stripMargin,
+        "cast(c_en as bigint) as hits_en"
+      ).orderBy("doc_id")
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the embeddings table (`embedding: array<float>`).
+ *
+ * All dot products run through codegen'd higher-order functions
+ * (`zip_with` + `aggregate`) after a one-time cast to double, so Spark and
+ * DuckDB accumulate in the same order at the same precision. Brute force is
+ * the exact baseline (one broadcast of the query vector, no shuffle until
+ * top-k); the scale paths are [[embeddingDedup]]'s blocking and the
+ * hyperplane-LSH / IVF APIs in [[graft.operators.AnnIndex]].
+ */
+object VectorOps {
+  import Tables.t
+
+  private val CosExpr =
+    """aggregate(zip_with(emb, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+      | / (sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))
+      |    * sqrt(aggregate(qe, 0D, (acc, x) -> acc + x * x)))""".stripMargin
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+
+  /** Exact brute-force cosine top-k against the vec_id=0 query vector.
+   * Shape at scale: broadcast 1-row query, map-side cosine, global top-k
+   * (TakeOrderedAndProject — no full sort shuffle). */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(expr(CosExpr), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by label (each block is an
+   * independent all-pairs — the blocking key is what scales this out; swap
+   * label for an IVF/LSH bucket id when no natural key exists). */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    e.as("x").join(e.as("y"), col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("a"),
+        col("y.vec_id").as("b"),
+        expr(CosExpr.replace("emb", "x.emb").replace("qe", "y.emb")).as("c")
+      )
+      .filter(col("c") >= 0.35)
+      .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
+      .orderBy("a", "b")
+  }
+}
