@@ -52,7 +52,13 @@ object SparkEntry {
     "q29_dedup_simhash" -> (DedupOps.simhash(_, _)),
     // -- extension ops: similarity search --
     "q27_knn_bruteforce" -> (VectorOps.knnBruteForce(_, _)),
-    "q28_dedup_embedding" -> (VectorOps.embeddingDedup(_, _))
+    "q28_dedup_embedding" -> (VectorOps.embeddingDedup(_, _)),
+    // -- time-series: resample/gap-fill + as-of join --
+    "q19_resample_gapfill" -> (TimeSeriesOps.resampleGapFill(_, _)),
+    "q31_asof_join" -> (TimeSeriesOps.asofErrorPurchase(_, _)),
+    // -- multimodal plumbing --
+    "q30_mm_features" -> (MultimodalOps.features(_, _)),
+    "q32_mm_byte_histogram" -> (MultimodalOps.byteHistograms(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,6 +237,29 @@ object SparkEntry {
         |round(list_inner_product(x.emb,y.emb)/(sqrt(list_inner_product(x.emb,x.emb))*sqrt(list_inner_product(y.emb,y.emb))),4) AS cos
         |FROM e x JOIN e y ON x.label=y.label AND x.vec_id<y.vec_id
         |WHERE list_inner_product(x.emb,y.emb)/(sqrt(list_inner_product(x.emb,x.emb))*sqrt(list_inner_product(y.emb,y.emb))) >= 0.35
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+    "q19_resample_gapfill" ->
+      """WITH spine AS (SELECT h FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) s(h)),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |agg AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n0, avg(value) AS avg0
+        |  FROM events GROUP BY 1,2)
+        |SELECT strftime(s.h, '%Y-%m-%d %H:00') AS hour_bucket, t.event_type,
+        |CAST(coalesce(a.n0, 0) AS BIGINT) AS n, coalesce(round(a.avg0, 4), -1.0) AS avg_v
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type
+        |ORDER BY hour_bucket, t.event_type""".stripMargin,
+    "q31_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
+        |err AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'error'),
+        |pur AS (SELECT user_id, us, value FROM e WHERE event_type = 'purchase')
+        |SELECT err.event_id, err.user_id, coalesce(p.value, -1.0) AS last_purchase_value
+        |FROM err ASOF LEFT JOIN pur p ON err.user_id = p.user_id AND err.us >= p.us
+        |ORDER BY event_id""".stripMargin,
+    "q30_mm_features" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS payload_md5,
+        |CAST(16 + ascii(substr(text,1,1)) AS INT) AS fake_width,
+        |CAST(16 + ascii(substr(text,2,1)) AS INT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

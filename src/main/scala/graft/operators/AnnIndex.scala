@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate nearest neighbour scale paths over an `array<double>` column.
+ * Brute force ([[VectorOps.knnBruteForce]]) is the exact baseline; these two
+ * make the 100 TB case tractable by turning all-pairs into bucket-local work:
+ *
+ *  - random-hyperplane LSH (Charikar '02): k sign-projections -> k-bit bucket
+ *    key; cosine-similar vectors collide with probability (1 - theta/pi)^k.
+ *    Deterministic: hyperplanes come from a seeded RNG, inlined as literals.
+ *  - IVF: coarse quantization against a deterministic centroid sample; search
+ *    probes only the nearest `nprobe` inverted lists.
+ *
+ * Both produce a `bucket` column — the partition/shuffle key. A query then
+ * touches one bucket (plus probes) instead of the full corpus.
+ */
+object AnnIndex {
+
+  /** Deterministic unit-free hyperplanes: nPlanes x dim standard normals. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def arraySql(xs: Array[Double]): String =
+    xs.map(x => s"${x}D").mkString("array(", ",", ")")
+
+  /** Add an LSH `bucket` column (bit b set iff emb . plane_b > 0). */
+  def lshBucketize(df: DataFrame, embCol: String, planes: Array[Array[Double]]): DataFrame = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(
+        expr(s"aggregate(zip_with($embCol, ${arraySql(p)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0,
+        lit(1L << i)
+      ).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** Top-k by cosine among vectors sharing the query's bucket, widened to
+   * buckets within Hamming distance `probeBits` (multi-probe improves recall
+   * without touching more than a sliver of the corpus). */
+  def lshSearch(
+      indexed: DataFrame,
+      embCol: String,
+      queryVec: Array[Double],
+      planes: Array[Array[Double]],
+      k: Int,
+      probeBits: Int
+  ): DataFrame = {
+    val spark = indexed.sparkSession
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(queryVec).map { case (a, b) => a * b }.sum
+      if (dot > 0) 1L << i else 0L
+    }.sum
+    val qSql = arraySql(queryVec)
+    indexed
+      .filter(expr(s"bit_count(bucket ^ $qBucket) <= $probeBits"))
+      .withColumn(
+        "cos",
+        expr(
+          s"""aggregate(zip_with($embCol, $qSql, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+             | / (sqrt(aggregate($embCol, 0D, (acc, x) -> acc + x * x))
+             |    * sqrt(aggregate($qSql, 0D, (acc, x) -> acc + x * x)))""".stripMargin
+        )
+      )
+      .orderBy(col("cos").desc)
+      .limit(k)
+  }
+
+  /** IVF coarse centroids: a deterministic systematic sample of the corpus
+   * (every `step`-th vector by id) — sampling beats k-means iterations when
+   * the assignment only needs to be balanced, not optimal, and it keeps the
+   * index build a single pass. */
+  def ivfCentroids(df: DataFrame, embCol: String, idCol: String, nCentroids: Int): DataFrame = {
+    val n = df.count()
+    val step = math.max(n / nCentroids, 1L)
+    df.filter((col(idCol) % step === 0) && (col(idCol) / step < nCentroids))
+      .select((col(idCol) / step).cast("int").as("centroid_id"), col(embCol).as("centroid"))
+  }
+
+  /** Assign each vector to its nearest centroid (broadcast centroids; one
+   * map-side pass, no shuffle until the consumer groups by bucket). */
+  def ivfAssign(df: DataFrame, embCol: String, centroids: DataFrame): DataFrame = {
+    val withC = df.crossJoin(broadcast(centroids))
+      .withColumn(
+        "dist2",
+        expr(s"aggregate(zip_with($embCol, centroid, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+      )
+    // min_by over the centroid set per row, without a window shuffle: groupBy
+    // the row key and pick the arg-min centroid.
+    withC
+      .groupBy(df.columns.map(col): _*)
+      .agg(min_by(col("centroid_id"), struct(col("dist2"), col("centroid_id"))).as("bucket"))
+  }
+}

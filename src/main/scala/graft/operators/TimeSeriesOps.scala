@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series operators. The reference stores multi-resolution downsampled
+ * series but never executes the aggregation enum (`whisper_pandas.py:33-42`
+ * decodes it as metadata only); here the 8 Graphite methods are executable
+ * downsampling, plus the resample/gap-fill and as-of-join shapes every
+ * time-series workload needs.
+ *
+ * Everything is groupBy/window composition — one shuffle on the grouping
+ * key, partial aggregation map-side, no custom physical operators needed.
+ */
+object TimeSeriesOps {
+  import Tables.t
+
+  /** The 8 Whisper aggregation methods as Columns over a value column.
+   * absmax/absmin keep Graphite's signed semantics (`graphite whisper.py`:
+   * the value with the largest/smallest magnitude, sign preserved) with a
+   * deterministic tie-break toward the larger signed value, via lexicographic
+   * struct ordering in max_by/min_by — composition of built-ins, no UDAF. */
+  def aggMethod(method: String, v: Column): Column = method match {
+    case "average"  => avg(v)
+    case "sum"      => sum(v)
+    case "last"     => max_by(v, col("__ts_order"))
+    case "max"      => max(v)
+    case "min"      => min(v)
+    case "avg_zero" => avg(coalesce(v, lit(0.0)))
+    case "absmax"   => max_by(v, struct(abs(v), v))
+    case "absmin"   => min_by(v, struct(abs(v), v.unary_-))
+    case other      => throw new IllegalArgumentException(s"unknown aggregation method: $other")
+  }
+
+  /**
+   * Downsample a (ts, value) frame into fixed buckets with one of the 8
+   * methods — the operation Graphite performs at write time between archive
+   * tiers. Works over any frame including `spark.read.format("whisper")`
+   * output. `keys` are carried grouping columns (e.g. file/archive).
+   */
+  def downsample(df: DataFrame, bucket: String, method: String, keys: Seq[String] = Seq.empty): DataFrame = {
+    val grouped = df
+      .withColumn("__ts_order", col("timestamp"))
+      .groupBy((keys.map(col) :+ window(col("timestamp"), bucket).as("bucket")): _*)
+    val value = method match {
+      case "last" => max_by(col("value"), col("__ts_order")).as("value")
+      case _      => aggMethod(method, col("value")).as("value")
+    }
+    grouped
+      .agg(value, count(lit(1)).as("n_points"))
+      .select((keys.map(col) :+ col("bucket.start").as("bucket_start") :+ col("value") :+ col("n_points")): _*)
+  }
+
+  /** Hourly resample of events with a dense calendar spine (gap hours kept,
+   * n = 0, avg = -1 sentinel). Spine bounds are fixed so the result is a
+   * deterministic calendar grid regardless of data scale. */
+  def resampleGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val types = e.select(col("event_type")).distinct()
+    val spine = spark.range(1).select(explode(expr(
+      "sequence(to_timestamp('2024-01-01 00:00:00'), to_timestamp('2024-01-30 23:00:00'), interval 1 hour)"
+    )).as("h")).crossJoin(broadcast(types))
+    val agg = e.groupBy(
+      date_trunc("hour", col("ts")).as("h"),
+      col("event_type")
+    ).agg(count(lit(1)).as("n0"), avg(col("value")).as("avg0"))
+    spine.join(agg, Seq("h", "event_type"), "left")
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH:00").as("hour_bucket"),
+        col("event_type"),
+        coalesce(col("n0"), lit(0L)).as("n"),
+        coalesce(round(col("avg0"), 4), lit(-1.0)).as("avg_v")
+      )
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  /**
+   * As-of join: for each left row, the latest right row with
+   * right.order <= left.order within the same key — THE time-series join
+   * (Spark has no built-in; DuckDB/kdb/pandas merge_asof do).
+   *
+   * Implementation is the union trick: tag both sides, sort per key by
+   * (order, side), propagate the last seen right values with
+   * `last(..., ignoreNulls)` over an unbounded-preceding window, keep left
+   * rows. ONE shuffle on the key (window sort), no range join, no broadcast
+   * of either side — scales to arbitrarily large both sides.
+   *
+   * `right` columns in `payload` are emitted with nulls when no match.
+   */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      order: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumns(payload.map(p => s"__r_$p" -> lit(null).cast(right.schema(p).dataType)).toMap)
+    val rTagged = right.select((Seq(col(key), col(order)) ++ payload.map(p => col(p).as(s"__r_$p"))): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // side 0 (right) sorts before side 1 (left) at equal order values, so a
+    // right row at exactly left.order is visible to that left row.
+    val w = Window.partitionBy(key).orderBy(col(order), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(s"__asof_$p", last(col(s"__r_$p"), ignoreNulls = true).over(w))
+    }
+    val out = filled.filter(col("__side") === 1)
+    val cleaned = payload.foldLeft(out) { (df, p) =>
+      df.withColumn(s"asof_$p", col(s"__asof_$p")).drop(s"__r_$p", s"__asof_$p")
+    }
+    cleaned.drop("__side")
+  }
+
+  /** As-of join query: each error event picks up the user's most recent
+   * prior-or-simultaneous purchase value (null-free output: -1 sentinel).
+   * Ordering key is exact integer microseconds so Spark (us timestamps) and
+   * DuckDB (ns timestamps) compare identically. */
+  def asofErrorPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").withColumn("us", unix_micros(col("ts")))
+    val errors = e.filter(col("event_type") === "error").select(col("event_id"), col("user_id"), col("us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("value"))
+    asofJoin(errors, purchases, key = "user_id", order = "us", payload = Seq("value"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        coalesce(col("asof_value"), lit(-1.0)).as("last_purchase_value")
+      )
+      .orderBy("event_id")
+  }
+}

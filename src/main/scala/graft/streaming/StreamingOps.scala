@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming surface (SURVEY §2.5 gap map: absent from the
+ * reference — Whisper is a stored series; streaming ingestion is its
+ * unimplemented TODO, `whisper_pandas.ipynb:1382`). These transforms are the
+ * streaming duals of the batch operators: the same logical plan works under
+ * `readStream`, with watermarks bounding state.
+ */
+object StreamingOps {
+
+  /** Event-time windowed counts with a watermark — the streaming form of
+   * [[graft.operators.RelationalOps.downsample8]]'s grouping. Append-mode
+   * safe: state for a window is dropped once the watermark passes it. */
+  def windowedCounts(events: DataFrame, window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total")
+      )
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
+
+  /** Custom state machine via mapGroupsWithState: per-user running session
+   * summary with a processing-time idle timeout — the escape hatch for
+   * semantics windowed aggregation can't express (KeyValueGroupedDataset
+   * state API). */
+  def sessionize(spark: SparkSession, events: DataFrame, idleTimeout: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s.copy(closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionSummary(uid, 0L, 0.0, closed = false))
+            val batch = evs.toSeq
+            val next = prev.copy(
+              n_events = prev.n_events + batch.size,
+              total_value = prev.total_value + batch.map(_.value).sum
+            )
+            state.update(next)
+            state.setTimeoutDuration(idleTimeout)
+            next
+          }
+      }
+      .toDF()
+  }
+}
