@@ -28,16 +28,18 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
-  /** Distinct 3-word shingles per document (the MinHash input set). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  /** Distinct 3-word shingles per document as an array column (the MinHash
+   * input set). Kept as an array so signatures are computed map-side without
+   * an explode+groupBy shuffle; only the Jaccard verify step explodes. */
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .withColumn("arr", expr("split(text, ' ')"))
       .filter(expr("size(arr) >= 3"))
       .select(
         col("doc_id"),
-        explode(array_distinct(expr(
+        array_distinct(expr(
           "transform(sequence(1, size(arr) - 2), i -> concat_ws(' ', element_at(arr, i), element_at(arr, i+1), element_at(arr, i+2)))"
-        ))).as("s")
+        )).as("sharr")
       )
 
   /**
@@ -53,9 +55,12 @@ object DedupOps {
    * band key (shuffle on band — tiny), verify join only on candidates.
    */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    val hashes = (0 until 8).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(hashes.head, hashes.tail: _*)
+    val docs = shingleArrays(spark, dir).cache()
+    val sh = docs.select(col("doc_id"), explode(col("sharr")).as("s"))
+    // signature entirely map-side: min over a per-row array, no shuffle
+    val sigCols = (0 until 8).map(i =>
+      expr(s"array_min(transform(sharr, s -> md5(concat('$i|', s))))").as(s"h$i"))
+    val sig = docs.select((col("doc_id") +: sigCols): _*)
     val bands = sig.select(
       col("doc_id"),
       explode(array(
@@ -68,7 +73,7 @@ object DedupOps {
     val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = docs.select(col("doc_id"), size(col("sharr")).cast("long").as("n"))
     val common = broadcast(cand)
       .join(sh.as("sa"), col("sa.doc_id") === col("a"))
       .join(sh.as("sb"), col("sb.doc_id") === col("b") && col("sb.s") === col("sa.s"))
@@ -101,6 +106,7 @@ object DedupOps {
           "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))"
         ))).as("g")
       )
+      .cache() // read twice: document-frequency pass + pruned join input
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 200)
     val pruned = grams.join(broadcast(rare).select("g"), Seq("g")).cache()
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -130,17 +136,10 @@ object DedupOps {
    * best-effort recall, standard for chunked SimHash lookup).
    */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val fp = t(spark, dir, "documents")
-      .withColumn("toks", expr("split(text, ' ')"))
-      .withColumn(
-        "simhash",
-        expr(
-          """aggregate(sequence(0, 63), 0L, (acc, b) ->
-            | acc + shiftleft(case when
-            |   aggregate(toks, 0L, (a, t) -> a + case when (shiftright(xxhash64(t), b) & 1) = 1 then 1L else -1L end) >= 0
-            | then 1L else 0L end, b))""".stripMargin
-        )
-      )
+      // one xxhash64 per token + 64-counter update, in generated code
+      .withColumn("simhash", expr("simhash64(split(text, ' '))"))
       .select(col("doc_id"), col("simhash"))
     val chunks = fp.select(
       col("doc_id"), col("simhash"),
@@ -148,8 +147,15 @@ object DedupOps {
         "transform(sequence(0, 3), c -> struct(c as c, shiftright(simhash, c * 16) & 65535 as v))"
       )).as("ck")
     ).select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
-    chunks.as("x").join(
-      chunks.as("y"),
+      .cache() // fingerprinting is 64 passes over each token list; never recompute
+    // Hot-bucket guard: a chunk value shared by k docs yields k^2/2 candidate
+    // pairs; same-domain corpora cluster heavily on 16-bit chunks. Skipping
+    // buckets larger than 50 bounds the pair fan-out (standard LSH practice —
+    // an overfull bucket carries no discriminative signal anyway).
+    val bucketSizes = chunks.groupBy("c", "v").agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 50)
+    val pruned = chunks.join(broadcast(bucketSizes.select("c", "v")), Seq("c", "v"))
+    pruned.as("x").join(
+      pruned.as("y"),
       col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id")
     )
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

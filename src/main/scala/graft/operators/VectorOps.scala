@@ -16,14 +16,16 @@ import org.apache.spark.sql.functions._
 object VectorOps {
   import Tables.t
 
-  private val CosExpr =
-    """aggregate(zip_with(emb, qe, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
-      | / (sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))
-      |    * sqrt(aggregate(qe, 0D, (acc, x) -> acc + x * x)))""".stripMargin
+  /** Cosine via the codegen'd dot_d kernel ([[graft.functions.DotProduct]]):
+   * left-to-right double accumulation, bit-identical to both the HOF
+   * formulation and DuckDB's list_inner_product. */
+  private val CosExpr = "dot_d(emb, qe) / (sqrt(dot_d(emb, emb)) * sqrt(dot_d(qe, qe)))"
 
-  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+  private def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+  }
 
   /** Exact brute-force cosine top-k against the vec_id=0 query vector.
    * Shape at scale: broadcast 1-row query, map-side cosine, global top-k
@@ -40,14 +42,20 @@ object VectorOps {
 
   /** Embedding-cosine near-dup pairs, blocked by label (each block is an
    * independent all-pairs — the blocking key is what scales this out; swap
-   * label for an IVF/LSH bucket id when no natural key exists). */
+   * label for an IVF/LSH bucket id when no natural key exists).
+   *
+   * Norms are computed ONCE per vector before the pair join (sqrt(sum x^2)
+   * per row instead of per pair — the pair-side work drops to one dot
+   * product; `sa * sb` is bit-identical to the oracle's
+   * `sqrt(na) * sqrt(nb)`). */
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
+      .withColumn("nrm", expr("sqrt(dot_d(emb, emb))"))
     e.as("x").join(e.as("y"), col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(
         col("x.vec_id").as("a"),
         col("y.vec_id").as("b"),
-        expr(CosExpr.replace("emb", "x.emb").replace("qe", "y.emb")).as("c")
+        (expr("dot_d(x.emb, y.emb)") / (col("x.nrm") * col("y.nrm"))).as("c")
       )
       .filter(col("c") >= 0.35)
       .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
