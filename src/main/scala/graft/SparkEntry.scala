@@ -58,7 +58,9 @@ object SparkEntry {
     "q31_asof_join" -> (TimeSeriesOps.asofErrorPurchase(_, _)),
     // -- multimodal plumbing --
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
-    "q32_mm_byte_histogram" -> (MultimodalOps.byteHistograms(_, _))
+    "q32_mm_byte_histogram" -> (MultimodalOps.byteHistograms(_, _)),
+    // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
+    "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,60 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.format.WhisperWriter
+import graft.format.WhisperWriter.{ArchiveSpec, FileSpec}
+
+/**
+ * The reference notebook's workload (`whisper_pandas.ipynb:1199-1225`):
+ * read every archive, tag with its tier, union, export to Parquet, read
+ * back losslessly. In the reference this is three materialized pandas frames
+ * + concat; here it is ONE Catalyst plan — the union is native to the scan
+ * (every archive is already a partition of the same DataFrame) and the
+ * export is a distributed write.
+ */
+object WhisperWorkload {
+
+  /** Union-of-archives -> Parquet export (S7/W1-W5). Returns rows written. */
+  def exportUnion(spark: SparkSession, wspPath: String, outPath: String): Long = {
+    val df = spark.read.format("whisper").load(wspPath)
+      .select(col("archive"), col("position"), col("timestamp"), col("value"))
+    df.write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
+  /** Deterministic demo fixture for driver-visible whisper queries (written
+   * once per JVM tmpdir; the engine never writes Whisper files in production
+   * — this is the test-only writer from graft.format). */
+  def demoFixture(): String = {
+    val p: Path = Paths.get(System.getProperty("java.io.tmpdir"), "graft-demo", "demo.wsp")
+    if (!Files.exists(p)) {
+      WhisperWriter.writeFile(p, FileSpec(archives = Seq(
+        ArchiveSpec(10, 8640, filled = 8640, lastTimestamp = 1600000000L, rotation = 4000),
+        ArchiveSpec(60, 43200, filled = 23000, lastTimestamp = 1599999960L, rotation = 100),
+        ArchiveSpec(3600, 8760, filled = 8000, lastTimestamp = 1599998400L, rotation = 0)
+      )))
+    }
+    p.toString
+  }
+
+  /** End-to-end whisper pipeline as a driver-checkable query (rows-only:
+   * DuckDB cannot read Whisper files): scan with archive pruning + pushed
+   * time filter, then the 8-method downsample to 1-hour buckets. */
+  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val wsp = demoFixture()
+    val df = spark.read.format("whisper").load(wsp)
+      .filter(col("archive") === 1 && col("timestamp") >= timestamp_seconds(lit(1599000000L)))
+    TimeSeriesOps.downsample(df, "1 hour", "average", keys = Seq("archive"))
+      .select(
+        col("archive"),
+        date_format(col("bucket_start"), "yyyy-MM-dd HH:00").as("hour_bucket"),
+        round(col("value"), 4).as("avg_value"),
+        col("n_points")
+      )
+      .orderBy("hour_bucket")
+  }
+}

@@ -146,4 +146,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(0) > 0)
     assert(out.getLong(1) == 200L)
   }
+
+  test("whisper workload: union-of-archives parquet export round-trips") {
+    val wsp = operators.WhisperWorkload.demoFixture()
+    val out = java.nio.file.Files.createTempDirectory("wsp-export").toString + "/points"
+    val n = operators.WhisperWorkload.exportUnion(spark, wsp, out)
+    assert(n == 39640L) // 8640 + 23000 + 8000 filled slots
+    val back = spark.read.parquet(out)
+    assert(back.schema.fieldNames.toSeq == Seq("archive", "position", "timestamp", "value"))
+    assert(back.groupBy("archive").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(0 -> 8640L, 1 -> 23000L, 2 -> 8000L))
+  }
+
+  test("whisper pipeline query returns hourly downsample of archive 1") {
+    val df = operators.WhisperWorkload.pipeline(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(0) == 1))
+    assert(rows.map(_.getLong(3)).sum > 0)
+  }
 }
