@@ -82,7 +82,8 @@ object WhisperIO {
    * reads only the header bytes. `fileSizeActual` for gzip files is the
    * decompressed size, matching the reference which measures the decompressed
    * buffer (`test_whisper_pandas.py:91-97`) — computed by streaming the file
-   * once without materializing it. */
+   * once without materializing it. Scan planning uses
+   * [[readMetaHeaderOnly]] instead: it never pays the full-stream cost. */
   def readMeta(pathStr: String, gzip: Boolean): FileMeta = {
     val p = new HPath(pathStr)
     val fs = p.getFileSystem(new Configuration())
@@ -93,7 +94,7 @@ object WhisperIO {
         val gin = new GZIPInputStream(in)
         // decompressed size: header first, then count remaining bytes
         val headBuf = new Array[Byte](64 * 1024)
-        var headLen = WhisperCodec.readFully(gin, headBuf, headBuf.length)
+        val headLen = WhisperCodec.readFully(gin, headBuf, headBuf.length)
         var total = headLen.toLong
         val skipBuf = new Array[Byte](1 << 20)
         var n = 0
@@ -103,9 +104,25 @@ object WhisperIO {
         }
         WhisperCodec.parseMeta(headBuf.take(headLen), pathStr, total)
       } else {
-        val meta = WhisperCodec.readMeta(in, pathStr, onDiskSize)
-        meta
+        WhisperCodec.readMeta(in, pathStr, onDiskSize)
       }
+    } finally in.close()
+  }
+
+  /** Planning-path metadata: reads ONLY the header region even for gzip
+   * (decompresses just the first bytes; never streams the body). The
+   * decompressed `fileSizeActual` is unknowable without a full pass, so it is
+   * reported as -1 — partition planning never consults it. At 100 TB / many
+   * thousands of files this is the difference between planning in seconds
+   * and planning in hours. */
+  def readMetaHeaderOnly(pathStr: String, gzip: Boolean): FileMeta = {
+    val p = new HPath(pathStr)
+    val fs = p.getFileSystem(new Configuration())
+    val onDiskSize = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      if (gzip) WhisperCodec.readMeta(new GZIPInputStream(in), pathStr, -1L)
+      else WhisperCodec.readMeta(in, pathStr, onDiskSize)
     } finally in.close()
   }
 }

@@ -4,8 +4,11 @@ import java.util.zip.GZIPInputStream
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
+import scala.collection.parallel.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions => ExpressionsV2, SortDirection => SortDirectionV2, SortOrder => SortOrderV2}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -195,7 +198,9 @@ class WhisperScan(
     pushedV1: Array[Filter],
     requiredSchema: StructType
 ) extends Scan
-    with Batch {
+    with Batch
+    with SupportsReportStatistics
+    with SupportsReportOrdering {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -210,10 +215,12 @@ class WhisperScan(
       case _                                                   => true
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    paths.flatMap { path =>
+  /** Header reads are tiny but latency-bound; plan many files concurrently
+   * (matters when a glob matches thousands of files on remote storage). */
+  private lazy val plannedPartitions: Array[InputPartition] = {
+    val perFile = paths.par.map { path =>
       val gz = options.gzipFor(path)
-      val meta = WhisperIO.readMeta(path, gz)
+      val meta = WhisperIO.readMetaHeaderOnly(path, gz)
       meta.archives.filter(a => partitionSurvives(path, a.index)).flatMap { a =>
         if (options.timeSort || a.points <= options.maxPointsPerSplit || gz) {
           // gzip is non-splittable: one stream per file/archive regardless.
@@ -225,8 +232,29 @@ class WhisperScan(
           }
         }
       }
-    }.toArray
+    }
+    perFile.seq.flatten.toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
+
+  /** Size/row estimates from headers alone — lets Catalyst/AQE pick broadcast
+   * vs shuffle without touching point data. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val parts = plannedPartitions.collect { case p: WhisperInputPartition => p }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(parts.map(_.posCount * graft.format.WhisperCodec.PointSize).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(parts.map(_.posCount).sum)
+  }
+
+  /** With timeSort on, every partition (= one archive) is emitted in
+   * ascending timestamp order — declared so per-partition consumers skip
+   * their own sort. */
+  override def outputOrdering(): Array[SortOrderV2] =
+    if (options.timeSort && requiredSchema.fieldNames.contains("timestamp"))
+      Array(ExpressionsV2.sort(ExpressionsV2.column("timestamp"), SortDirectionV2.ASCENDING))
+    else Array.empty
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WhisperReaderFactory(options, preds, requiredSchema)

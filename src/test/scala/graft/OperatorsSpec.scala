@@ -165,4 +165,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getInt(0) == 1))
     assert(rows.map(_.getLong(3)).sum > 0)
   }
+
+  test("WhisperFile facade mirrors the reference object model") {
+    val wsp = WhisperFile.read(spark, operators.WhisperWorkload.demoFixture())
+    assert(wsp.meta.archives.size == 3)
+    assert(wsp.archives.map(_.meta.secondsPerPoint) == Seq(10L, 60L, 3600L))
+    val a1 = wsp.archive(1).toFrame(dtype = "float")
+    assert(a1.schema.fieldNames.toSeq == Seq("position", "timestamp", "value"))
+    assert(a1.count() == 23000L)
+    intercept[IllegalArgumentException](wsp.archive(9))
+    assert(wsp.describeArchives.count() == 3)
+  }
+
+  test("saltedAgg equals plain aggregation") {
+    val e = operators.Tables.t(spark, dir, "events")
+    val salted = operators.SkewOps.saltedAgg(e, Seq("event_type"),
+      Map("value" -> "sum", "event_id" -> "count"), salts = 8)
+      .collect().map(r => r.getString(0) -> (math.round(r.getDouble(1) * 100), r.getLong(2))).toMap
+    val plain = e.groupBy("event_type").agg(sum("value"), count("event_id"))
+      .collect().map(r => r.getString(0) -> (math.round(r.getDouble(1) * 100), r.getLong(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join") {
+    val li = operators.Tables.t(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = operators.Tables.t(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val a = operators.SkewOps.saltedJoin(li, o, "l_orderkey").count()
+    val b = li.join(o, "l_orderkey").count()
+    assert(a == b)
+  }
 }
