@@ -40,6 +40,10 @@ object SparkEntry {
     "q16_set_intersect" -> (RelationalOps.setIntersect(_, _)),
     "q17_scalar_funcs" -> (RelationalOps.scalarFuncs(_, _)),
     "q18_date_parts" -> (RelationalOps.dateParts(_, _)),
+    "q34_rollup" -> (RelationalOps.rollupRegion(_, _)),
+    "q36_correlated_subquery" -> (RelationalOps.correlatedSubquery(_, _)),
+    "q37_percentiles" -> (RelationalOps.percentiles(_, _)),
+    "q38_window_range_frame" -> (RelationalOps.windowRangeFrame(_, _)),
     // -- extension ops: text analysis (BASELINE.json north star) --
     "q20_text_tokens" -> (TextOps.tokenCount(_, _)),
     "q21_text_quality" -> (TextOps.qualityScore(_, _)),
@@ -258,6 +262,28 @@ object SparkEntry {
         |SELECT err.event_id, err.user_id, coalesce(p.value, -1.0) AS last_purchase_value
         |FROM err ASOF LEFT JOIN pur p ON err.user_id = p.user_id AND err.us >= p.us
         |ORDER BY event_id""".stripMargin,
+    "q34_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |CAST(count(*) AS BIGINT) AS n_cust, round(sum(c_acctbal),2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+    "q36_correlated_subquery" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = (SELECT min(p_brand) FROM part)
+        |AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+    "q37_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5),4) AS med,
+        |round(quantile_cont(value, 0.9),4) AS p90
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q38_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS trail_1h_avg,
+        |CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h_n
+        |FROM events ORDER BY event_id""".stripMargin,
     "q30_mm_features" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS payload_md5,
         |CAST(16 + ascii(substr(text,1,1)) AS INT) AS fake_width,

@@ -221,6 +221,62 @@ object RelationalOps {
       )
       .orderBy("doc_id")
 
+  /** Grouping sets: region/nation rollup with subtotal rows (SURVEY §2.5
+   * "aggregations / grouping sets"). */
+  def rollupRegion(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("total_bal")
+      )
+      .orderBy("region", "nation")
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): small-quantity orders vs
+   * each part's own average. Expressed via SQL so Catalyst's subquery
+   * decorrelation rewrites it into an aggregate + join. */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = (SELECT min(p_brand) FROM part)
+        |AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+        |""".stripMargin
+    )
+  }
+
+  /** Exact interpolated percentiles per group (median + p90). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("med"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90")
+      )
+      .orderBy("event_type")
+
+  /** Range-frame window: trailing 1-hour moving average per user, frame
+   * bounded by event-time VALUE (rangeBetween), not row count. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-hourUs, 0)
+    t(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .select(
+        col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 4).as("trail_1h_avg"),
+        count(lit(1)).over(w).as("trail_1h_n")
+      )
+      .orderBy("event_id")
+  }
+
   /** Date part extraction (year/month/quarter over orders). */
   def dateParts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

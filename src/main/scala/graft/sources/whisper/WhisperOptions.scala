@@ -25,7 +25,8 @@ final case class WhisperOptions(
     timeSort: Boolean,
     dtype: String,
     compression: String,
-    maxPointsPerSplit: Long
+    maxPointsPerSplit: Long,
+    vectorized: Boolean
 ) {
   require(dtype == "double" || dtype == "float", s"dtype must be double|float, got $dtype")
   require(
@@ -60,6 +61,7 @@ object WhisperOptions {
     timeSort = map.getBoolean("timeSort", true),
     dtype = map.getOrDefault("dtype", "double").toLowerCase,
     compression = map.getOrDefault("compression", "infer").toLowerCase,
-    maxPointsPerSplit = map.getLong("maxPointsPerSplit", 8L * 1000 * 1000)
+    maxPointsPerSplit = map.getLong("maxPointsPerSplit", 8L * 1000 * 1000),
+    vectorized = map.getBoolean("vectorized", true)
   )
 }

@@ -264,58 +264,28 @@ class WhisperReaderFactory(options: WhisperOptions, preds: Seq[WPred], requiredS
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WhisperPartitionReader(partition.asInstanceOf[WhisperInputPartition], options, preds, requiredSchema)
+
+  /** Columnar reads: decode straight into column vectors — no per-row
+   * InternalRow materialization; Spark's ColumnarToRow + whole-stage codegen
+   * consume the batch in a tight loop (same fast path as parquet). */
+  override def supportColumnarReads(partition: InputPartition): Boolean = options.vectorized
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new WhisperColumnarReader(partition.asInstanceOf[WhisperInputPartition], options, preds, requiredSchema)
 }
 
-/**
- * Executor-side reader for one (file, archive[, chunk]).
- *
- * Decodes the 12-byte big-endian records (`whisper_pandas.py:31,178-184`),
- * applies dropTimeZero (`:214-215`) and pushed predicates during decode, then
- * restores chronological order by ring rotation (vs the reference's full sort,
- * `:231-232`). Truncated files stop cleanly at EOF (`test_whisper_pandas.py:100-103`).
- */
-class WhisperPartitionReader(
-    part: WhisperInputPartition,
-    options: WhisperOptions,
-    preds: Seq[WPred],
-    requiredSchema: StructType
-) extends PartitionReader[InternalRow] {
+/** Shared partition decode: byte-range read -> filtered primitive arrays +
+ * emission order (ring rotation or sort fallback). */
+private[whisper] object WhisperDecode {
+  final case class Decoded(
+      positions: Array[Long],
+      timestamps: Array[Long],
+      values: Array[Double],
+      order: Array[Int],
+      nRows: Int
+  )
 
-  private var rowIdx = -1
-  private var nRows = 0
-  private var positions: Array[Long] = _
-  private var timestamps: Array[Long] = _
-  private var values: Array[Double] = _
-  private var order: Array[Int] = _
-
-  private val fieldWriters: Array[(GenericInternalRow, Int, Int) => Unit] =
-    requiredSchema.fields.map { f =>
-      f.name match {
-        case "file" =>
-          val u = UTF8String.fromString(part.filePath)
-          (row: GenericInternalRow, out: Int, i: Int) => row.update(out, u)
-        case "archive" =>
-          (row: GenericInternalRow, out: Int, i: Int) => row.setInt(out, part.archiveIndex)
-        case "position" =>
-          (row: GenericInternalRow, out: Int, i: Int) => row.setLong(out, positions(i))
-        case "timestamp" =>
-          if (options.toDatetime)
-            (row: GenericInternalRow, out: Int, i: Int) => row.setLong(out, timestamps(i) * 1000000L)
-          else
-            (row: GenericInternalRow, out: Int, i: Int) => row.setInt(out, timestamps(i).toInt)
-        case "value" =>
-          if (options.dtype == "float")
-            (row: GenericInternalRow, out: Int, i: Int) => row.setFloat(out, values(i).toFloat)
-          else
-            (row: GenericInternalRow, out: Int, i: Int) => row.setDouble(out, values(i))
-      }
-    }
-
-  private val row = new GenericInternalRow(requiredSchema.length)
-
-  load()
-
-  private def load(): Unit = {
+  def load(part: WhisperInputPartition, options: WhisperOptions, preds: Seq[WPred]): Decoded = {
     val byteStart = part.archiveOffset + part.posStart * WhisperCodec.PointSize
     val byteLen = part.posCount * WhisperCodec.PointSize
     require(byteLen <= Int.MaxValue, s"split too large: $byteLen bytes; lower maxPointsPerSplit")
@@ -343,9 +313,9 @@ class WhisperPartitionReader(
     } finally raw.close()
 
     val nPoints = got / WhisperCodec.PointSize
-    positions = new Array[Long](nPoints)
-    timestamps = new Array[Long](nPoints)
-    values = new Array[Double](nPoints)
+    val positions = new Array[Long](nPoints)
+    val timestamps = new Array[Long](nPoints)
+    val values = new Array[Double](nPoints)
     var n = 0
     WhisperCodec.foreachPoint(buf, 0, nPoints, part.posStart) { (pos, ts, v) =>
       val keep = (!options.dropTimeZero || ts != 0L) &&
@@ -357,15 +327,13 @@ class WhisperPartitionReader(
         n += 1
       }
     }
-    nRows = n
-
-    order = buildOrder()
+    Decoded(positions, timestamps, values, buildOrder(options, timestamps, n), n)
   }
 
   /** Identity order, or the ring rotation when timeSort is on. A well-formed
    * ring's filled slots form at most 2 ascending runs; >1 descent falls back
    * to a real sort. */
-  private def buildOrder(): Array[Int] = {
+  private def buildOrder(options: WhisperOptions, timestamps: Array[Long], nRows: Int): Array[Int] = {
     val ord = Array.tabulate(nRows)(identity)
     if (!options.timeSort || nRows <= 1) return ord
     var drops = 0
@@ -377,25 +345,23 @@ class WhisperPartitionReader(
     }
     if (drops == 0) ord
     else if (drops == 1) {
-      // rotated: [dropAt..n) then [0..dropAt)
       val out = new Array[Int](nRows)
       var k = 0
       var j = dropAt
       while (j < nRows) { out(k) = j; k += 1; j += 1 }
       j = 0
       while (j < dropAt) { out(k) = j; k += 1; j += 1 }
-      // the rotation must itself be ascending; otherwise sort for safety
       var ok = true
       k = 1
       while (k < nRows && ok) {
         if (timestamps(out(k)) < timestamps(out(k - 1))) ok = false
         k += 1
       }
-      if (ok) out else sortedOrder()
-    } else sortedOrder()
+      if (ok) out else sortedOrder(timestamps, nRows)
+    } else sortedOrder(timestamps, nRows)
   }
 
-  private def sortedOrder(): Array[Int] = {
+  private def sortedOrder(timestamps: Array[Long], nRows: Int): Array[Int] = {
     val boxed: Array[Integer] = Array.tabulate[Integer](nRows)(i => Integer.valueOf(i))
     java.util.Arrays.sort(
       boxed,
@@ -403,14 +369,119 @@ class WhisperPartitionReader(
     )
     boxed.map(_.intValue())
   }
+}
+
+/** Columnar reader: emits ColumnarBatches of up to `BatchSize` rows. */
+class WhisperColumnarReader(
+    part: WhisperInputPartition,
+    options: WhisperOptions,
+    preds: Seq[WPred],
+    requiredSchema: StructType
+) extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val BatchSize = 4096
+  private val d = WhisperDecode.load(part, options, preds)
+  private val fileBytes = part.filePath.getBytes("UTF-8")
+  private var offset = 0
+  private val vectors = OnHeapColumnVector.allocateColumns(BatchSize, requiredSchema)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+
+  override def next(): Boolean = {
+    if (offset >= d.nRows) return false
+    val n = math.min(BatchSize, d.nRows - offset)
+    var f = 0
+    while (f < requiredSchema.length) {
+      val v = vectors(f)
+      v.reset()
+      requiredSchema.fields(f).name match {
+        case "file" =>
+          var i = 0
+          while (i < n) { v.putByteArray(i, fileBytes); i += 1 }
+        case "archive" =>
+          v.putInts(0, n, part.archiveIndex)
+        case "position" =>
+          var i = 0
+          while (i < n) { v.putLong(i, d.positions(d.order(offset + i))); i += 1 }
+        case "timestamp" =>
+          if (options.toDatetime) {
+            var i = 0
+            while (i < n) { v.putLong(i, d.timestamps(d.order(offset + i)) * 1000000L); i += 1 }
+          } else {
+            var i = 0
+            while (i < n) { v.putInt(i, d.timestamps(d.order(offset + i)).toInt); i += 1 }
+          }
+        case "value" =>
+          if (options.dtype == "float") {
+            var i = 0
+            while (i < n) { v.putFloat(i, d.values(d.order(offset + i)).toFloat); i += 1 }
+          } else {
+            var i = 0
+            while (i < n) { v.putDouble(i, d.values(d.order(offset + i))); i += 1 }
+          }
+      }
+      f += 1
+    }
+    batch.setNumRows(n)
+    offset += n
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
+}
+
+/**
+ * Executor-side reader for one (file, archive[, chunk]).
+ *
+ * Decodes the 12-byte big-endian records (`whisper_pandas.py:31,178-184`),
+ * applies dropTimeZero (`:214-215`) and pushed predicates during decode, then
+ * restores chronological order by ring rotation (vs the reference's full sort,
+ * `:231-232`). Truncated files stop cleanly at EOF (`test_whisper_pandas.py:100-103`).
+ */
+class WhisperPartitionReader(
+    part: WhisperInputPartition,
+    options: WhisperOptions,
+    preds: Seq[WPred],
+    requiredSchema: StructType
+) extends PartitionReader[InternalRow] {
+
+  private val d = WhisperDecode.load(part, options, preds)
+  private var rowIdx = -1
+
+  private val fieldWriters: Array[(GenericInternalRow, Int, Int) => Unit] =
+    requiredSchema.fields.map { f =>
+      f.name match {
+        case "file" =>
+          val u = UTF8String.fromString(part.filePath)
+          (row: GenericInternalRow, out: Int, i: Int) => row.update(out, u)
+        case "archive" =>
+          (row: GenericInternalRow, out: Int, i: Int) => row.setInt(out, part.archiveIndex)
+        case "position" =>
+          (row: GenericInternalRow, out: Int, i: Int) => row.setLong(out, d.positions(i))
+        case "timestamp" =>
+          if (options.toDatetime)
+            (row: GenericInternalRow, out: Int, i: Int) => row.setLong(out, d.timestamps(i) * 1000000L)
+          else
+            (row: GenericInternalRow, out: Int, i: Int) => row.setInt(out, d.timestamps(i).toInt)
+        case "value" =>
+          if (options.dtype == "float")
+            (row: GenericInternalRow, out: Int, i: Int) => row.setFloat(out, d.values(i).toFloat)
+          else
+            (row: GenericInternalRow, out: Int, i: Int) => row.setDouble(out, d.values(i))
+      }
+    }
+
+  private val row = new GenericInternalRow(requiredSchema.length)
 
   override def next(): Boolean = {
     rowIdx += 1
-    rowIdx < nRows
+    rowIdx < d.nRows
   }
 
   override def get(): InternalRow = {
-    val i = order(rowIdx)
+    val i = d.order(rowIdx)
     var f = 0
     while (f < fieldWriters.length) {
       fieldWriters(f)(row, f, i)

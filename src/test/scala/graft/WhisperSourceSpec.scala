@@ -212,4 +212,12 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 200L) // 4 files x 50 filled
   }
 
+
+  test("vectorized and row-based reads produce identical results") {
+    val vec = read(mini.toString).collect().map(_.toString).sorted
+    val row = read(mini.toString, Map("vectorized" -> "false")).collect().map(_.toString).sorted
+    assert(vec.sameElements(row))
+    val plan = read(mini.toString).queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected columnar path in:\n$plan")
+  }
 }
