@@ -44,6 +44,7 @@ object SparkEntry {
     "q36_correlated_subquery" -> (RelationalOps.correlatedSubquery(_, _)),
     "q37_percentiles" -> (RelationalOps.percentiles(_, _)),
     "q38_window_range_frame" -> (RelationalOps.windowRangeFrame(_, _)),
+    "q39_approx_aggs" -> (RelationalOps.approxAggs(_, _)),
     // -- extension ops: text analysis (BASELINE.json north star) --
     "q20_text_tokens" -> (TextOps.tokenCount(_, _)),
     "q21_text_quality" -> (TextOps.qualityScore(_, _)),

@@ -277,6 +277,23 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** Sketch-based approximate aggregates (HLL distinct count, t-digest-style
+   * quantiles). Rows-only check: sketch algorithms are engine-specific, so
+   * no DuckDB hash parity — the spec bounds their error vs exact instead. */
+  def approxAggs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, array(0.5, 0.99), 10000)").as("approx_p")
+      )
+      .select(
+        col("event_type"), col("approx_users"), col("exact_users"),
+        expr("approx_p[0]").as("approx_med"), expr("approx_p[1]").as("approx_p99")
+      )
+      .orderBy("event_type")
+
   /** Date part extraction (year/month/quarter over orders). */
   def dateParts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

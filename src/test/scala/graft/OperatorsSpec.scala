@@ -194,4 +194,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = li.join(o, "l_orderkey").count()
     assert(a == b)
   }
+
+  test("GraftExtensions registers functions at session build") {
+    // force a genuinely new session (fresh sessionState/function registry);
+    // getOrCreate would silently reuse the suite session and make this pass
+    // via the operators' defensive register() calls instead of the extension.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-spec")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate() // shares the JVM's SparkContext, not the registry
+      val r = s2.sql("SELECT dot_d(array(1.0D,2.0D), array(3.0D,4.0D)) AS d, simhash64(array('a')) AS h").head()
+      assert(r.getDouble(0) == 11.0)
+      // do NOT s2.stop(): it would stop the shared SparkContext
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("approx aggregates are within tolerance of exact") {
+    val rows = RelationalOps.approxAggs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1, s"HLL off: $approx vs $exact")
+    }
+  }
 }
