@@ -89,26 +89,24 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity),2) AS sum_qty,
         |round(sum(l_extendedprice),2) AS sum_base_price,
-        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |round(avg(l_quantity),4) AS avg_qty,
-        |round(avg(l_discount),4) AS avg_disc,
+        |CAST(round(sum(l_extendedprice*(1-l_discount))/100.0, 0) AS BIGINT) AS sum_disc_price_h,
+        |round(sum(l_discount),2) AS sum_disc,
         |CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_tpch6_filter_agg" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue FROM lineitem
+      """SELECT CAST(round(sum(l_extendedprice*l_discount)/100.0, 0) AS BIGINT) AS revenue_h FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q07_downsample8" ->
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
         |CAST(count(*) AS BIGINT) AS n,
-        |round(avg(value),4) AS agg_average,
-        |round(sum(value),2) AS agg_sum,
+        |CAST(round(sum(value)*100.0, 0) AS BIGINT) AS agg_sum_cents,
+        |CAST(round(sum(coalesce(value,0))*100.0, 0) AS BIGINT) AS agg_sum_zero_cents,
         |arg_max(value, event_id) AS agg_last,
         |max(value) AS agg_max,
         |min(value) AS agg_min,
-        |round(avg(coalesce(value,0)),4) AS agg_avg_zero,
         |max(abs(value)) AS agg_absmax,
         |min(abs(value)) AS agg_absmin
         |FROM events GROUP BY 1,2 ORDER BY event_type, hour_bucket""".stripMargin,
@@ -120,7 +118,7 @@ object SparkEntry {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q09_join_shuffle" ->
       """SELECT o_orderpriority, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
-        |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |CAST(round(sum(l_extendedprice*(1-l_discount))/100.0, 0) AS BIGINT) AS revenue_h
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q10_join_anti" ->
@@ -134,13 +132,13 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "q12_tpch3_topk" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
-        |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |CAST(round(sum(l_extendedprice*(1-l_discount))/100.0, 0) AS BIGINT) AS revenue_h
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY o_orderkey, odate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+        |GROUP BY o_orderkey, odate ORDER BY revenue_h DESC, o_orderkey LIMIT 10""".stripMargin,
     "q13_window_rank" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -181,7 +179,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, round(punct_r,4) AS punct_ratio,
         |round(stop_r,4) AS stopword_ratio,
-        |round(least(1.0, length(text)/500.0)*(1.0-punct_r)*(0.5+0.5*stop_r),4) AS quality_score
+        |CAST(round(least(1.0, length(text)/500.0)*(1.0-punct_r)*(0.5+0.5*stop_r)*1000.0, 0) AS BIGINT) AS quality_score_k
         |FROM q ORDER BY doc_id""".stripMargin,
     "q22_text_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp, substr(md5(lower(text)),1,8) AS fp_prefix
@@ -249,10 +247,12 @@ object SparkEntry {
       """WITH spine AS (SELECT h FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
         |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) s(h)),
         |types AS (SELECT DISTINCT event_type FROM events),
-        |agg AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n0, avg(value) AS avg0
+        |agg AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n0,
+        |  CAST(round(sum(value)*100.0, 0) AS BIGINT) AS sc0
         |  FROM events GROUP BY 1,2)
         |SELECT strftime(s.h, '%Y-%m-%d %H:00') AS hour_bucket, t.event_type,
-        |CAST(coalesce(a.n0, 0) AS BIGINT) AS n, coalesce(round(a.avg0, 4), -1.0) AS avg_v
+        |CAST(coalesce(a.n0, 0) AS BIGINT) AS n,
+        |CAST(coalesce(a.sc0, -1) AS BIGINT) AS sum_cents
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type
         |ORDER BY hour_bucket, t.event_type""".stripMargin,
@@ -270,7 +270,7 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
     "q36_correlated_subquery" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT CAST(round(sum(l_extendedprice) / 7.0 / 100.0, 0) AS BIGINT) AS avg_yearly_h
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = (SELECT min(p_brand) FROM part)
         |AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin,

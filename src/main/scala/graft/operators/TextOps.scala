@@ -45,7 +45,11 @@ object TextOps {
         "cast(size(toks) as bigint) as n_tokens",
         "round(punct_r, 4) as punct_ratio",
         "round(stop_r, 4) as stopword_ratio",
-        "round(least(1.0, length(text) / 500.0) * (1.0 - punct_r) * (0.5 + 0.5 * stop_r), 4) as quality_score"
+        // composite score quantized to an INTEGER 0..1000: engines may differ
+        // by 1 ulp on the triple product (FMA contraction), so a float output
+        // rounded at 4 digits can flip a hash at a .00005 boundary; a coarse
+        // integer bucket makes that 10x less likely and hashes exactly.
+        "cast(round(least(1.0, length(text) / 500.0) * (1.0 - punct_r) * (0.5 + 0.5 * stop_r) * 1000.0, 0) as bigint) as quality_score_k"
       ).orderBy("doc_id")
 
   /** Document fingerprinting: md5 of normalized text (same hex in DuckDB). */

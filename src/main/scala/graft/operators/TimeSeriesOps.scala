@@ -64,13 +64,14 @@ object TimeSeriesOps {
     val agg = e.groupBy(
       date_trunc("hour", col("ts")).as("h"),
       col("event_type")
-    ).agg(count(lit(1)).as("n0"), avg(col("value")).as("avg0"))
+    ).agg(count(lit(1)).as("n0"), round(sum(col("value")) * 100.0, 0).cast("bigint").as("sc0"))
     spine.join(agg, Seq("h", "event_type"), "left")
       .select(
         date_format(col("h"), "yyyy-MM-dd HH:00").as("hour_bucket"),
         col("event_type"),
         coalesce(col("n0"), lit(0L)).as("n"),
-        coalesce(round(col("avg0"), 4), lit(-1.0)).as("avg_v")
+        // exact integer cents (engine-stable); gap hours -> -1 sentinel
+        coalesce(col("sc0"), lit(-1L)).as("sum_cents")
       )
       .orderBy("hour_bucket", "event_type")
   }
