@@ -45,6 +45,9 @@ object SparkEntry {
     "q37_percentiles" -> (RelationalOps.percentiles(_, _)),
     "q38_window_range_frame" -> (RelationalOps.windowRangeFrame(_, _)),
     "q39_approx_aggs" -> (RelationalOps.approxAggs(_, _)),
+    "q40_json_extract" -> (RelationalOps.jsonExtract(_, _)),
+    "q41_stats_aggs" -> (RelationalOps.statsAggs(_, _)),
+    "q42_array_funcs" -> (RelationalOps.arrayFuncs(_, _)),
     // -- extension ops: text analysis (BASELINE.json north star) --
     "q20_text_tokens" -> (TextOps.tokenCount(_, _)),
     "q21_text_quality" -> (TextOps.qualityScore(_, _)),
@@ -269,6 +272,20 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+    "q40_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |CAST(count(*) AS BIGINT) AS n, round(sum(value),2) AS total
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q41_stats_aggs" ->
+      """SELECT event_type,
+        |CAST(round(stddev_samp(value)*1000.0, 0) AS BIGINT) AS sd_k,
+        |CAST(round(var_samp(value)*100.0, 0) AS BIGINT) AS var_c,
+        |CAST(round(corr(value, CAST(user_id AS DOUBLE))*10000.0, 0) AS BIGINT) AS corr_e4
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q42_array_funcs" ->
+      """SELECT vec_id, list_max(embedding) AS mx, list_min(embedding) AS mn,
+        |CAST(len(embedding) AS BIGINT) AS dim, embedding[1] AS first_dim, label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q36_correlated_subquery" ->
       """SELECT CAST(round(sum(l_extendedprice) / 7.0 / 100.0, 0) AS BIGINT) AS avg_yearly_h
         |FROM lineitem JOIN part ON p_partkey = l_partkey

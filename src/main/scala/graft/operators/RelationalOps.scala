@@ -299,6 +299,41 @@ object RelationalOps {
       )
       .orderBy("event_type")
 
+  /** Semi-structured: JSON field extraction from the events props column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"), col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy("k")
+
+  /** Statistical aggregates (stddev/variance/correlation), emitted as scaled
+   * integers per the float-stability rule (engines use different one-pass
+   * algorithms; error ~1e-12 relative, quanta chosen far above it). */
+  def statsAggs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")) * 1000.0, 0).cast("bigint").as("sd_k"),
+        round(var_samp(col("value")) * 100.0, 0).cast("bigint").as("var_c"),
+        round(corr(col("value"), col("user_id").cast("double")) * 10000.0, 0).cast("bigint").as("corr_e4")
+      )
+      .orderBy("event_type")
+
+  /** Array functions over the embedding column (raw float values — bit
+   * identical in both engines, no rounding needed). */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        array_max(col("embedding")).as("mx"),
+        array_min(col("embedding")).as("mn"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        element_at(col("embedding"), 1).as("first_dim"),
+        col("label")
+      )
+      .orderBy("vec_id")
+
   /** Date part extraction (year/month/quarter over orders). */
   def dateParts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
