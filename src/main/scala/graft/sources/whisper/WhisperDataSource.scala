@@ -131,7 +131,7 @@ class WhisperTable(paths: Seq[String], options: WhisperOptions) extends Table wi
   override def name(): String = s"whisper(${paths.mkString(",")})"
   override def schema(): StructType = options.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new WhisperScanBuilder(paths, options)

@@ -26,7 +26,9 @@ final case class WhisperOptions(
     dtype: String,
     compression: String,
     maxPointsPerSplit: Long,
-    vectorized: Boolean
+    vectorized: Boolean,
+    streamStartTimestamp: Long,
+    streamNowOverride: Long
 ) {
   require(dtype == "double" || dtype == "float", s"dtype must be double|float, got $dtype")
   require(
@@ -62,6 +64,10 @@ object WhisperOptions {
     dtype = map.getOrDefault("dtype", "double").toLowerCase,
     compression = map.getOrDefault("compression", "infer").toLowerCase,
     maxPointsPerSplit = map.getLong("maxPointsPerSplit", 8L * 1000 * 1000),
-    vectorized = map.getBoolean("vectorized", true)
+    vectorized = map.getBoolean("vectorized", true),
+    // streaming only: deliver points with timestamp > this at the first batch
+    streamStartTimestamp = map.getLong("streamStartTimestamp", 0L),
+    // streaming only: frozen "now" for deterministic tests (-1 = wall clock)
+    streamNowOverride = map.getLong("streamNowOverride", -1L)
   )
 }

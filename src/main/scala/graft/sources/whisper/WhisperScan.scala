@@ -204,6 +204,11 @@ class WhisperScan(
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Streaming tail: timestamp-watermark offsets (see [[WhisperMicroBatchStream]]). */
+  override def toMicroBatchStream(checkpointLocation: String) =
+    new WhisperMicroBatchStream(paths, options, preds, requiredSchema, options.streamStartTimestamp)
+
   override def description(): String =
     s"WhisperScan(files=${paths.size}, pushed=[${pushedV1.mkString(", ")}], cols=${requiredSchema.fieldNames.mkString(",")})"
 

@@ -220,4 +220,39 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = read(mini.toString).queryExecution.executedPlan.toString
     assert(plan.contains("ColumnarToRow"), s"expected columnar path in:\n$plan")
   }
+
+  test("streaming tail: first batch delivers history, next batch only new points") {
+    import org.apache.spark.sql.streaming.Trigger
+    val swsp = dir.resolve("stream.wsp")
+    val t0 = 1600000000L
+    WhisperWriter.writeFile(swsp, FileSpec(archives = Seq(
+      ArchiveSpec(10, 1000, filled = 500, lastTimestamp = t0, rotation = 0))))
+    val ckpt = java.nio.file.Files.createTempDirectory("wsp-ckpt").toString
+
+    val outDir = java.nio.file.Files.createTempDirectory("wsp-tail-out").toString
+    def runBatch(now: Long): Long = {
+      // parquet sink: the memory sink refuses checkpoint recovery; the frozen
+      // "now" makes the window deterministic (production uses the wall clock)
+      val q = spark.readStream.format("whisper")
+        .option("streamNowOverride", now)
+        .load(swsp.toString)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).count()
+    }
+
+    assert(runBatch(t0) == 500L) // all history in (0, t0]
+
+    // append 100 newer points by rewriting the ring with a later lastTimestamp
+    WhisperWriter.writeFile(swsp, FileSpec(archives = Seq(
+      ArchiveSpec(10, 1000, filled = 600, lastTimestamp = t0 + 1000, rotation = 0))))
+    val total = runBatch(t0 + 1000)
+    // offsets resume from the checkpoint: only points in (lastOffset, now]
+    // arrive, i.e. nothing is re-delivered; totals reflect exactly the file's
+    // 600 filled slots (500 old + 100 new)
+    assert(total == 600L, s"got $total")
+  }
 }
