@@ -68,7 +68,9 @@ object SparkEntry {
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
     "q32_mm_byte_histogram" -> (MultimodalOps.byteHistograms(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
-    "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _))
+    "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
+    // -- flagship composite: the full curation pass as one plan --
+    "q43_curation_pipeline" -> (CurationPipeline.curate(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -302,6 +304,49 @@ object SparkEntry {
         |CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h_n
         |FROM events ORDER BY event_id""".stripMargin,
+    "q43_curation_pipeline" ->
+      """WITH q AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |  CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text) AS punct_r,
+        |  CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_r,
+        |  length(text) AS lt FROM documents),
+        |quality AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(least(1.0, lt/500.0)*(1.0-punct_r)*(0.5+0.5*stop_r)*1000.0, 0) AS BIGINT) AS quality_score_k
+        |  FROM q),
+        |c AS (SELECT doc_id,
+        | len(list_filter(string_split(text,' '), x->list_contains(['the','a','of','and','to','in'],x))) AS c_en,
+        | len(list_filter(string_split(text,' '), x->list_contains(['der','die','das','und','nicht'],x))) AS c_de,
+        | len(list_filter(string_split(text,' '), x->list_contains(['el','la','de','y','que'],x))) AS c_es,
+        | len(list_filter(string_split(text,' '), x->list_contains(['le','la','de','et','les'],x))) AS c_fr,
+        | len(list_filter(string_split(text,' '), x->list_contains(['的','是','在'],x))) AS c_zh
+        | FROM documents),
+        |lang AS (SELECT doc_id,
+        | CASE WHEN c_zh>=c_fr AND c_zh>=c_es AND c_zh>=c_en AND c_zh>=c_de THEN 'zh'
+        |  WHEN c_fr>=c_es AND c_fr>=c_en AND c_fr>=c_de THEN 'fr'
+        |  WHEN c_es>=c_en AND c_es>=c_de THEN 'es'
+        |  WHEN c_en>=c_de THEN 'en' ELSE 'de' END AS lang_pred FROM c),
+        |toksv AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(arr)-1), i -> arr[i]||' '||arr[i+1]||' '||arr[i+2])) AS s
+        |  FROM toksv WHERE len(arr)>=3)),
+        |sig AS (SELECT doc_id, min(md5('0|'||s)) h0, min(md5('1|'||s)) h1, min(md5('2|'||s)) h2,
+        |  min(md5('3|'||s)) h3, min(md5('4|'||s)) h4, min(md5('5|'||s)) h5, min(md5('6|'||s)) h6,
+        |  min(md5('7|'||s)) h7 FROM sh GROUP BY doc_id),
+        |bands AS (SELECT doc_id, '0'||h0||h1 AS bk FROM sig UNION ALL SELECT doc_id, '1'||h2||h3 FROM sig
+        |  UNION ALL SELECT doc_id, '2'||h4||h5 FROM sig UNION ALL SELECT doc_id, '3'||h6||h7 FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+        |  JOIN bands y ON x.bk=y.bk AND x.doc_id<y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |common AS (SELECT c2.a, c2.b, count(*) AS cm FROM cand c2 JOIN sh sa ON sa.doc_id=c2.a
+        |  JOIN sh sb ON sb.doc_id=c2.b AND sb.s=sa.s GROUP BY c2.a, c2.b),
+        |losers AS (SELECT DISTINCT b AS doc_id FROM common
+        |  JOIN sizes na ON na.doc_id=a JOIN sizes nb ON nb.doc_id=b
+        |  WHERE cm::DOUBLE/(na.n+nb.n-cm) >= 0.5)
+        |SELECT quality.doc_id, lang.lang_pred, quality.n_tokens, quality.quality_score_k
+        |FROM quality JOIN lang ON lang.doc_id = quality.doc_id
+        |WHERE quality.quality_score_k >= 300 AND quality.n_tokens >= 20
+        |AND NOT EXISTS (SELECT 1 FROM losers WHERE losers.doc_id = quality.doc_id)
+        |ORDER BY quality.doc_id""".stripMargin,
     "q30_mm_features" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS payload_md5,
         |CAST(16 + ascii(substr(text,1,1)) AS INT) AS fake_width,

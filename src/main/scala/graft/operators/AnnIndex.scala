@@ -81,6 +81,39 @@ object AnnIndex {
       .select((col(idCol) / step).cast("int").as("centroid_id"), col(embCol).as("centroid"))
   }
 
+  /** IVF search: probe the `nprobe` centroids nearest the query (driver-side
+   * over the tiny centroid table), then exact cosine top-k within those
+   * inverted lists only — the corpus fraction touched is ~nprobe/nCentroids. */
+  def ivfSearch(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      embCol: String,
+      queryVec: Array[Double],
+      k: Int,
+      nprobe: Int
+  ): DataFrame = {
+    val cents = centroids.collect().map { r =>
+      val id = r.getAs[Int]("centroid_id")
+      val c = r.getAs[scala.collection.Seq[Double]]("centroid").toArray
+      val d2 = c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum
+      (id, d2)
+    }
+    val probeIds = cents.sortBy(_._2).take(nprobe).map(_._1).toSeq
+    val qSql = arraySql(queryVec)
+    assigned
+      .filter(col("bucket").isin(probeIds: _*))
+      .withColumn(
+        "cos",
+        expr(
+          s"""aggregate(zip_with($embCol, $qSql, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+             | / (sqrt(aggregate($embCol, 0D, (acc, x) -> acc + x * x))
+             |    * sqrt(aggregate($qSql, 0D, (acc, x) -> acc + x * x)))""".stripMargin
+        )
+      )
+      .orderBy(col("cos").desc)
+      .limit(k)
+  }
+
   /** Assign each vector to its nearest centroid (broadcast centroids; one
    * map-side pass, no shuffle until the consumer groups by bucket). */
   def ivfAssign(df: DataFrame, embCol: String, centroids: DataFrame): DataFrame = {

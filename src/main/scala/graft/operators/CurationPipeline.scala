@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The north-star composite (BASELINE.json): an LLM training-data curation
+ * pass over the documents table, as ONE Catalyst plan —
+ *
+ *   quality gate (length/punctuation/stopword score)
+ *   -> near-duplicate removal (MinHash-LSH pairs; smallest doc_id survives)
+ *   -> language ID + token counts on the survivors.
+ *
+ * Every stage is the already-oracle-checked operator; the composition is
+ * itself oracle-checked end to end. Scale shape: the dedup stage is the only
+ * shuffle-heavy part (LSH-bounded), the gates are map-side, and the final
+ * join against the loser set is a broadcast (near-dup losers are a tiny
+ * fraction of any real corpus).
+ */
+object CurationPipeline {
+
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score_k"), col("n_tokens"))
+    val lang = TextOps.langId(spark, dir).select(col("doc_id"), col("lang_pred"))
+    // near-dup pairs a < b: the larger doc_id of each pair is dropped
+    val losers = DedupOps.minhashLsh(spark, dir).select(col("b").as("doc_id")).distinct()
+    quality
+      .filter(col("quality_score_k") >= 300 && col("n_tokens") >= 20)
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .join(lang, Seq("doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality_score_k"))
+      .orderBy("doc_id")
+  }
+}

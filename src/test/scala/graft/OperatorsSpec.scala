@@ -227,4 +227,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(approx - exact) / exact <= 0.1, s"HLL off: $approx vs $exact")
     }
   }
+
+  test("IVF search recall and corpus fraction") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val cents = AnnIndex.ivfCentroids(e, "emb", "vec_id", nCentroids = 16)
+    val assigned = AnnIndex.ivfAssign(e, "emb", cents).cache()
+    val qVec = e.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+    val exact = VectorOps.knnBruteForce(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).take(10).toSet
+    val got = AnnIndex.ivfSearch(assigned.filter(col("vec_id") =!= 0), cents, "emb", qVec, k = 10, nprobe = 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("curation pipeline: gates compose, survivors exclude near-dup losers") {
+    val out = CurationPipeline.curate(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length < 500)
+    val losers = DedupOps.minhashLsh(spark, dir).select("b").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !losers.contains(r.getLong(0))))
+    assert(rows.forall(r => r.getLong(3) >= 300 && r.getLong(2) >= 20))
+  }
 }
