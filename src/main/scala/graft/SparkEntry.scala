@@ -211,9 +211,13 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
         |  unnest(list_transform(range(1, len(arr)-1), i -> arr[i]||' '||arr[i+1]||' '||arr[i+2])) AS s
         |  FROM toks WHERE len(arr)>=3)),
-        |sig AS (SELECT doc_id, min(md5('0|'||s)) h0, min(md5('1|'||s)) h1, min(md5('2|'||s)) h2,
-        |  min(md5('3|'||s)) h3, min(md5('4|'||s)) h4, min(md5('5|'||s)) h5, min(md5('6|'||s)) h6,
-        |  min(md5('7|'||s)) h7 FROM sh GROUP BY doc_id),
+        |shd AS (SELECT doc_id, md5(s) || md5('x'||s) AS d FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(substr(d,1,8)) h0, min(substr(d,9,8)) h1,
+        |  min(substr(d,17,8)) h2, min(substr(d,25,8)) h3,
+        |  min(substr(d,33,8)) h4, min(substr(d,41,8)) h5,
+        |  min(substr(d,49,8)) h6, min(substr(d,57,8)) h7
+        |  FROM shd GROUP BY doc_id),
         |bands AS (SELECT doc_id, '0'||h0||h1 AS bk FROM sig UNION ALL SELECT doc_id, '1'||h2||h3 FROM sig
         |  UNION ALL SELECT doc_id, '2'||h4||h5 FROM sig UNION ALL SELECT doc_id, '3'||h6||h7 FROM sig),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
@@ -329,9 +333,13 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
         |  unnest(list_transform(range(1, len(arr)-1), i -> arr[i]||' '||arr[i+1]||' '||arr[i+2])) AS s
         |  FROM toksv WHERE len(arr)>=3)),
-        |sig AS (SELECT doc_id, min(md5('0|'||s)) h0, min(md5('1|'||s)) h1, min(md5('2|'||s)) h2,
-        |  min(md5('3|'||s)) h3, min(md5('4|'||s)) h4, min(md5('5|'||s)) h5, min(md5('6|'||s)) h6,
-        |  min(md5('7|'||s)) h7 FROM sh GROUP BY doc_id),
+        |shd AS (SELECT doc_id, md5(s) || md5('x'||s) AS d FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(substr(d,1,8)) h0, min(substr(d,9,8)) h1,
+        |  min(substr(d,17,8)) h2, min(substr(d,25,8)) h3,
+        |  min(substr(d,33,8)) h4, min(substr(d,41,8)) h5,
+        |  min(substr(d,49,8)) h6, min(substr(d,57,8)) h7
+        |  FROM shd GROUP BY doc_id),
         |bands AS (SELECT doc_id, '0'||h0||h1 AS bk FROM sig UNION ALL SELECT doc_id, '1'||h2||h3 FROM sig
         |  UNION ALL SELECT doc_id, '2'||h4||h5 FROM sig UNION ALL SELECT doc_id, '3'||h6||h7 FROM sig),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x

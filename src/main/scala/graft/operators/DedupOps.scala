@@ -57,10 +57,17 @@ object DedupOps {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleArrays(spark, dir).cache()
     val sh = docs.select(col("doc_id"), explode(col("sharr")).as("s"))
-    // signature entirely map-side: min over a per-row array, no shuffle
-    val sigCols = (0 until 8).map(i =>
-      expr(s"array_min(transform(sharr, s -> md5(concat('$i|', s))))").as(s"h$i"))
-    val sig = docs.select((col("doc_id") +: sigCols): _*)
+    // signature entirely map-side: min over a per-row array, no shuffle.
+    // The 8 hash functions are the 8-hex-char slices of TWO md5 digests
+    // (md5(s) || md5('x'|s)), materialized ONCE per shingle in `digs` —
+    // 2 digest computations instead of 8; lexicographic min over fixed-width
+    // hex equals numeric min, so each slice is a valid MinHash permutation.
+    val withDigs = docs.withColumn(
+      "digs", expr("transform(sharr, s -> concat(md5(s), md5(concat('x', s))))"))
+    val sigCols = (0 until 8).map { i =>
+      expr(s"array_min(transform(digs, d -> substring(d, ${1 + 8 * i}, 8)))").as(s"h$i")
+    }
+    val sig = withDigs.select((col("doc_id") +: sigCols): _*)
     val bands = sig.select(
       col("doc_id"),
       explode(array(
