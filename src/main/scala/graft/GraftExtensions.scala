@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ByteHistogram, DotProduct, SimHash64}
+import graft.functions.{ByteHistogram, DotProduct, RollingFingerprint, SimHash64}
 
 /**
  * Session extensions registering graft's native functions at session build:
@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash of a token array"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("winnow"),
+      info("winnow", "winnow(string) - winnowing document fingerprints (rolling-hash minima)"),
+      (exprs: Seq[Expression]) => RollingFingerprint(exprs.head)
     ))
   }
 }

@@ -58,6 +58,7 @@ object SparkEntry {
     "q25_dedup_minhash_lsh" -> (DedupOps.minhashLsh(_, _)),
     "q26_dedup_ngram_jaccard" -> (DedupOps.ngramJaccard(_, _)),
     "q29_dedup_simhash" -> (DedupOps.simhash(_, _)),
+    "q44_dedup_winnow" -> (DedupOps.winnowDedup(_, _)),
     // -- extension ops: similarity search --
     "q27_knn_bruteforce" -> (VectorOps.knnBruteForce(_, _)),
     "q28_dedup_embedding" -> (VectorOps.embeddingDedup(_, _)),

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `winnow(text)` — document fingerprints by winnowing (Schleimer, Wilkerson,
+ * Aiken: "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+ * 2003 — the MOSS algorithm): Rabin-Karp rolling hashes over all k-byte
+ * grams, then the minimum hash of each w-hash window, deduplicated. Two
+ * documents sharing any run of >= w+k-1 bytes share a fingerprint, which no
+ * whole-document hash (md5/SimHash) guarantees.
+ *
+ * Output: sorted distinct array<long> of selected hashes — join/explode it
+ * to find local overlaps (plagiarism-style matches, boilerplate detection).
+ * Fixed parameters k=8, w=16 (guarantee threshold 23 bytes), chosen so a
+ * ~500-char document yields ~30-60 fingerprints.
+ *
+ * Custom expression because built-ins cannot maintain a rolling hash state
+ * across a string; codegen keeps it in the scan's tight loop.
+ */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  import RollingFingerprint._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow needs STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(winnow(input.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.RollingFingerprint.winnow($c.getBytes()));")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint = copy(child = newChild)
+}
+
+object RollingFingerprint {
+  final val K = 8 // gram size (bytes)
+  final val W = 16 // winnowing window (hashes)
+  private final val B = 1000000007L // rolling base
+  // B^(K-1) mod 2^64, for removing the outgoing byte
+  private final val BPow: Long = {
+    var p = 1L
+    var i = 1
+    while (i < K) { p *= B; i += 1 }
+    p
+  }
+
+  /** Winnowing fingerprint of a byte string (deterministic; empty-safe). */
+  def winnow(bytes: Array[Byte]): Array[Long] = {
+    val n = bytes.length
+    if (n < K) return Array.empty[Long]
+    val nHashes = n - K + 1
+    val hashes = new Array[Long](nHashes)
+    var h = 0L
+    var i = 0
+    while (i < K) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    hashes(0) = h
+    i = K
+    while (i < n) {
+      h = (h - (bytes(i - K) & 0xff) * BPow) * B + (bytes(i) & 0xff)
+      hashes(i - K + 1) = h
+      i += 1
+    }
+    // winnowing: rightmost minimum of each window of W hashes
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    val lastStart = math.max(nHashes - W, 0)
+    while (start <= lastStart) {
+      var minIdx = start
+      var j = start + 1
+      val end = math.min(start + W, nHashes)
+      while (j < end) {
+        if (java.lang.Long.compareUnsigned(hashes(j), hashes(minIdx)) <= 0) minIdx = j
+        j += 1
+      }
+      selected.add(hashes(minIdx))
+      start += 1
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+}

@@ -144,5 +144,7 @@ object VectorFunctions {
       "dot_d", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow", exprs => RollingFingerprint(exprs.head), "scala_udf")
   }
 }

@@ -135,6 +135,28 @@ object DedupOps {
   }
 
   /**
+   * Winnowing-fingerprint near-dup (rows-only: the rolling hash has no
+   * DuckDB analogue): explode each document's winnowed fingerprint set
+   * ([[graft.functions.RollingFingerprint]]), bucket-join on fingerprint with
+   * a hot-bucket cap, and keep pairs sharing at least `minShared`
+   * fingerprints — detects LOCAL overlap (shared runs >= 23 bytes), the case
+   * token-set Jaccard and SimHash both miss.
+   */
+  def winnowDedup(spark: SparkSession, dir: String, minShared: Int = 10): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val fps = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr("winnow(text)")).as("fp"))
+      .cache()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+    val pruned = fps.join(broadcast(rare.select("fp")), Seq("fp"))
+    pruned.as("x").join(pruned.as("y"), col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy("a", "b")
+  }
+
+  /**
    * SimHash near-dup (rows-only check: xxhash64 has no DuckDB analogue).
    * 64-bit SimHash per doc from token xxhash64s; Hamming-LSH via 4x16-bit
    * chunks (two fingerprints within Hamming distance 6 share at least one

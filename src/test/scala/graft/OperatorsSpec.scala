@@ -250,4 +250,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => !losers.contains(r.getLong(0))))
     assert(rows.forall(r => r.getLong(3) >= 300 && r.getLong(2) >= 20))
   }
+
+  test("winnow fingerprints: shared-run guarantee and local-overlap dedup") {
+    import graft.functions.RollingFingerprint
+    val shared = "this exact run of bytes is much longer than twenty-three"
+    val f1 = RollingFingerprint.winnow(("prefix one " + shared + " suffix alpha").getBytes("UTF-8")).toSet
+    val f2 = RollingFingerprint.winnow(("other start " + shared + " different end").getBytes("UTF-8")).toSet
+    // winnowing guarantee: any shared run of >= w+k-1 = 23 bytes yields a shared fingerprint
+    assert(f1.intersect(f2).nonEmpty)
+    val f3 = RollingFingerprint.winnow("completely unrelated content with no common runs at all".getBytes("UTF-8")).toSet
+    assert(f1.intersect(f3).isEmpty)
+    assert(RollingFingerprint.winnow(Array.empty[Byte]).isEmpty)
+    // distributed: near-dup docs (planted pairs) share many fingerprints
+    val pairs = DedupOps.winnowDedup(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getLong(2) >= 10))
+  }
 }
