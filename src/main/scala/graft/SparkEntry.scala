@@ -65,6 +65,7 @@ object SparkEntry {
     // -- time-series: resample/gap-fill + as-of join --
     "q19_resample_gapfill" -> (TimeSeriesOps.resampleGapFill(_, _)),
     "q31_asof_join" -> (TimeSeriesOps.asofErrorPurchase(_, _)),
+    "q45_interpolate" -> (TimeSeriesOps.interpolateHourly(_, _)),
     // -- multimodal plumbing --
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
     "q32_mm_byte_histogram" -> (MultimodalOps.byteHistograms(_, _)),
@@ -266,6 +267,28 @@ object SparkEntry {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type
         |ORDER BY hour_bucket, t.event_type""".stripMargin,
+    "q45_interpolate" ->
+      """WITH spine AS (SELECT h FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR) s(h)),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |agg AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n0,
+        |  CAST(round(sum(value)*100.0, 0) AS BIGINT) AS sc0 FROM events GROUP BY 1,2),
+        |base AS (SELECT s.h, t.event_type, CAST(coalesce(a.n0, 0) AS BIGINT) AS n,
+        |  a.sc0 AS sc, CAST(epoch(s.h)/3600 AS BIGINT) AS idx
+        |  FROM spine s CROSS JOIN types t
+        |  LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type),
+        |win AS (SELECT h, event_type, n, sc, idx,
+        |  last_value(CASE WHEN n > 0 THEN {'i': idx, 'v': sc} END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |  first_value(CASE WHEN n > 0 THEN {'i': idx, 'v': sc} END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        |  FROM base)
+        |SELECT strftime(h, '%Y-%m-%d %H:00') AS hour_bucket, event_type, n,
+        |CAST(CASE WHEN n > 0 THEN sc
+        |  WHEN p IS NOT NULL AND nx IS NOT NULL THEN
+        |    floor(p.v + (nx.v - p.v) * (idx - p.i) / (nx.i - p.i))
+        |  ELSE -1 END AS BIGINT) AS filled_cents
+        |FROM win ORDER BY hour_bucket, event_type""".stripMargin,
     "q31_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
         |err AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'error'),

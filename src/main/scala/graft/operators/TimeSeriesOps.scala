@@ -77,6 +77,43 @@ object TimeSeriesOps {
   }
 
   /**
+   * Hourly resample with LINEAR INTERPOLATION across gap hours (pandas
+   * `interpolate(method="time")` analogue): real hours keep their exact
+   * integer-cents sum; gap hours get
+   * `prev + (next - prev) * (t - t_prev) / (t_next - t_prev)` floored,
+   * carried by last/first-ignoreNulls windows over the calendar spine.
+   * Leading/trailing gaps (no neighbor on one side) stay at the -1 sentinel.
+   * All interpolation inputs are exact integers, so the scalar math is
+   * bit-identical across engines — fully oracle-checkable.
+   */
+  def interpolateHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = resampleGapFill(spark, dir)
+      .withColumn("idx", (unix_timestamp(to_timestamp(col("hour_bucket"), "yyyy-MM-dd HH:mm")) / 3600).cast("long"))
+      .withColumn("real", when(col("n") > 0, struct(col("idx").as("i"), col("sum_cents").as("v"))))
+    val w = Window.partitionBy("event_type").orderBy("idx")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base
+      .withColumn("p", last(col("real"), ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(col("real"), ignoreNulls = true).over(wNext))
+      .withColumn(
+        "filled_cents",
+        when(col("n") > 0, col("sum_cents"))
+          .when(
+            col("p").isNotNull && col("nx").isNotNull,
+            floor(
+              col("p.v") + (col("nx.v") - col("p.v")) * (col("idx") - col("p.i"))
+                / (col("nx.i") - col("p.i"))
+            ).cast("long")
+          )
+          .otherwise(lit(-1L))
+      )
+      .select(col("hour_bucket"), col("event_type"), col("n"), col("filled_cents"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  /**
    * As-of join: for each left row, the latest right row with
    * right.order <= left.order within the same key — THE time-series join
    * (Spark has no built-in; DuckDB/kdb/pandas merge_asof do).
