@@ -118,7 +118,14 @@ object WhisperCodec {
     require(got == FileMetaSize, s"whisper file too short for header: $got bytes ($path)")
     val bb = ByteBuffer.wrap(head)
     bb.position(12)
-    val archiveCount = u32(bb).toInt
+    val archiveCountRaw = u32(bb)
+    // corrupt / non-whisper bytes must fail with a clear message, not a
+    // negative-size or multi-GB array allocation during scan planning
+    require(
+      archiveCountRaw >= 0 && archiveCountRaw <= (1L << 20),
+      s"implausible whisper archive_count $archiveCountRaw ($path)"
+    )
+    val archiveCount = archiveCountRaw.toInt
     val rest = new Array[Byte](ArchiveMetaSize * archiveCount)
     val got2 = readFully(in, rest, rest.length)
     require(got2 == rest.length, s"whisper archive headers truncated ($path)")

@@ -48,6 +48,26 @@ class WhisperDataSource extends TableProvider with DataSourceRegister {
 /** Path resolution + header-only metadata reads (driver and executor side). */
 object WhisperIO {
 
+  /** Hadoop configuration honoring the application's `spark.hadoop.*` keys
+   * (S3 credentials, HDFS nameservices, ...) on BOTH driver and executors —
+   * a bare `new Configuration()` would silently drop them. Driver side uses
+   * the session's hadoopConf; executor side rebuilds from SparkEnv's conf. */
+  def hadoopConf(): Configuration = {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.getActiveSession match {
+      case Some(s) => s.sessionState.newHadoopConf()
+      case None =>
+        val conf = new Configuration()
+        val env = org.apache.spark.SparkEnv.get
+        if (env != null) {
+          env.conf.getAll.foreach { case (k, v) =>
+            if (k.startsWith("spark.hadoop.")) conf.set(k.stripPrefix("spark.hadoop."), v)
+          }
+        }
+        conf
+    }
+  }
+
   /** Extract paths from reader options: single `path` or JSON `paths` array
    * (DataFrameReader.load(paths*) passes the latter). Globs and directories
    * are expanded; directories pick up `*.wsp` / `*.wsp.gz`. */
@@ -64,7 +84,7 @@ object WhisperIO {
 
   private def expand(pattern: String): Seq[String] = {
     val p = new HPath(pattern)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val matches: Seq[FileStatus] =
       Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     require(matches.nonEmpty, s"whisper path matches no files: $pattern")
@@ -86,7 +106,7 @@ object WhisperIO {
    * [[readMetaHeaderOnly]] instead: it never pays the full-stream cost. */
   def readMeta(pathStr: String, gzip: Boolean): FileMeta = {
     val p = new HPath(pathStr)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val onDiskSize = fs.getFileStatus(p).getLen
     val in = fs.open(p)
     try {
@@ -117,7 +137,7 @@ object WhisperIO {
    * and planning in hours. */
   def readMetaHeaderOnly(pathStr: String, gzip: Boolean): FileMeta = {
     val p = new HPath(pathStr)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val onDiskSize = fs.getFileStatus(p).getLen
     val in = fs.open(p)
     try {

@@ -62,16 +62,11 @@ class WhisperMicroBatchStream(
     val lo = start.asInstanceOf[WhisperOffset].ts
     val hi = end.asInstanceOf[WhisperOffset].ts
     if (hi <= lo) return Array.empty
-    paths.par.map { path =>
-      val gz = options.gzipFor(path)
-      val meta = WhisperIO.readMetaHeaderOnly(path, gz)
-      meta.archives.map { a =>
-        WhisperStreamPartition(
-          WhisperInputPartition(path, gz, a.index, a.offset, a.secondsPerPoint, a.points, 0L, a.points),
-          lo, hi
-        ): InputPartition
-      }
-    }.seq.flatten.toArray
+    // same plan-time archive/file pruning as the batch scan
+    WhisperPlanning.plan(paths, options, preds).map {
+      case p: WhisperInputPartition => WhisperStreamPartition(p, lo, hi): InputPartition
+      case other                    => other
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -79,15 +79,10 @@ final case class NumIn(col: String, vs: Set[Long]) extends WPred {
     vs.contains(x)
   }
 }
-final case class ValCmp(op: String, v: Double) extends WPred {
-  def eval(file: String, archive: Int, pos: Long, ts: Long, value: Double): Boolean = op match {
-    case "="  => value == v
-    case "!=" => value != v
-    case ">"  => value > v
-    case ">=" => value >= v
-    case "<"  => value < v
-    case "<=" => value <= v
-  }
+/** Trivially-true marker for filters we accept without reader-side work
+ * (IsNotNull on an all-non-nullable schema); stripped before the decode loop. */
+case object TruePred extends WPred {
+  def eval(file: String, archive: Int, pos: Long, ts: Long, value: Double): Boolean = true
 }
 final case class FileCmp(op: String, v: String) extends WPred {
   def eval(file: String, archive: Int, pos: Long, ts: Long, value: Double): Boolean = op match {
@@ -120,16 +115,12 @@ object WPred {
     case _         => None
   }
 
-  private def dbl(v: Any): Option[Double] = v match {
-    case d: Double => Some(d)
-    case f: Float  => Some(f.toDouble)
-    case other     => num(other).map(_.toDouble)
-  }
-
   private def cmp(col: String, op: String, v: Any): Option[WPred] = col match {
     case "archive" | "position" => num(v).map(NumCmp(col, op, _))
     case "timestamp"            => epochSeconds(v).map(NumCmp(col, op, _))
-    case "value"                => dbl(v).map(ValCmp(op, _))
+    // "value" filters are NOT pushed: Spark SQL's NaN ordering/equality
+    // semantics differ from Java double comparisons, and a claimed-but-wrong
+    // pushdown silently drops rows. Spark evaluates them itself.
     case "file" =>
       v match {
         case s: String if op == "=" || op == "!=" => Some(FileCmp(op, s))
@@ -157,9 +148,10 @@ object WPred {
           if (strs.length == vs.length) Some(FileIn(strs.toSet)) else None
         case _ => None
       }
-    // All five columns are non-nullable: IsNotNull is trivially true.
+    // All five columns are non-nullable: IsNotNull is trivially true —
+    // accepted (so Spark drops it) but contributes no per-point work.
     case IsNotNull("file" | "archive" | "position" | "timestamp" | "value") =>
-      Some(NumCmp("archive", ">=", Long.MinValue))
+      Some(TruePred)
     case _ => None
   }
 }
@@ -174,10 +166,10 @@ class WhisperScanBuilder(paths: Seq[String], options: WhisperOptions)
   private var requiredSchema: StructType = options.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition(f => WPred.translate(f).isDefined)
-    pushed = accepted
-    preds = accepted.flatMap(WPred.translate).toSeq
-    rejected
+    val translated = filters.map(f => f -> WPred.translate(f))
+    pushed = translated.collect { case (f, Some(_)) => f }
+    preds = translated.collect { case (_, Some(p)) if p != TruePred => p }.toSeq
+    translated.collect { case (f, None) => f }
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -212,34 +204,10 @@ class WhisperScan(
   override def description(): String =
     s"WhisperScan(files=${paths.size}, pushed=[${pushedV1.mkString(", ")}], cols=${requiredSchema.fieldNames.mkString(",")})"
 
-  /** Plan-time pruning: archive/file predicates decide whole partitions. */
-  private def partitionSurvives(file: String, archive: Int): Boolean =
-    preds.forall {
-      case p @ (NumCmp("archive", _, _) | NumIn("archive", _)) => p.eval(file, archive, 0, 0, 0)
-      case p @ (FileCmp(_, _) | FileIn(_))                     => p.eval(file, archive, 0, 0, 0)
-      case _                                                   => true
-    }
-
   /** Header reads are tiny but latency-bound; plan many files concurrently
    * (matters when a glob matches thousands of files on remote storage). */
-  private lazy val plannedPartitions: Array[InputPartition] = {
-    val perFile = paths.par.map { path =>
-      val gz = options.gzipFor(path)
-      val meta = WhisperIO.readMetaHeaderOnly(path, gz)
-      meta.archives.filter(a => partitionSurvives(path, a.index)).flatMap { a =>
-        if (options.timeSort || a.points <= options.maxPointsPerSplit || gz) {
-          // gzip is non-splittable: one stream per file/archive regardless.
-          Seq(WhisperInputPartition(path, gz, a.index, a.offset, a.secondsPerPoint, a.points, 0L, a.points))
-        } else {
-          (0L until a.points by options.maxPointsPerSplit).map { start =>
-            val cnt = math.min(options.maxPointsPerSplit, a.points - start)
-            WhisperInputPartition(path, gz, a.index, a.offset, a.secondsPerPoint, a.points, start, cnt)
-          }
-        }
-      }
-    }
-    perFile.seq.flatten.toArray
-  }
+  private lazy val plannedPartitions: Array[InputPartition] =
+    WhisperPlanning.plan(paths, options, preds)
 
   override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
@@ -263,6 +231,43 @@ class WhisperScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WhisperReaderFactory(options, preds, requiredSchema)
+}
+
+/** Shared partition planning for the batch scan and each streaming
+ * micro-batch: header-only reads, plan-time archive/file pruning, and
+ * byte-range splits. */
+private[whisper] object WhisperPlanning {
+
+  /** Plan-time pruning: archive/file predicates decide whole partitions. */
+  def partitionSurvives(preds: Seq[WPred], file: String, archive: Int): Boolean =
+    preds.forall {
+      case p @ (NumCmp("archive", _, _) | NumIn("archive", _)) => p.eval(file, archive, 0, 0, 0)
+      case p @ (FileCmp(_, _) | FileIn(_))                     => p.eval(file, archive, 0, 0, 0)
+      case _                                                   => true
+    }
+
+  def plan(paths: Seq[String], options: WhisperOptions, preds: Seq[WPred]): Array[InputPartition] = {
+    val perFile = paths.par.map { path =>
+      val gz = options.gzipFor(path)
+      val meta = WhisperIO.readMetaHeaderOnly(path, gz)
+      meta.archives.filter(a => partitionSurvives(preds, path, a.index)).flatMap { a =>
+        // an archive too big for one in-memory buffer MUST split even with
+        // timeSort on (ordering then holds per chunk, not per archive);
+        // gzip is non-splittable: one stream per file/archive regardless.
+        val mustSplit = !gz && a.points * WhisperCodec.PointSize > Int.MaxValue.toLong
+        if ((options.timeSort || a.points <= options.maxPointsPerSplit || gz) && !mustSplit) {
+          Seq(WhisperInputPartition(path, gz, a.index, a.offset, a.secondsPerPoint, a.points, 0L, a.points))
+        } else {
+          val step = math.min(options.maxPointsPerSplit, (Int.MaxValue.toLong / WhisperCodec.PointSize) - 1)
+          (0L until a.points by step).map { start =>
+            val cnt = math.min(step, a.points - start)
+            WhisperInputPartition(path, gz, a.index, a.offset, a.secondsPerPoint, a.points, start, cnt)
+          }
+        }
+      }
+    }
+    perFile.seq.flatten.toArray
+  }
 }
 
 class WhisperReaderFactory(options: WhisperOptions, preds: Seq[WPred], requiredSchema: StructType)
@@ -296,7 +301,7 @@ private[whisper] object WhisperDecode {
     require(byteLen <= Int.MaxValue, s"split too large: $byteLen bytes; lower maxPointsPerSplit")
 
     val p = new HPath(part.filePath)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(WhisperIO.hadoopConf())
     val raw = fs.open(p)
     val buf = new Array[Byte](byteLen.toInt)
     var got = 0
