@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
  * computes the identical hex), so every query here is oracle-checkable.
  * xxhash64 (Spark-native, faster) backs the SimHash variant, which therefore
  * gets a rows-only check.
+ *
+ * Intermediate shingle/gram tables are cached for the duration of the query
+ * (each is read 2-3 times within one plan); long-lived sessions running many
+ * dedup passes should `spark.catalog.clearCache()` between corpora — the
+ * bench harness does.
  */
 object DedupOps {
   import Tables.t

@@ -10,6 +10,9 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
       // default (PARQUET_TYPE_ILLEGAL). Read it as a nanos long and normalize
       // to a microsecond TimestampType so downstream code sees a timestamp.
+      // NOTE: this flips a session-wide legacy flag as a side effect — needed
+      // because the driver invokes queries with its own session; any session
+      // reading other TIMESTAMP(NANOS) data should be aware.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
