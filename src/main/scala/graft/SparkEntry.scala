@@ -48,6 +48,7 @@ object SparkEntry {
     "q40_json_extract" -> (RelationalOps.jsonExtract(_, _)),
     "q41_stats_aggs" -> (RelationalOps.statsAggs(_, _)),
     "q42_array_funcs" -> (RelationalOps.arrayFuncs(_, _)),
+    "q46_pivot_conditional" -> (RelationalOps.pivotSegments(_, _)),
     // -- extension ops: text analysis (BASELINE.json north star) --
     "q20_text_tokens" -> (TextOps.tokenCount(_, _)),
     "q21_text_quality" -> (TextOps.qualityScore(_, _)),
@@ -316,6 +317,15 @@ object SparkEntry {
       """SELECT vec_id, list_max(embedding) AS mx, list_min(embedding) AS mn,
         |CAST(len(embedding) AS BIGINT) AS dim, embedding[1] AS first_dim, label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q46_pivot_conditional" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+        |round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN o_totalprice ELSE 0 END),2) AS automobile,
+        |round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN o_totalprice ELSE 0 END),2) AS building,
+        |round(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN o_totalprice ELSE 0 END),2) AS furniture,
+        |round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN o_totalprice ELSE 0 END),2) AS household,
+        |round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN o_totalprice ELSE 0 END),2) AS machinery
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY oyear""".stripMargin,
     "q36_correlated_subquery" ->
       """SELECT CAST(round(sum(l_extendedprice) / 7.0 / 100.0, 0) AS BIGINT) AS avg_yearly_h
         |FROM lineitem JOIN part ON p_partkey = l_partkey

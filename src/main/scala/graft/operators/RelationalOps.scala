@@ -337,6 +337,19 @@ object RelationalOps {
       )
       .orderBy("vec_id")
 
+  /** Pivot via conditional aggregation (engine-portable, unlike PIVOT
+   * syntax): order revenue per year, one column per market segment. */
+  def pivotSegments(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val o = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    val aggCols = segs.map(s =>
+      round(sum(when(col("c_mktsegment") === s, col("o_totalprice")).otherwise(0.0)), 2).as(s.toLowerCase))
+    o.groupBy(year(col("o_orderdate")).cast("int").as("oyear"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy("oyear")
+  }
+
   /** Date part extraction (year/month/quarter over orders). */
   def dateParts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
