@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ByteHistogram, DotProduct, RollingFingerprint, SimHash64}
+import graft.functions.{ByteHistogram, CharNgrams, DotProduct, MinHash8, RollingFingerprint, SimHash64, WordShingles}
 
 /**
  * Session extensions registering graft's native functions at session build:
@@ -45,6 +45,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash of a token array"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      info("char_ngrams", "char_ngrams(string, n) - distinct character n-grams, first-occurrence order"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(s"gram width must be an int literal, got $other")
+        }
+        CharNgrams(exprs.head, n)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(string, k) - distinct k-word shingles, first-occurrence order"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(s"shingle width must be an int literal, got $other")
+        }
+        WordShingles(exprs.head, k)
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("minhash8"),
+      info("minhash8", "minhash8(array<string>) - 8-slot md5 MinHash signature"),
+      (exprs: Seq[Expression]) => MinHash8(exprs.head)
     ))
     ext.injectFunction((
       FunctionIdentifier("winnow"),

@@ -36,16 +36,15 @@ object DedupOps {
   /** Distinct 3-word shingles per document as an array column (the MinHash
    * input set). Kept as an array so signatures are computed map-side without
    * an explode+groupBy shuffle; only the Jaccard verify step explodes. */
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    // word_shingles = codegen slice-based shingling ([[graft.functions.WordShingles]]);
+    // docs with < 3 words yield an empty set and are dropped, exactly like
+    // the previous `filter(size(split(text,' ')) >= 3)` guard.
     t(spark, dir, "documents")
-      .withColumn("arr", expr("split(text, ' ')"))
-      .filter(expr("size(arr) >= 3"))
-      .select(
-        col("doc_id"),
-        array_distinct(expr(
-          "transform(sequence(1, size(arr) - 2), i -> concat_ws(' ', element_at(arr, i), element_at(arr, i+1), element_at(arr, i+2)))"
-        )).as("sharr")
-      )
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sharr"))
+      .filter(size(col("sharr")) >= 1)
+  }
 
   /**
    * MinHash + LSH near-duplicate pairs.
@@ -60,40 +59,38 @@ object DedupOps {
    * band key (shuffle on band — tiny), verify join only on candidates.
    */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val docs = shingleArrays(spark, dir).cache()
-    val sh = docs.select(col("doc_id"), explode(col("sharr")).as("s"))
-    // signature entirely map-side: min over a per-row array, no shuffle.
-    // The 8 hash functions are the 8-hex-char slices of TWO md5 digests
-    // (md5(s) || md5('x'|s)), materialized ONCE per shingle in `digs` —
-    // 2 digest computations instead of 8; lexicographic min over fixed-width
-    // hex equals numeric min, so each slice is a valid MinHash permutation.
-    val withDigs = docs.withColumn(
-      "digs", expr("transform(sharr, s -> concat(md5(s), md5(concat('x', s))))"))
-    val sigCols = (0 until 8).map { i =>
-      expr(s"array_min(transform(digs, d -> substring(d, ${1 + 8 * i}, 8)))").as(s"h$i")
-    }
-    val sig = withDigs.select((col("doc_id") +: sigCols): _*)
+    // signature entirely map-side, ONE pass over the shingles per doc:
+    // graft.functions.MinHash8 computes all 8 md5-slice minima in a tight
+    // loop (the equivalent HOF formulation is interpreted per element and
+    // CollapseProject duplicates the digest subtree 8x).
+    val sig = docs.select(col("doc_id"), expr("minhash8(sharr)").as("h"))
     val bands = sig.select(
       col("doc_id"),
       explode(array(
-        concat(lit("0"), col("h0"), col("h1")),
-        concat(lit("1"), col("h2"), col("h3")),
-        concat(lit("2"), col("h4"), col("h5")),
-        concat(lit("3"), col("h6"), col("h7"))
+        concat(lit("0"), col("h")(0), col("h")(1)),
+        concat(lit("1"), col("h")(2), col("h")(3)),
+        concat(lit("2"), col("h")(4), col("h")(5)),
+        concat(lit("3"), col("h")(6), col("h")(7))
       )).as("bk")
     )
     val cand = bands.as("x").join(bands.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sizes = docs.select(col("doc_id"), size(col("sharr")).cast("long").as("n"))
-    val common = broadcast(cand)
-      .join(sh.as("sa"), col("sa.doc_id") === col("a"))
-      .join(sh.as("sb"), col("sb.doc_id") === col("b") && col("sb.s") === col("sa.s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cm"))
-    common
-      .join(sizes.as("na"), col("na.doc_id") === col("a"))
-      .join(sizes.as("nb"), col("nb.doc_id") === col("b"))
-      .withColumn("j", col("cm").cast("double") / (col("na.n") + col("nb.n") - col("cm")))
+    // Verify against true shingle Jaccard WITHOUT re-exploding the corpus:
+    // candidates are a tiny fraction of docs, so two broadcast joins pull the
+    // two shingle arrays onto each candidate pair and array_intersect counts
+    // the overlap map-side. Zero shuffles in the verify stage (the old shape
+    // exploded shingles into two shuffle joins + a groupBy).
+    val withA = broadcast(cand)
+      .join(docs.select(col("doc_id").as("a"), col("sharr").as("arr_a")), Seq("a"))
+    val pairs = broadcast(withA)
+      .join(docs.select(col("doc_id").as("b"), col("sharr").as("arr_b")), Seq("b"))
+    pairs
+      .withColumn("cm", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("j", col("cm").cast("double") /
+        (size(col("arr_a")).cast("long") + size(col("arr_b")).cast("long") - col("cm")))
       .filter(col("j") >= 0.5)
       .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
       .orderBy("a", "b")
@@ -109,31 +106,59 @@ object DedupOps {
    * join fan-out per gram.
    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
     val grams = t(spark, dir, "documents")
       .filter(length(col("text")) >= 4)
+      // char_ngrams = codegen one-pass gram extraction; the HOF equivalent
+      // (transform(sequence...) + substring) pays an interpreted lambda and
+      // an O(position) code-point scan per character of the corpus.
       .select(
         col("doc_id"),
         col("n_chars"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))"
-        ))).as("g")
+        explode(expr("char_ngrams(text, 4)")).as("g")
       )
-      .cache() // read twice: document-frequency pass + pruned join input
-    val rare = grams.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") <= 200)
-    val pruned = grams.join(broadcast(rare).select("g"), Seq("g")).cache()
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = pruned.as("x")
+    // Document frequency as a window count over g: ONE shuffle annotates
+    // every occurrence with its gram's df — no second aggregation pass, no
+    // broadcast of the (corpus-sized) distinct-gram table, no cache.
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val pruned = grams
+      .withColumn("df", count(lit(1)).over(byGram))
+      .filter(col("df") <= 200)
+    // Per-doc gram set ordered rarest-first (global total order (df, g)) —
+    // the canonical order for PREFIX FILTERING (Chaudhuri et al. SSJoin;
+    // Xiao et al. PPJoin): for Jaccard >= t, two sets must share an element
+    // within their first (n - ceil(t*n) + 1) elements, so the candidate
+    // equi-join only explodes that prefix. Exact (no false negatives), and
+    // the joined grams are by construction the RAREST ones -> tiny buckets,
+    // vs. the previous shape that self-joined every pruned gram occurrence.
+    val arrs = pruned.groupBy(col("doc_id"), col("n_chars"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sarr"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        expr("transform(sarr, x -> x.g)").as("garr"),
+        size(col("sarr")).as("n"))
+      .cache() // read thrice: prefix explode + two verify joins
+    // prefix length n - ceil(0.6n) + 1, in exact integer math: ceil(3n/5) = (3n+4) div 5
+    val pref = arrs.select(
+      col("doc_id"), col("n_chars"),
+      explode(expr("slice(garr, 1, n - (3*n + 4) div 5 + 1)")).as("g"))
+    val cand = pref.as("x")
       .join(
-        pruned.as("y"),
+        pref.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           abs(col("x.n_chars") - col("y.n_chars")) <= 10
       )
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("cm"))
-    common
-      .join(sizes.as("na"), col("na.doc_id") === col("a"))
-      .join(sizes.as("nb"), col("nb.doc_id") === col("b"))
-      .withColumn("j", col("cm").cast("double") / (col("na.n") + col("nb.n") - col("cm")))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // Verify: broadcast the (tiny) candidate set, pull both gram arrays on,
+    // count overlap map-side — no shuffle, mirrors minhashLsh's verify stage.
+    val withA = broadcast(cand)
+      .join(arrs.select(col("doc_id").as("a"), col("garr").as("arr_a"), col("n").as("na")), Seq("a"))
+    val pairs = broadcast(withA)
+      .join(arrs.select(col("doc_id").as("b"), col("garr").as("arr_b"), col("n").as("nb")), Seq("b"))
+    pairs
+      .withColumn("cm", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("j", col("cm").cast("double") / (col("na").cast("long") + col("nb").cast("long") - col("cm")))
       .filter(col("j") >= 0.6)
       .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
       .orderBy("a", "b")
@@ -151,9 +176,11 @@ object DedupOps {
     graft.functions.VectorFunctions.register(spark)
     val fps = t(spark, dir, "documents")
       .select(col("doc_id"), explode(expr("winnow(text)")).as("fp"))
-      .cache()
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
-    val pruned = fps.join(broadcast(rare.select("fp")), Seq("fp"))
+    // df annotated via a window count over fp: one shuffle, no broadcast/cache
+    val pruned = fps
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("df") <= 50)
+      .drop("df")
     pruned.as("x").join(pruned.as("y"), col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("shared"))
@@ -181,13 +208,15 @@ object DedupOps {
         "transform(sequence(0, 3), c -> struct(c as c, shiftright(simhash, c * 16) & 65535 as v))"
       )).as("ck")
     ).select(col("doc_id"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
-      .cache() // fingerprinting is 64 passes over each token list; never recompute
     // Hot-bucket guard: a chunk value shared by k docs yields k^2/2 candidate
     // pairs; same-domain corpora cluster heavily on 16-bit chunks. Skipping
     // buckets larger than 50 bounds the pair fan-out (standard LSH practice —
-    // an overfull bucket carries no discriminative signal anyway).
-    val bucketSizes = chunks.groupBy("c", "v").agg(count(lit(1)).as("bsz")).filter(col("bsz") <= 50)
-    val pruned = chunks.join(broadcast(bucketSizes.select("c", "v")), Seq("c", "v"))
+    // an overfull bucket carries no discriminative signal anyway). Bucket
+    // size annotated via a window count: one shuffle, no broadcast/cache.
+    val pruned = chunks
+      .withColumn("bsz", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("c", "v")))
+      .filter(col("bsz") <= 50)
+      .drop("bsz")
     pruned.as("x").join(
       pruned.as("y"),
       col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id")

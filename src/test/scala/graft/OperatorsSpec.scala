@@ -266,4 +266,60 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.nonEmpty)
     assert(pairs.forall(_.getLong(2) >= 10))
   }
+
+  test("minhash8 / char_ngrams / word_shingles match their HOF SQL equivalents") {
+    graft.functions.VectorFunctions.register(spark)
+    // real corpus text (incl. planted near-dups and zh docs) as the fixture
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(200).cache()
+
+    val shHof = docs.selectExpr(
+      "doc_id",
+      """array_distinct(transform(sequence(1, size(split(text,' ')) - 2),
+        |  i -> concat_ws(' ', element_at(split(text,' '), i),
+        |                      element_at(split(text,' '), i+1),
+        |                      element_at(split(text,' '), i+2)))) AS v""".stripMargin)
+      .where("size(split(text,' ')) >= 3")
+    val shNew = docs.selectExpr("doc_id", "word_shingles(text, 3) AS v")
+      .where("size(v) >= 1")
+    assert(shHof.exceptAll(shNew).isEmpty && shNew.exceptAll(shHof).isEmpty)
+
+    val ngHof = docs.selectExpr(
+      "doc_id",
+      "array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))) AS v")
+      .where("length(text) >= 4")
+    val ngNew = docs.selectExpr("doc_id", "char_ngrams(text, 4) AS v")
+      .where("size(v) >= 1")
+    assert(ngHof.exceptAll(ngNew).isEmpty && ngNew.exceptAll(ngHof).isEmpty)
+
+    val mhHof = shNew
+      .withColumn("digs", expr("transform(v, s -> concat(md5(s), md5(concat('x', s))))"))
+      .selectExpr("doc_id",
+        (0 until 8).map(i => s"array_min(transform(digs, d -> substring(d, ${1 + 8 * i}, 8)))")
+          .mkString("array(", ", ", ") AS sig"))
+    val mhNew = shNew.selectExpr("doc_id", "minhash8(v) AS sig")
+    assert(mhHof.exceptAll(mhNew).isEmpty && mhNew.exceptAll(mhHof).isEmpty)
+
+    // edge cases: multibyte chars, repeated/empty tokens, short strings
+    val edge = spark.sql(
+      """SELECT * FROM VALUES ('a b c d'), ('a  b'), (''), ('xy'), ('的是在 的是在 的 是'),
+        |('aaaa aaaa aaaa'), ('tab\tnot a separator here') AS t(text)""".stripMargin)
+    val e1 = edge.selectExpr("char_ngrams(text, 4) AS v",
+      // sequence(1, k) descends for k < 1, so guard like the operators do
+      """CASE WHEN length(text) >= 4 THEN
+        |  array_distinct(transform(sequence(1, length(text) - 3), i -> substring(text, i, 4)))
+        |ELSE array() END AS w""".stripMargin)
+      .collect()
+    assert(e1.forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
+    val e2 = edge.selectExpr("word_shingles(text, 3) AS v",
+      """CASE WHEN size(split(text,' ')) >= 3 THEN
+        |  array_distinct(transform(sequence(1, size(split(text,' ')) - 2),
+        |    i -> concat_ws(' ', element_at(split(text,' '), i),
+        |                        element_at(split(text,' '), i+1),
+        |                        element_at(split(text,' '), i+2))))
+        |ELSE array() END AS w""".stripMargin)
+      .collect()
+    assert(e2.forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
+    docs.unpersist()
+  }
 }
