@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
  * xxhash64 (Spark-native, faster) backs the SimHash variant, which therefore
  * gets a rows-only check.
  *
- * Intermediate shingle/gram tables are cached for the duration of the query
- * (each is read 2-3 times within one plan); long-lived sessions running many
- * dedup passes should `spark.catalog.clearCache()` between corpora — the
- * bench harness does.
+ * Multiply-read intermediates (shingle arrays, per-doc gram sets) are cached
+ * for the duration of the query; long-lived sessions running many dedup
+ * passes should `spark.catalog.clearCache()` between corpora — the bench
+ * harness does. Single-pass frequency pruning is a window count over the
+ * key (one shuffle, nothing cached or broadcast); self-joins over identical
+ * subtrees rely on Spark's exchange reuse instead of caching.
  */
 object DedupOps {
   import Tables.t

@@ -10,12 +10,20 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
       // default (PARQUET_TYPE_ILLEGAL). Read it as a nanos long and normalize
       // to a microsecond TimestampType so downstream code sees a timestamp.
-      // NOTE: this flips a session-wide legacy flag as a side effect — needed
-      // because the driver invokes queries with its own session; any session
-      // reading other TIMESTAMP(NANOS) data should be aware.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // The legacy flag is needed only while the relation's schema resolves
+      // (spark.read.parquet is eager about footers), so scope it: flip,
+      // build the DataFrame, restore — other TIMESTAMP(NANOS) reads in the
+      // session keep their configured behavior.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -41,7 +41,8 @@ class WhisperDataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]
   ): Table = {
     val map = new CaseInsensitiveStringMap(properties)
-    new WhisperTable(WhisperIO.resolvePaths(map), WhisperOptions(map))
+    val patterns = WhisperIO.rawPatterns(map)
+    new WhisperTable(WhisperIO.expandPatterns(patterns), patterns, WhisperOptions(map))
   }
 }
 
@@ -71,7 +72,12 @@ object WhisperIO {
   /** Extract paths from reader options: single `path` or JSON `paths` array
    * (DataFrameReader.load(paths*) passes the latter). Globs and directories
    * are expanded; directories pick up `*.wsp` / `*.wsp.gz`. */
-  def resolvePaths(map: CaseInsensitiveStringMap): Seq[String] = {
+  def resolvePaths(map: CaseInsensitiveStringMap): Seq[String] =
+    expandPatterns(rawPatterns(map))
+
+  /** The user-supplied path patterns, un-expanded (the streaming source
+   * re-expands them per micro-batch to pick up newly written files). */
+  def rawPatterns(map: CaseInsensitiveStringMap): Seq[String] = {
     val raw = mutable.ArrayBuffer[String]()
     Option(map.get("paths")).foreach { json =>
       val arr = new ObjectMapper().readTree(json)
@@ -79,20 +85,33 @@ object WhisperIO {
     }
     Option(map.get("path")).foreach(raw += _)
     require(raw.nonEmpty, "whisper source requires a path: spark.read.format(\"whisper\").load(path)")
-    raw.toSeq.flatMap(expand)
+    raw.toSeq
   }
 
-  private def expand(pattern: String): Seq[String] = {
+  /** Glob/directory expansion. `lenient` skips the no-match error — a
+   * stream tailing a glob must tolerate a window with no files yet. */
+  def expandPatterns(patterns: Seq[String], lenient: Boolean = false): Seq[String] =
+    patterns.flatMap(p => expand(p, lenient))
+
+  private def expand(pattern: String, lenient: Boolean): Seq[String] = {
     val p = new HPath(pattern)
     val fs = p.getFileSystem(hadoopConf())
     val matches: Seq[FileStatus] =
       Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    require(matches.nonEmpty, s"whisper path matches no files: $pattern")
+    require(lenient || matches.nonEmpty, s"whisper path matches no files: $pattern")
     matches.flatMap { st =>
       if (st.isDirectory) {
-        fs.listStatus(st.getPath).toSeq
-          .filter(f => f.isFile && (f.getPath.getName.endsWith(".wsp") || f.getPath.getName.endsWith(".wsp.gz")))
-          .map(_.getPath.toString)
+        // Graphite trees nest metrics (dir/sub/metric.wsp): recurse the
+        // whole subtree, not just the first level
+        val out = mutable.ArrayBuffer[String]()
+        val it = fs.listFiles(st.getPath, /* recursive = */ true)
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (f.isFile && (name.endsWith(".wsp") || name.endsWith(".wsp.gz")))
+            out += f.getPath.toString
+        }
+        out.toSeq
       } else Seq(st.getPath.toString)
     }.sorted
   }
@@ -147,12 +166,13 @@ object WhisperIO {
   }
 }
 
-class WhisperTable(paths: Seq[String], options: WhisperOptions) extends Table with SupportsRead {
+class WhisperTable(paths: Seq[String], rawPatterns: Seq[String], options: WhisperOptions)
+    extends Table with SupportsRead {
   override def name(): String = s"whisper(${paths.mkString(",")})"
   override def schema(): StructType = options.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new WhisperScanBuilder(paths, options)
+    new WhisperScanBuilder(paths, rawPatterns, options)
 }

@@ -26,7 +26,7 @@ case class WhisperOffset(ts: Long) extends Offset {
 }
 
 class WhisperMicroBatchStream(
-    paths: Seq[String],
+    rawPatterns: Seq[String],
     options: WhisperOptions,
     preds: Seq[WPred],
     requiredSchema: StructType,
@@ -62,6 +62,10 @@ class WhisperMicroBatchStream(
     val lo = start.asInstanceOf[WhisperOffset].ts
     val hi = end.asInstanceOf[WhisperOffset].ts
     if (hi <= lo) return Array.empty
+    // re-expand the user's glob/dir patterns at every trigger so .wsp files
+    // that appear after stream start are tailed too (lenient: an empty match
+    // is an empty micro-batch, not an error)
+    val paths = WhisperIO.expandPatterns(rawPatterns, lenient = true)
     // same plan-time archive/file pruning as the batch scan
     WhisperPlanning.plan(paths, options, preds).map {
       case p: WhisperInputPartition => WhisperStreamPartition(p, lo, hi): InputPartition

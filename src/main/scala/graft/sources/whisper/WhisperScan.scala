@@ -156,7 +156,7 @@ object WPred {
   }
 }
 
-class WhisperScanBuilder(paths: Seq[String], options: WhisperOptions)
+class WhisperScanBuilder(paths: Seq[String], rawPatterns: Seq[String], options: WhisperOptions)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -180,11 +180,12 @@ class WhisperScanBuilder(paths: Seq[String], options: WhisperOptions)
     requiredSchema = StructType(options.schema.fields.filter(f => names.contains(f.name)))
   }
 
-  override def build(): Scan = new WhisperScan(paths, options, preds, pushed, requiredSchema)
+  override def build(): Scan = new WhisperScan(paths, rawPatterns, options, preds, pushed, requiredSchema)
 }
 
 class WhisperScan(
     paths: Seq[String],
+    rawPatterns: Seq[String],
     options: WhisperOptions,
     preds: Seq[WPred],
     pushedV1: Array[Filter],
@@ -199,7 +200,7 @@ class WhisperScan(
 
   /** Streaming tail: timestamp-watermark offsets (see [[WhisperMicroBatchStream]]). */
   override def toMicroBatchStream(checkpointLocation: String) =
-    new WhisperMicroBatchStream(paths, options, preds, requiredSchema, options.streamStartTimestamp)
+    new WhisperMicroBatchStream(rawPatterns, options, preds, requiredSchema, options.streamStartTimestamp)
 
   override def description(): String =
     s"WhisperScan(files=${paths.size}, pushed=[${pushedV1.mkString(", ")}], cols=${requiredSchema.fieldNames.mkString(",")})"
@@ -296,32 +297,33 @@ private[whisper] object WhisperDecode {
   )
 
   def load(part: WhisperInputPartition, options: WhisperOptions, preds: Seq[WPred]): Decoded = {
-    val byteStart = part.archiveOffset + part.posStart * WhisperCodec.PointSize
-    val byteLen = part.posCount * WhisperCodec.PointSize
-    require(byteLen <= Int.MaxValue, s"split too large: $byteLen bytes; lower maxPointsPerSplit")
-
     val p = new HPath(part.filePath)
     val fs = p.getFileSystem(WhisperIO.hadoopConf())
     val raw = fs.open(p)
+    try {
+      if (part.gzip) loadGzipStreaming(raw, part, options, preds)
+      else loadRanged(raw, part, options, preds)
+    } finally raw.close()
+  }
+
+  /** Plain files: one ranged read per split. The planner caps splits at
+   * maxPointsPerSplit / Int.MaxValue bytes, so the buffer always fits. */
+  private def loadRanged(
+      raw: org.apache.hadoop.fs.FSDataInputStream,
+      part: WhisperInputPartition,
+      options: WhisperOptions,
+      preds: Seq[WPred]): Decoded = {
+    val byteStart = part.archiveOffset + part.posStart * WhisperCodec.PointSize
+    val byteLen = part.posCount * WhisperCodec.PointSize
+    require(byteLen <= Int.MaxValue, s"split too large: $byteLen bytes; lower maxPointsPerSplit")
     val buf = new Array[Byte](byteLen.toInt)
     var got = 0
     try {
-      if (part.gzip) {
-        val gin = new GZIPInputStream(raw, 1 << 16)
-        var toSkip = byteStart
-        while (toSkip > 0) {
-          val s = gin.skip(toSkip)
-          if (s <= 0) toSkip = 0 else toSkip -= s
-        }
-        got = WhisperCodec.readFully(gin, buf, buf.length)
-      } else {
-        raw.seek(byteStart)
-        got = WhisperCodec.readFully(raw, buf, buf.length)
-      }
+      raw.seek(byteStart)
+      got = WhisperCodec.readFully(raw, buf, buf.length)
     } catch {
       case _: java.io.EOFException => // truncated: keep what we read
-    } finally raw.close()
-
+    }
     val nPoints = got / WhisperCodec.PointSize
     val positions = new Array[Long](nPoints)
     val timestamps = new Array[Long](nPoints)
@@ -338,6 +340,61 @@ private[whisper] object WhisperDecode {
       }
     }
     Decoded(positions, timestamps, values, buildOrder(options, timestamps, n), n)
+  }
+
+  /** Gzip archives are non-splittable (one partition spans the whole
+   * archive) and therefore must NOT be buffered whole: a >2 GiB decompressed
+   * region would exceed the JVM array limit. Decode the stream in bounded
+   * chunks into growable filtered builders — memory scales with the rows
+   * KEPT, not the archive's decompressed size. Only a kept-row count beyond
+   * the array limit is a hard error (and says so explicitly). */
+  private def loadGzipStreaming(
+      raw: org.apache.hadoop.fs.FSDataInputStream,
+      part: WhisperInputPartition,
+      options: WhisperOptions,
+      preds: Seq[WPred]): Decoded = {
+    val gin = new GZIPInputStream(raw, 1 << 16)
+    var toSkip = part.archiveOffset + part.posStart * WhisperCodec.PointSize
+    while (toSkip > 0) {
+      val s = gin.skip(toSkip)
+      if (s <= 0) toSkip = 0 else toSkip -= s
+    }
+    val chunkPts = math.min(part.posCount, 1L << 20).toInt // <= 12 MiB buffer
+    val buf = new Array[Byte](chunkPts * WhisperCodec.PointSize)
+    val posB = scala.collection.mutable.ArrayBuilder.make[Long]
+    val tsB = scala.collection.mutable.ArrayBuilder.make[Long]
+    val valB = scala.collection.mutable.ArrayBuilder.make[Double]
+    var kept = 0L
+    var posBase = part.posStart
+    var remaining = part.posCount
+    var eof = false
+    while (remaining > 0 && !eof) {
+      val wantPts = math.min(remaining, chunkPts.toLong).toInt
+      val want = wantPts * WhisperCodec.PointSize
+      val got =
+        try WhisperCodec.readFully(gin, buf, want)
+        catch { case _: java.io.EOFException => 0 } // truncated: keep what we read
+      val n = got / WhisperCodec.PointSize
+      WhisperCodec.foreachPoint(buf, 0, n, posBase) { (pos, ts, v) =>
+        val keep = (!options.dropTimeZero || ts != 0L) &&
+          preds.forall(_.eval(part.filePath, part.archiveIndex, pos, ts, v))
+        if (keep) {
+          if (kept == Int.MaxValue - 8)
+            throw new IllegalStateException(
+              s"gzip archive too large: >${Int.MaxValue - 8} rows survive filtering in " +
+                s"${part.filePath} archive ${part.archiveIndex}; gzip is non-splittable — " +
+                "re-compress as plain .wsp to enable ranged splits")
+          posB += pos; tsB += ts; valB += v
+          kept += 1
+        }
+      }
+      posBase += n
+      remaining -= n
+      if (got < want) eof = true
+    }
+    val timestamps = tsB.result()
+    Decoded(posB.result(), timestamps, valB.result(),
+      buildOrder(options, timestamps, kept.toInt), kept.toInt)
   }
 
   /** Identity order, or the ring rotation when timeSort is on. A well-formed

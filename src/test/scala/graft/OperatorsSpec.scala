@@ -267,6 +267,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(_.getLong(2) >= 10))
   }
 
+  test("events loader scopes the nanosAsLong legacy flag to the read") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // getOption reports the registered default ("false") even when unset,
+    // so assert value-equality before/after rather than emptiness
+    val before = spark.conf.getOption(key)
+    assert(!before.contains("true"))
+    val df = Tables.t(spark, dir, "events")
+    assert(spark.conf.getOption(key) == before, "flag must be restored after the read")
+    assert(df.count() > 0) // execution still works with the flag restored
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+  }
+
   test("minhash8 / char_ngrams / word_shingles match their HOF SQL equivalents") {
     graft.functions.VectorFunctions.register(spark)
     // real corpus text (incl. planted near-dups and zh docs) as the fixture

@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.format.{WhisperCodec, WhisperWriter}
 import graft.format.WhisperWriter.{ArchiveSpec, FileSpec}
 import graft.meta.WhisperMeta
+import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions}
 
 /**
  * Port of the reference test suite (`/root/reference/test_whisper_pandas.py`)
@@ -254,5 +255,56 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // arrive, i.e. nothing is re-delivered; totals reflect exactly the file's
     // 600 filled slots (500 old + 100 new)
     assert(total == 600L, s"got $total")
+  }
+
+  test("gzip archive larger than one stream chunk decodes identically to plain") {
+    // 1.5M points > the 1M-point gzip decode chunk: exercises multi-chunk
+    // streaming (posBase advancement across chunk boundaries)
+    val big = dir.resolve("big.wsp")
+    val bigGz = dir.resolve("big.wsp.gz")
+    val bigSpec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 1500000, filled = 1400000, lastTimestamp = 1600000000L, rotation = 123457)))
+    WhisperWriter.writeFile(big, bigSpec)
+    WhisperWriter.writeFile(bigGz, bigSpec)
+    def fingerprint(path: String) = {
+      val df = spark.read.format("whisper").load(path)
+        .selectExpr("count(*) AS n", "bit_xor(xxhash64(position, timestamp, value)) AS h",
+          "min(timestamp) AS lo", "max(timestamp) AS hi")
+      df.collect().head
+    }
+    val (fp, fpGz) = (fingerprint(big.toString), fingerprint(bigGz.toString))
+    assert(fp == fpGz)
+    assert(fp.getLong(0) == 1400000L)
+  }
+
+  test("directory paths recurse into nested metric trees") {
+    val tree = Files.createTempDirectory("whisper-tree")
+    val sub = tree.resolve("servers/web01")
+    Files.createDirectories(sub)
+    val smallSpec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 50, lastTimestamp = 1600000000L, rotation = 7)))
+    WhisperWriter.writeFile(tree.resolve("top.wsp"), smallSpec)
+    WhisperWriter.writeFile(sub.resolve("cpu.wsp"), smallSpec)
+    WhisperWriter.writeFile(sub.resolve("mem.wsp.gz"), smallSpec)
+    WhisperWriter.writeFile(sub.resolve("ignored.txt"), smallSpec) // wrong suffix
+    val files = spark.read.format("whisper").load(tree.toString)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(files.map(f => f.substring(f.lastIndexOf('/') + 1)) ==
+      Set("top.wsp", "cpu.wsp", "mem.wsp.gz"))
+  }
+
+  test("micro-batch stream picks up files appearing after stream start") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val growing = Files.createTempDirectory("whisper-growing")
+    val smallSpec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 50, lastTimestamp = 1600000000L, rotation = 0)))
+    WhisperWriter.writeFile(growing.resolve("a.wsp"), smallSpec)
+    val opts = WhisperOptions(new CaseInsensitiveStringMap(new java.util.HashMap[String, String]()))
+    val stream = new WhisperMicroBatchStream(
+      Seq(growing.toString + "/*.wsp"), opts, Seq.empty, opts.schema, 0L)
+    val n1 = stream.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L)).length
+    WhisperWriter.writeFile(growing.resolve("b.wsp"), smallSpec)
+    val n2 = stream.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L)).length
+    assert(n1 == 1 && n2 == 2, s"got $n1 then $n2")
   }
 }
