@@ -6,9 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{ByteHistogram, CharNgrams, DotProduct, MinHash8, RollingFingerprint, SimHash64, WordShingles}
+import graft.plans.WhisperSortElision
 
 /**
- * Session extensions registering graft's native functions at session build:
+ * Session extensions registering graft's native functions and plan rules at
+ * session build:
  *
  * {{{
  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
@@ -17,7 +19,8 @@ import graft.functions.{ByteHistogram, CharNgrams, DotProduct, MinHash8, Rolling
  *
  * After which `byte_histogram`, `dot_d`, `simhash64` resolve in any SQL text
  * without per-session manual registration (the operators also self-register
- * defensively, so either path works).
+ * defensively, so either path works), and redundant global sorts over
+ * time-ordered whisper scans are elided ([[graft.plans.WhisperSortElision]]).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -78,5 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("winnow", "winnow(string) - winnowing document fingerprints (rolling-hash minima)"),
       (exprs: Seq[Expression]) => RollingFingerprint(exprs.head)
     ))
+    // physical, in AQE query-stage prep: after EnsureRequirements, where the
+    // scan (with pushed predicates and planned partitions) and the redundant
+    // Sort+Exchange pair are both visible
+    ext.injectQueryStagePrepRule(WhisperSortElision(_))
   }
 }

@@ -293,6 +293,45 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("top.wsp", "cpu.wsp", "mem.wsp.gz"))
   }
 
+  test("sort elision: global orderBy(timestamp) over one ordered archive drops Sort+Exchange") {
+    // fresh session so GraftExtensions' query-stage-prep rule is installed
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .appName("sort-elide-spec")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate() // shares the JVM's SparkContext, not the sessionState
+      val single = dir.resolve("elide.wsp")
+      WhisperWriter.writeFile(single, FileSpec(archives = Seq(
+        ArchiveSpec(10, 5000, filled = 4000, lastTimestamp = 1600000000L, rotation = 777))))
+      def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+
+      val ordered = s2.read.format("whisper").load(single.toString)
+        .where("value >= 0.0").select("timestamp", "value").orderBy("timestamp")
+      assert(!planOf(ordered).contains("Sort ["), "single-archive sort must be elided")
+      assert(!planOf(ordered).contains("Exchange"), "range exchange must be elided")
+      val ts = ordered.select("timestamp").collect().map(_.getTimestamp(0).getTime)
+      assert(ts.length > 0 && ts.sameElements(ts.sorted), "elided result must still be sorted")
+
+      // guards: multi-archive scan, desc, and non-timestamp sorts keep their Sort
+      val multi = s2.read.format("whisper").load(mini.toString).orderBy("timestamp")
+      assert(planOf(multi).contains("Sort ["), "multi-archive scan keeps its sort")
+      val desc = s2.read.format("whisper").load(single.toString)
+        .orderBy(org.apache.spark.sql.functions.col("timestamp").desc)
+      assert(planOf(desc).contains("Sort ["), "descending sort is kept")
+      val byValue = s2.read.format("whisper").load(single.toString).orderBy("value")
+      assert(planOf(byValue).contains("Sort ["), "non-timestamp sort is kept")
+      // do NOT s2.stop(): it would stop the shared SparkContext
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("micro-batch stream picks up files appearing after stream start") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val growing = Files.createTempDirectory("whisper-growing")
