@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ByteHistogram, CharNgrams, DotProduct, MinHash8, RollingFingerprint, SimHash64, WordShingles}
+import graft.functions.{ByteHistogram, CharNgrams, DotProduct, L1Distance, MinHash8, RollingFingerprint, SimHash64, WordShingles}
 import graft.plans.WhisperSortElision
 
 /**
@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_d"),
       info("dot_d", "dot_d(array<double>, array<double>) - dot product, codegen"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("l1_dist"),
+      info("l1_dist", "l1_dist(array<bigint>, array<bigint>) - L1 distance, codegen"),
+      (exprs: Seq[Expression]) => L1Distance(exprs(0), exprs(1))
     ))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

@@ -41,6 +41,10 @@ object SparkEntry {
     "q17_scalar_funcs" -> (RelationalOps.scalarFuncs(_, _)),
     "q18_date_parts" -> (RelationalOps.dateParts(_, _)),
     "q34_rollup" -> (RelationalOps.rollupRegion(_, _)),
+    "q35_exists_lateship" -> (RelationalOps.existsLateShip(_, _)),
+    "q47_cube" -> (RelationalOps.cubeOrders(_, _)),
+    "q48_ntile_decile" -> (RelationalOps.decileHistogram(_, _)),
+    "q49_lag_deltas" -> (RelationalOps.lagDeltas(_, _)),
     "q36_correlated_subquery" -> (RelationalOps.correlatedSubquery(_, _)),
     "q37_percentiles" -> (RelationalOps.percentiles(_, _)),
     "q38_window_range_frame" -> (RelationalOps.windowRangeFrame(_, _)),
@@ -60,6 +64,7 @@ object SparkEntry {
     "q26_dedup_ngram_jaccard" -> (DedupOps.ngramJaccard(_, _)),
     "q29_dedup_simhash" -> (DedupOps.simhash(_, _)),
     "q44_dedup_winnow" -> (DedupOps.winnowDedup(_, _)),
+    "q51_dedup_levenshtein" -> (DedupOps.levenshteinDedup(_, _)),
     // -- extension ops: similarity search --
     "q27_knn_bruteforce" -> (VectorOps.knnBruteForce(_, _)),
     "q28_dedup_embedding" -> (VectorOps.embeddingDedup(_, _)),
@@ -67,6 +72,7 @@ object SparkEntry {
     "q19_resample_gapfill" -> (TimeSeriesOps.resampleGapFill(_, _)),
     "q31_asof_join" -> (TimeSeriesOps.asofErrorPurchase(_, _)),
     "q45_interpolate" -> (TimeSeriesOps.interpolateHourly(_, _)),
+    "q50_sessionize" -> (TimeSeriesOps.sessionizeBatch(_, _)),
     // -- multimodal plumbing --
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
     "q32_mm_byte_histogram" -> (MultimodalOps.byteHistograms(_, _)),
@@ -393,6 +399,56 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS payload_md5,
         |CAST(16 + ascii(substr(text,1,1)) AS INT) AS fake_width,
         |CAST(16 + ascii(substr(text,2,1)) AS INT) AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_exists_lateship" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q47_cube" ->
+      """SELECT coalesce(yr, -1) AS oyear, coalesce(pri0, 'ALL') AS pri,
+        |CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice),2) AS total
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority AS pri0, o_totalprice FROM orders)
+        |GROUP BY CUBE (yr, pri0) ORDER BY oyear, pri""".stripMargin,
+    "q48_ntile_decile" ->
+      """WITH d AS (SELECT o_totalprice,
+        |  CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile FROM orders)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |round(sum(o_totalprice),2) AS total
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "q49_lag_deltas" ->
+      """WITH d AS (SELECT event_type,
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY event_id) AS gap_sec
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_deltas,
+        |round(max(delta),2) AS max_delta, round(min(delta),2) AS min_delta,
+        |CAST(sum(gap_sec) AS BIGINT) AS sum_gap_sec
+        |FROM d WHERE delta IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q50_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events),
+        |l AS (SELECT user_id, sec, event_id,
+        |  lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, sec, event_id,
+        |  CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS is_new FROM l),
+        |s AS (SELECT user_id, sec, CAST(sum(is_new) OVER (
+        |  PARTITION BY user_id ORDER BY sec, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx FROM f)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |min(sec) AS start_sec, max(sec) AS end_sec
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "q51_dedup_levenshtein" ->
+      """WITH d AS (SELECT doc_id, lang, text, length(text) AS len
+        |  FROM documents WHERE strlen(text) = length(text))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+        |FROM d a JOIN d b
+        |ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 30
+        |WHERE 20 * levenshtein(a.text, b.text) <= 3 * greatest(a.len, b.len)
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

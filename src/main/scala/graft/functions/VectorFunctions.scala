@@ -144,11 +144,75 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
 }
 
+/**
+ * `l1_dist(array<long>, array<long>)` — L1 (Manhattan) distance between two
+ * integer vectors, e.g. byte histograms. The workhorse of cheap
+ * edit-distance pruning: each Levenshtein edit changes a character
+ * frequency histogram by at most 2, so `lev(a,b) >= l1_dist(hist_a,
+ * hist_b) / 2` — an exact lower bound that lets a blocked pair join discard
+ * the vast majority of candidates in O(bins) before the O(len^2) distance.
+ * NULL on dimension mismatch, like [[DotProduct]].
+ */
+case class L1Distance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l1_dist"
+
+  override def checkInputDataTypes() = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"l1_dist needs two array<bigint> inputs, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += (if (d < 0) -d else d)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += ($d < 0) ? -$d : $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L1Distance = copy(l, r)
+}
+
 object VectorFunctions {
   /** Register `dot_d` and `simhash64` for SQL/expr use; idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_d", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l1_dist", exprs => L1Distance(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

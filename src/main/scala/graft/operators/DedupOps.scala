@@ -229,4 +229,75 @@ object DedupOps {
       .filter(col("hamming") <= 6)
       .orderBy("a", "b")
   }
+
+  /**
+   * Edit-distance (Levenshtein) near-duplicate pairs: docs in the same
+   * language whose lengths differ by <= 30 chars and whose edit distance is
+   * <= 15% of the longer text.
+   *
+   * Blocking: |len(a)-len(b)| <= 30 implies the two length buckets
+   * (floor(len/30)) differ by at most one, so each doc enters buckets b and
+   * b+1 and every qualifying pair meets in at least one shared bucket — an
+   * equi-join Spark shuffles on (lang, bucket), never a cross product. The
+   * O(len^2) distance computation runs only on candidates.
+   *
+   * Scoped to ASCII-only texts (octet_length = char length): the threshold
+   * is also checked in integer math (20*lev <= 3*maxlen). Both choices are
+   * for oracle parity — DuckDB's levenshtein counts bytes while Spark's
+   * counts codepoints (they agree exactly on ASCII), and DuckDB evaluates
+   * 0.15*len in DECIMAL while Spark uses DOUBLE (integer cross-multiplying
+   * is exact in both).
+   */
+  def levenshteinDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.ByteHistogram.register(spark)
+    val docs = t(spark, dir, "documents")
+      .filter(octet_length(col("text")) === length(col("text"))) // ASCII-only
+      .select(
+        col("doc_id"), col("lang"), col("text"), length(col("text")).as("len"),
+        // per-doc char histogram, computed ONCE before the pair join: each
+        // edit moves at most 2 histogram units, so lev >= l1_dist/2 — the
+        // O(256) prune that spares candidates the O(len^2) distance
+        expr("byte_histogram(cast(text as binary), 256)").as("hist")
+      )
+    val banded = docs.withColumn(
+      "bucket",
+      explode(array((col("len") / 30).cast("long"), (col("len") / 30).cast("long") + 1))
+    )
+    // One filter, conjuncts ordered cheap -> expensive: Catalyst merges
+    // post-join filters into the BroadcastHashJoin's condition preserving
+    // conjunct order, and codegen ANDs short-circuit left-to-right — so
+    // doc_id</len-diff (1 op) must lead the O(256) histogram prune, which
+    // must lead the O(len^2) distance. Separate .filter() calls merge in
+    // child-last order and would run the expensive conjuncts FIRST.
+    banded.as("a").join(
+      banded.as("b"),
+      col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket")
+    )
+      .filter(
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= 30 &&
+          // canonical-bucket pick: a pair sharing two buckets would otherwise
+          // be emitted (and its distance computed) twice; floor(maxlen/30)
+          // names exactly one shared bucket, so this replaces a distinct()
+          col("a.bucket") === (greatest(col("a.len"), col("b.len")) / 30).cast("long") &&
+          // exact lower-bound prune: pass requires 20*lev <= 3*maxlen and
+          // lev >= l1/2, so 10*l1 > 3*maxlen cannot pass — drop before the DP
+          expr("l1_dist(a.hist, b.hist)") * 10 <= greatest(col("a.len"), col("b.len")) * 3
+      )
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.text").as("ta"), col("b.text").as("tb"),
+        greatest(col("a.len"), col("b.len")).as("maxlen")
+      )
+      // banded Levenshtein: threshold floor(3*maxlen/20) makes the DP
+      // O(len * maxlen*0.15) instead of O(len^2); returns -1 above threshold,
+      // which is exactly the reject condition (20*lev <= 3*maxlen)
+      .select(
+        col("doc_a"), col("doc_b"),
+        expr("levenshtein(ta, tb, cast(maxlen * 3 div 20 as int))").cast("bigint").as("lev")
+      )
+      .filter(col("lev") >= 0)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -367,4 +367,81 @@ object RelationalOps {
       )
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy("oyear", "oquarter")
+
+  /** CUBE over (year, priority): all four grouping-set combinations in one
+   * pass (map-side partial agg expands the sets; one shuffle total). NULL
+   * grouping keys are coalesced to sentinels — Spark sorts NULLS FIRST,
+   * DuckDB NULLS LAST, so raw NULL keys would break oracle row order. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(year(col("o_orderdate")).cast("int").as("yr"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("yr"), lit(-1)).as("oyear"),
+        coalesce(col("pri"), lit("ALL")).as("pri"),
+        col("n"), col("total")
+      )
+      .orderBy("oyear", "pri")
+
+  /** Rank bucketing: ntile deciles of order value. A global ntile needs a
+   * total order (one range exchange + per-partition window); at 100 TB
+   * prefer approx_percentile bucket edges + a broadcast bucket join — this
+   * query demonstrates the exact-operator semantics. */
+  def decileHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey")) // unique key: deterministic tiles
+    t(spark, dir, "orders")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile").cast("int").as("decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        round(sum(col("o_totalprice")), 2).as("total")
+      )
+      .orderBy("decile")
+  }
+
+  /** lag() deltas: per-user consecutive-event value change and time gap,
+   * aggregated per event type. One shuffle (the window partition); the
+   * groupBy reuses nothing but is tiny after aggregation. Deltas of
+   * 2-decimal values stay on the cent grid, so round(,2) is engine-stable;
+   * the gap sum is integer-exact. */
+  def lagDeltas(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(spark, dir, "events")
+      .select(
+        col("event_type"),
+        (col("value") - lag("value", 1).over(w)).as("delta"),
+        (unix_timestamp(col("ts")) - lag(unix_timestamp(col("ts")), 1).over(w)).as("gap_sec")
+      )
+      .where(col("delta").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        round(max(col("delta")), 2).as("max_delta"),
+        round(min(col("delta")), 2).as("min_delta"),
+        sum(col("gap_sec")).as("sum_gap_sec")
+      )
+      .orderBy("event_type")
+  }
+
+  /** TPC-H Q4 shape: orders with any line shipped >60 days after the order
+   * date, counted per priority. The EXISTS becomes a left-semi hash join on
+   * the order key; the correlated interval condition rides along as the
+   * join's extra predicate (no second pass over lineitem). */
+  def existsLateShip(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    o.join(
+      l,
+      col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+      "left_semi"
+    )
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+  }
 }

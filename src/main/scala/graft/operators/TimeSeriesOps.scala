@@ -170,4 +170,31 @@ object TimeSeriesOps {
       )
       .orderBy("event_id")
   }
+
+  /** Batch sessionization: gap-based session assignment (new session when
+   * >30 min since the user's previous event), then per-session stats. The
+   * classic lag -> boundary-flag -> running-sum pattern: both windows share
+   * the same (user_id) partitioning and (sec, event_id) ordering, so Spark
+   * plans ONE shuffle and one sort for the whole chain. The streaming
+   * equivalent (mapGroupsWithState) lives in [[graft.streaming.StreamingOps]];
+   * this is its batch/backfill twin. */
+  def sessionizeBatch(spark: SparkSession, dir: String, gapSec: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      .withColumn("prev", lag("sec", 1).over(w))
+      .withColumn(
+        "is_new",
+        when(col("prev").isNull || col("sec") - col("prev") > gapSec, 1).otherwise(0)
+      )
+      .withColumn("session_idx", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"),
+        max(col("sec")).as("end_sec")
+      )
+      .orderBy("user_id", "session_idx")
+  }
 }
