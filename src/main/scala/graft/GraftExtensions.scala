@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ByteHistogram, CharNgrams, DotProduct, L1Distance, MinHash8, RollingFingerprint, SimHash64, WordShingles}
+import graft.functions.{ByteHistogram, CharNgrams, DotProduct, L1Distance, MinHash8, NgramHashHistogram, RollingFingerprint, SimHash64, WordShingles}
 import graft.plans.WhisperSortElision
 
 /**
@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l1_dist"),
       info("l1_dist", "l1_dist(array<bigint>, array<bigint>) - L1 distance, codegen"),
       (exprs: Seq[Expression]) => L1Distance(exprs(0), exprs(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hist"),
+      info("ngram_hist", "ngram_hist(string, n, bins) - hashed character-n-gram profile"),
+      (exprs: Seq[Expression]) => NgramHashHistogram.fromExprs(exprs)
     ))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),

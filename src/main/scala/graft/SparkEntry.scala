@@ -58,6 +58,12 @@ object SparkEntry {
     "q21_text_quality" -> (TextOps.qualityScore(_, _)),
     "q22_text_fingerprint" -> (TextOps.fingerprint(_, _)),
     "q23_text_langid" -> (TextOps.langId(_, _)),
+    "q52_text_repetition" -> (TextOps.repetition(_, _)),
+    "q53_tfidf_topterms" -> (TextOps.tfidfTopTerms(_, _)),
+    // -- extension ops: dataset assembly (split / shuffle-pack / sample) --
+    "q54_hash_split" -> (SamplingOps.hashSplit(_, _)),
+    "q55_sequence_pack" -> (SamplingOps.sequencePack(_, _)),
+    "q56_stratified_sample" -> (SamplingOps.stratifiedSample(_, _)),
     // -- extension ops: deduplication --
     "q24_dedup_exact" -> (DedupOps.exact(_, _)),
     "q25_dedup_minhash_lsh" -> (DedupOps.minhashLsh(_, _)),
@@ -448,7 +454,44 @@ object SparkEntry {
         |CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
         |FROM d a JOIN d b
         |ON a.lang = b.lang AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 30
-        |WHERE 20 * levenshtein(a.text, b.text) <= 3 * greatest(a.len, b.len)
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |WHERE 20 * levenshtein(a.text, b.text) <= greatest(a.len, b.len)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q52_text_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_distinct,
+        |CAST((sum(c) - count(*)) * 1000 // sum(c) AS BIGINT) AS dup_frac_mille,
+        |CAST(max(c) * 1000 // sum(c) AS BIGINT) AS top_frac_mille
+        |FROM pt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q53_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY lang, tok),
+        |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY tok),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tok),
+        |s AS (SELECT lang, tf.tok AS tok, tf, df, tf * (nd * 1000000 // df) AS score
+        |      FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS INT) AS rnk FROM s)
+        |SELECT lang, rnk, tok, tf, df, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    "q54_hash_split" ->
+      """WITH d AS (SELECT doc_id, n_chars, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
+        |s AS (SELECT CASE WHEN h1 < 'd' THEN 'train' WHEN h1 < 'f' THEN 'val' ELSE 'test' END AS split,
+        |      doc_id, n_chars FROM d)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q55_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  md5('seed42-' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY skey, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(n_tokens) AS BIGINT) AS seq_tokens, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "q56_stratified_sample" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+        |  FROM documents)
+        |SELECT lang, rn, doc_id, n_chars FROM r WHERE rn <= 50 ORDER BY lang, rn""".stripMargin
   )
 }

@@ -233,7 +233,11 @@ object DedupOps {
   /**
    * Edit-distance (Levenshtein) near-duplicate pairs: docs in the same
    * language whose lengths differ by <= 30 chars and whose edit distance is
-   * <= 15% of the longer text.
+   * <= 5% of the longer text. The 5% budget is what makes the q-gram count
+   * filter effective: pruning a pair needs L1(gram profiles) > 2q*t, and
+   * same-vocabulary corpora share ~half their grams (L1 ~ maxlen), so the
+   * budget t must stay under maxlen/(2q) = 12.5% — a generous budget would
+   * send every candidate pair to the O(len^2) DP.
    *
    * Blocking: |len(a)-len(b)| <= 30 implies the two length buckets
    * (floor(len/30)) differ by at most one, so each doc enters buckets b and
@@ -242,7 +246,7 @@ object DedupOps {
    * O(len^2) distance computation runs only on candidates.
    *
    * Scoped to ASCII-only texts (octet_length = char length): the threshold
-   * is also checked in integer math (20*lev <= 3*maxlen). Both choices are
+   * is also checked in integer math (20*lev <= maxlen). Both choices are
    * for oracle parity — DuckDB's levenshtein counts bytes while Spark's
    * counts codepoints (they agree exactly on ASCII), and DuckDB evaluates
    * 0.15*len in DECIMAL while Spark uses DOUBLE (integer cross-multiplying
@@ -250,15 +254,17 @@ object DedupOps {
    */
   def levenshteinDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    graft.functions.ByteHistogram.register(spark)
+    graft.functions.NgramHashHistogram.register(spark)
     val docs = t(spark, dir, "documents")
       .filter(octet_length(col("text")) === length(col("text"))) // ASCII-only
       .select(
         col("doc_id"), col("lang"), col("text"), length(col("text")).as("len"),
-        // per-doc char histogram, computed ONCE before the pair join: each
-        // edit moves at most 2 histogram units, so lev >= l1_dist/2 — the
-        // O(256) prune that spares candidates the O(len^2) distance
-        expr("byte_histogram(cast(text as binary), 256)").as("hist")
+        // per-doc hashed 4-gram profile, computed ONCE before the pair join:
+        // one edit touches at most 4 grams per side, so lev >= l1_dist/8 — the
+        // q-gram count filter that spares candidates the O(len^2) distance.
+        // (A char histogram is useless here: same-vocabulary docs share their
+        // letter distribution, so its L1 prunes almost nothing.)
+        expr("ngram_hist(text, 4, 256)").as("hist")
       )
     val banded = docs.withColumn(
       "bucket",
@@ -277,25 +283,29 @@ object DedupOps {
       .filter(
         col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.len") - col("b.len")) <= 30 &&
+          // lev >= |len diff|: pass needs 20*lev <= maxlen, so a length gap
+          // over the threshold rejects in one subtraction
+          abs(col("a.len") - col("b.len")) * 20 <= greatest(col("a.len"), col("b.len")) &&
           // canonical-bucket pick: a pair sharing two buckets would otherwise
           // be emitted (and its distance computed) twice; floor(maxlen/30)
           // names exactly one shared bucket, so this replaces a distinct()
           col("a.bucket") === (greatest(col("a.len"), col("b.len")) / 30).cast("long") &&
-          // exact lower-bound prune: pass requires 20*lev <= 3*maxlen and
-          // lev >= l1/2, so 10*l1 > 3*maxlen cannot pass — drop before the DP
-          expr("l1_dist(a.hist, b.hist)") * 10 <= greatest(col("a.len"), col("b.len")) * 3
+          // q-gram count filter: lev >= l1/8 (4-gram profiles, see
+          // NgramHashHistogram), so 5*l1 > 2*maxlen cannot pass — drop
+          // before the DP
+          expr("l1_dist(a.hist, b.hist)") * 5 <= greatest(col("a.len"), col("b.len")) * 2
       )
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.text").as("ta"), col("b.text").as("tb"),
         greatest(col("a.len"), col("b.len")).as("maxlen")
       )
-      // banded Levenshtein: threshold floor(3*maxlen/20) makes the DP
-      // O(len * maxlen*0.15) instead of O(len^2); returns -1 above threshold,
-      // which is exactly the reject condition (20*lev <= 3*maxlen)
+      // banded Levenshtein: threshold floor(maxlen/20) makes the DP
+      // O(len * maxlen*0.05) instead of O(len^2); returns -1 above threshold,
+      // which is exactly the reject condition (20*lev <= maxlen)
       .select(
         col("doc_a"), col("doc_b"),
-        expr("levenshtein(ta, tb, cast(maxlen * 3 div 20 as int))").cast("bigint").as("lev")
+        expr("levenshtein(ta, tb, cast(maxlen div 20 as int))").cast("bigint").as("lev")
       )
       .filter(col("lev") >= 0)
       .orderBy("doc_a", "doc_b")

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Dataset-assembly operators for a training-data pipeline: deterministic
+ * train/val/test splitting, deterministic global shuffle + fixed-capacity
+ * sequence packing, and stratified sampling. These are the steps between
+ * "curated documents" and "tensors": every one is keyed on content-stable
+ * hashes (md5) so reruns — and engines — agree bit-for-bit, never on
+ * `rand()` (non-reproducible) or partition ids (layout-dependent).
+ */
+object SamplingOps {
+  import Tables.t
+
+  /**
+   * Hash-based train/val/test assignment: the first hex digit of
+   * `md5(doc_id)` buckets every doc into train (0-c, 13/16 = 81.25%),
+   * val (d-e, 12.5%) or test (f, 6.25%).
+   *
+   * The split is a pure per-row projection — no shuffle, no state, stable
+   * under re-partitioning and incremental reruns (a doc's split never
+   * changes when other docs appear). The aggregate here just summarizes the
+   * assignment; a real pipeline filters on `split` and the predicate
+   * evaluates inside the scan's codegen stage.
+   */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("h1", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn(
+        "split",
+        when(col("h1") < "d", "train").when(col("h1") < "f", "val").otherwise("test")
+      )
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc")
+      )
+      .orderBy("split")
+
+  /**
+   * Deterministic global shuffle + greedy sequence packing: order docs by a
+   * seeded content hash (reproducible "random" permutation), concatenate
+   * token counts, and cut every `capacity` tokens — the concat-then-chunk
+   * packing used to build fixed-length training sequences. A doc's sequence
+   * is the chunk its FIRST token lands in: `seq = (cumsum - n_tokens) div
+   * capacity`.
+   *
+   * The global cumulative sum is computed scalably, not with a
+   * single-partition `Window.orderBy`: range-repartition on the shuffle key
+   * (total order across partitions), local cumsum per partition (a window
+   * PARTITIONED BY partition id — fully parallel), then add per-partition
+   * prefix offsets. The offsets table is one row per partition; collecting
+   * it to the driver is O(partitions), independent of data size, so the
+   * pattern holds at 100 TB where a global-ORDER-BY window would serialize
+   * every row through one task.
+   */
+  def sequencePack(spark: SparkSession, dir: String, capacity: Int = 512): DataFrame = {
+    // persist the range-partitioned frame: the offsets job and the main job
+    // must see the SAME partition ids, so the range exchange (whose sampled
+    // boundaries need not be identical across recomputations) runs once
+    val docs = t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(concat(lit("seed42-"), col("doc_id").cast("string"))).as("skey")
+      )
+      .repartitionByRange(col("skey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+
+    // per-partition token totals -> exclusive prefix offsets (driver-side:
+    // one row per partition, O(partitions) not O(rows))
+    val partTotals = docs.groupBy("pid").agg(sum("n_tokens").as("ptotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partTotals.map(_._1).zip(partTotals.map(_._2).scanLeft(0L)(_ + _))
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+
+    val localW = Window.partitionBy("pid").orderBy("skey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .join(broadcast(offsetsDf), "pid")
+      .withColumn("cum", col("offset") + sum("n_tokens").over(localW))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $capacity"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("seq_tokens"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc")
+      )
+      .orderBy("seq_id")
+  }
+
+  /**
+   * Stratified sampling: k docs per language, picked by hash order — a
+   * deterministic "random" sample whose membership is stable across runs
+   * and engines. One shuffle (the per-stratum window partition); the rank
+   * filter cuts to k·|strata| rows immediately, so downstream stages see
+   * only the sample. For heavily skewed strata at 100 TB, pre-filter with
+   * an approximate per-stratum hash threshold first so the window sorts
+   * only ~k candidates per stratum instead of the whole stratum.
+   */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    t(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rn")
+  }
+}

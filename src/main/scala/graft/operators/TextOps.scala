@@ -60,6 +60,59 @@ object TextOps {
       "substr(md5(lower(text)), 1, 8) as fp_prefix"
     ).orderBy("doc_id")
 
+  /**
+   * Repetition / boilerplate detection (Gopher-style repetition filters):
+   * per-doc duplicate-token fraction and most-common-token fraction. Shape:
+   * explode -> two partial-aggregating groupBys on (doc_id, tok) then
+   * (doc_id) — both shuffles key on doc_id prefixes, and AQE coalesces the
+   * second (tiny) one. Fractions are emitted as exact integer permille
+   * (`div`), never floats, so the oracle hashes bit-identically.
+   */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_c")
+      )
+      .selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "(n_tokens - n_distinct) * 1000 div n_tokens as dup_frac_mille",
+        "top_c * 1000 div n_tokens as top_frac_mille"
+      )
+      .orderBy("doc_id")
+
+  /**
+   * TF-IDF-style top terms per language: corpus term frequency joined with
+   * document frequency, scored `tf * (N*1e6 div df)` — integer rarity
+   * weighting instead of `ln(N/df)` so both engines agree exactly (libm logs
+   * may differ in the last ulp and a float score near a rank boundary would
+   * flip the top-k). tf and df both derive from one exploded token relation
+   * shuffled on `tok`, so the join is co-partitioned — one token-keyed
+   * shuffle total, then a tiny per-lang window for the top-10.
+   */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val nDocs = tok.select("doc_id").distinct().count()
+    val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score", expr(s"tf * (cast($nDocs as bigint) * 1000000 div df)"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy("lang", "rnk")
+  }
+
   /** Language ID by stopword-hit voting with a fixed descending tie-break
    * (zh > fr > es > en > de — first language whose score ties the max wins). */
   def langId(spark: SparkSession, dir: String): DataFrame =

@@ -334,4 +334,53 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
     docs.unpersist()
   }
+
+  test("ngram_hist / l1_dist: q-gram count filter lower-bounds levenshtein") {
+    import spark.implicits._
+    graft.functions.NgramHashHistogram.register(spark)
+    graft.functions.VectorFunctions.register(spark)
+    // random word-stream pairs plus hand-made near-dups: the bound
+    // l1_dist(ngram_hist(a), ngram_hist(b)) / (2*4) <= levenshtein(a, b)
+    // must hold for EVERY pair (it is the exactness guarantee of the q51
+    // prune); bucket-hashing may only shrink the left side
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value")
+    val rnd = new scala.util.Random(7)
+    def doc(): String = Seq.fill(8 + rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" ")
+    val pairs = Seq.fill(60)((doc(), doc())) ++
+      Seq(("abc def ghi", "abc deX ghi"), ("same text here", "same text here"), ("", "xyz"))
+    val viol = pairs.toDF("a", "b")
+      .selectExpr("l1_dist(ngram_hist(a, 4, 256), ngram_hist(b, 4, 256)) AS l1",
+        "levenshtein(a, b) AS lev")
+      .filter(col("l1") > col("lev") * 8)
+      .count()
+    assert(viol == 0L)
+    // eval vs codegen agreement + gram-count total
+    val h = spark.sql("SELECT ngram_hist('abcde', 4, 16) AS h")
+      .selectExpr("aggregate(h, 0L, (a, x) -> a + x)").head().getLong(0)
+    assert(h == 2L) // 'abcd', 'bcde'
+  }
+
+  test("sequencePack: sequences partition all docs, token sums telescope") {
+    val packed = SamplingOps.sequencePack(spark, dir, capacity = 512).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val totalDocs = docs.count()
+    val totalToks = docs.selectExpr("sum(size(split(text, ' ')))").head().getLong(0)
+    assert(packed.map(_.getLong(1)).sum == totalDocs)  // every doc in exactly one seq
+    assert(packed.map(_.getLong(2)).sum == totalToks)  // token mass conserved
+    // greedy concat-then-chunk: every sequence except the last starts within
+    // capacity tokens of the previous one's start (seq ids are dense)
+    val ids = packed.map(_.getLong(0)).sorted
+    assert(ids.zipWithIndex.forall { case (id, i) => id == ids(0) + i })
+  }
+
+  test("hashSplit and stratifiedSample are deterministic and exhaustive") {
+    val s1 = SamplingOps.hashSplit(spark, dir).collect()
+    val s2 = SamplingOps.hashSplit(spark, dir).collect()
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.map(_.getLong(1)).sum == spark.read.parquet(s"$dir/documents.parquet").count())
+    val strat = SamplingOps.stratifiedSample(spark, dir, k = 50)
+    val perLang = strat.groupBy("lang").count().collect()
+    assert(perLang.forall(_.getLong(1) <= 50L))
+    assert(strat.count() == SamplingOps.stratifiedSample(spark, dir, k = 50).count())
+  }
 }
