@@ -79,6 +79,8 @@ object SparkEntry {
     "q31_asof_join" -> (TimeSeriesOps.asofErrorPurchase(_, _)),
     "q45_interpolate" -> (TimeSeriesOps.interpolateHourly(_, _)),
     "q50_sessionize" -> (TimeSeriesOps.sessionizeBatch(_, _)),
+    "q57_range_bucket_join" -> (TimeSeriesOps.rangeBucketJoin(_, _)),
+    "q58_label_centroids" -> (VectorOps.labelCentroids(_, _)),
     // -- multimodal plumbing --
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
     "q32_mm_byte_histogram" -> (MultimodalOps.byteHistograms(_, _)),
@@ -492,6 +494,19 @@ object SparkEntry {
       """WITH r AS (SELECT lang, doc_id, n_chars,
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
         |  FROM documents)
-        |SELECT lang, rn, doc_id, n_chars FROM r WHERE rn <= 50 ORDER BY lang, rn""".stripMargin
+        |SELECT lang, rn, doc_id, n_chars FROM r WHERE rn <= 50 ORDER BY lang, rn""".stripMargin,
+    "q57_range_bucket_join" ->
+      """SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_nearby
+        |FROM events a LEFT JOIN events b
+        |  ON b.event_type = 'error' AND a.user_id = b.user_id
+        |  AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 300
+        |WHERE a.event_type = 'purchase'
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+    "q58_label_centroids" ->
+      """WITH x AS (SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+        |  FROM embeddings)
+        |SELECT label, pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_e6
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin
   )
 }

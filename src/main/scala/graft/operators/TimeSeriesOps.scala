@@ -171,6 +171,41 @@ object TimeSeriesOps {
       .orderBy("event_id")
   }
 
+  /**
+   * Time-range join via bucketing: for every purchase, count same-user
+   * error events within +-300 s. Spark plans a raw range predicate as a
+   * broadcast-nested-loop join — O(n*m) comparisons and a broadcast of a
+   * whole side — so instead both sides are bucketed to the window width and
+   * the probe side explodes to its 3 adjacent buckets: the join becomes a
+   * hash equi-join on (user_id, bucket) with the range check as a residual,
+   * and each qualifying pair meets in EXACTLY one bucket (the build row's
+   * own), so no post-join dedup. 3x probe amplification buys
+   * O(matches) instead of O(n*m) — the standard interval-join shape at
+   * 100 TB, and the same trick `asofJoin`'s scaladoc describes for
+   * bounded-lookback as-of.
+   */
+  def rangeBucketJoin(spark: SparkSession, dir: String, windowSec: Long = 300L): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("pb", explode(array(
+        (col("sec") / windowSec).cast("long") - 1,
+        (col("sec") / windowSec).cast("long"),
+        (col("sec") / windowSec).cast("long") + 1)))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+        col("sec").as("e_sec"), (col("sec") / windowSec).cast("long").as("eb"))
+    purchases
+      .join(errors,
+        col("user_id") === col("e_user") && col("pb") === col("eb") &&
+          abs(col("sec") - col("e_sec")) <= windowSec,
+        "left")
+      .groupBy("event_id")
+      .agg(count(col("e_id")).as("n_nearby"))
+      .orderBy("event_id")
+  }
+
   /** Batch sessionization: gap-based session assignment (new session when
    * >30 min since the user's previous event), then per-session stats. The
    * classic lag -> boundary-flag -> running-sum pattern: both windows share

@@ -61,4 +61,27 @@ object VectorOps {
       .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
       .orderBy("a", "b")
   }
+
+  /**
+   * Per-label embedding centroids in exact integer arithmetic: quantize each
+   * element to a scaled long FIRST (`round(x * 1e6)` — deterministic IEEE
+   * product + half-up rounding, identical in Spark and DuckDB), then
+   * integer-sum and integer-divide. Float sums depend on accumulation order
+   * (shuffle layout), so a float `avg` is nondeterministic across runs AND
+   * engines; integer sums are associative-commutative-exact, which is what
+   * makes this oracle-checkable and rerun-stable at any parallelism.
+   *
+   * Shape: posexplode (64 rows per vector) -> partial-agg groupBy on
+   * (label, pos) — one shuffle of at most labels x dims partial rows per
+   * task, independent of row count.
+   */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        expr("cast(round(cast(e as double) * 1000000) as bigint)").as("v"))
+      .groupBy("label", "pos")
+      .agg(sum("v").as("sum_e6"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"), col("sum_e6"))
+      .orderBy("label", "pos")
 }
