@@ -84,6 +84,7 @@ object SparkEntry {
     // -- multimodal plumbing --
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
     "q32_mm_byte_histogram" -> (MultimodalOps.byteHistograms(_, _)),
+    "q59_mm_frame_sample" -> (MultimodalOps.frameSample(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     // -- flagship composite: the full curation pass as one plan --
@@ -507,6 +508,13 @@ object SparkEntry {
         |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
         |  FROM embeddings)
         |SELECT label, pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_e6
-        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q59_mm_frame_sample" ->
+      """WITH a AS (SELECT doc_id AS id, 1 + strlen(text) % 31 AS n_frames,
+        |  16 + ascii(substr(text, 1, 1)) AS w, 16 + ascii(substr(text, 2, 1)) AS h FROM documents),
+        |f AS (SELECT id, unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx, w, h FROM a)
+        |SELECT id, CAST(frame_idx AS INT) AS frame_idx, CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+        |CAST(w // 2 AS INT) AS out_w, CAST(h // 2 AS INT) AS out_h
+        |FROM f ORDER BY id, frame_idx""".stripMargin
   )
 }

@@ -114,6 +114,35 @@ object AnnIndex {
       .limit(k)
   }
 
+  /**
+   * Lloyd refinement of the IVF centroids: `iters` rounds of
+   * assign-to-nearest then recompute-means. Each round is two jobs:
+   * [[ivfAssign]] (broadcast centroids, map-side arg-min, no shuffle) and a
+   * mean recompute via posexplode -> groupBy (bucket, pos) — one shuffle of
+   * dim x n partial-aggregated rows, then a tiny per-bucket regroup to
+   * re-assemble `centroid` arrays. K-means' monotonicity guarantees the
+   * mean within-cluster distortion never increases, so a couple of rounds
+   * tighten the systematic-sample seed ([[ivfCentroids]]) without giving up
+   * determinism (no random restarts; ties broken by centroid_id). Empty
+   * clusters keep their previous centroid (left join + coalesce) so
+   * `nCentroids` is stable across rounds.
+   */
+  def ivfRefine(df: DataFrame, embCol: String, idCol: String, centroids: DataFrame, iters: Int): DataFrame = {
+    var cents = centroids
+    for (_ <- 1 to iters) {
+      val means = ivfAssign(df.select(col(idCol), col(embCol)), embCol, cents)
+        .select(col("bucket").as("centroid_id"), posexplode(col(embCol)).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg("x").as("m"))
+        .groupBy("centroid_id")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("mean_c"))
+      cents = cents
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("mean_c"), col("centroid")).as("centroid"))
+    }
+    cents
+  }
+
   /** Assign each vector to its nearest centroid (broadcast centroids; one
    * map-side pass, no shuffle until the consumer groups by bucket). */
   def ivfAssign(df: DataFrame, embCol: String, centroids: DataFrame): DataFrame = {

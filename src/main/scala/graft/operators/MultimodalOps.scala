@@ -78,6 +78,46 @@ object MultimodalOps {
       )
       .orderBy("doc_id")
 
+  /** One sampled video frame: the schema contract of the frame-sampling
+   * stage (payload omitted here; a real decoder would carry
+   * `frame_bytes: Array[Byte]`). */
+  final case class Frame(id: Long, frame_idx: Int, ts_ms: Long, out_w: Int, out_h: Int)
+
+  /**
+   * Frame sampling + resize: treat each asset as a video with
+   * `n_frames` (stub-derived), emit every 5th frame with a 2x downscaled
+   * output geometry. The frame-index generation is DECLARATIVE —
+   * `explode(sequence(0, n_frames-1, 5))` stays inside whole-stage codegen
+   * and Catalyst knows the output estimate — rather than a per-row loop in
+   * `mapPartitions`. Row-count amplification (~n_frames/5 per asset) is the
+   * scale hazard of this stage: at 100 TB follow the explode with
+   * `repartition()` sized to the amplified row count before any wide
+   * downstream op, so post-explode partitions stay executor-memory-sized.
+   * The per-frame decode itself would ride in [[decodeAll]]'s batched
+   * `mapPartitions` shape; here the geometry math stands in for it.
+   */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id").as("id"),
+        (octet_length(col("text")) % 31 + 1).as("n_frames"),
+        (lit(16) + ascii(substring(col("text"), 1, 1))).as("w"),
+        (lit(16) + ascii(substring(col("text"), 2, 1))).as("h")
+      )
+      .select(
+        col("id"),
+        explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_idx"),
+        col("w"), col("h")
+      )
+      .select(
+        col("id"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        (col("frame_idx") * 40L).cast("bigint").as("ts_ms"),
+        (col("w") / 2).cast("int").as("out_w"),
+        (col("h") / 2).cast("int").as("out_h")
+      )
+      .orderBy("id", "frame_idx")
+
   /** Byte-histogram features through the custom Catalyst expression
    * (rows-only check: no DuckDB analogue iterates blob bytes). */
   def byteHistograms(spark: SparkSession, dir: String): DataFrame = {

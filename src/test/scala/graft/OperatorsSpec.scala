@@ -373,6 +373,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.zipWithIndex.forall { case (id, i) => id == ids(0) + i })
   }
 
+  test("ivfRefine: Lloyd rounds never increase mean within-cluster distortion") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS emb")
+    val seed = AnnIndex.ivfCentroids(e, "emb", "vec_id", nCentroids = 8)
+    def distortion(cents: org.apache.spark.sql.DataFrame): Double =
+      AnnIndex.ivfAssign(e, "emb", cents)
+        .join(cents.withColumnRenamed("centroid_id", "bucket"), "bucket")
+        .selectExpr("avg(aggregate(zip_with(emb, centroid, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)) AS d")
+        .head().getDouble(0)
+    val d0 = distortion(seed)
+    val refined = AnnIndex.ivfRefine(e, "emb", "vec_id", seed, iters = 2)
+    val d2 = distortion(refined)
+    assert(refined.count() == 8L) // empty clusters keep their previous centroid
+    assert(d2 <= d0 + 1e-9, s"distortion rose: $d0 -> $d2")
+  }
+
+  test("frameSample: every 5th frame, geometry halved, count matches stub") {
+    val frames = MultimodalOps.frameSample(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expected = docs.selectExpr("sum(1 + (octet_length(text) % 31 + 1 - 1) div 5)").head().getLong(0)
+    assert(frames.count() == expected)
+    val r = frames.filter(col("id") === 0).collect()
+    assert(r.map(_.getInt(1)).toSeq == r.map(_.getInt(1)).toSeq.sorted)
+    assert(r.forall(row => row.getLong(2) == row.getInt(1) * 40L))
+  }
+
   test("hashSplit and stratifiedSample are deterministic and exhaustive") {
     val s1 = SamplingOps.hashSplit(spark, dir).collect()
     val s2 = SamplingOps.hashSplit(spark, dir).collect()
