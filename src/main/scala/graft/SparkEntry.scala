@@ -71,6 +71,7 @@ object SparkEntry {
     "q29_dedup_simhash" -> (DedupOps.simhash(_, _)),
     "q44_dedup_winnow" -> (DedupOps.winnowDedup(_, _)),
     "q51_dedup_levenshtein" -> (DedupOps.levenshteinDedup(_, _)),
+    "q60_dedup_clusters" -> (DedupOps.dedupClusters(_, _)),
     // -- extension ops: similarity search --
     "q27_knn_bruteforce" -> (VectorOps.knnBruteForce(_, _)),
     "q28_dedup_embedding" -> (VectorOps.embeddingDedup(_, _)),
@@ -515,6 +516,31 @@ object SparkEntry {
         |f AS (SELECT id, unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx, w, h FROM a)
         |SELECT id, CAST(frame_idx AS INT) AS frame_idx, CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
         |CAST(w // 2 AS INT) AS out_w, CAST(h // 2 AS INT) AS out_h
-        |FROM f ORDER BY id, frame_idx""".stripMargin
+        |FROM f ORDER BY id, frame_idx""".stripMargin,
+    "q60_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(arr)-1), i -> arr[i]||' '||arr[i+1]||' '||arr[i+2])) AS s
+        |  FROM toks WHERE len(arr)>=3)),
+        |shd AS (SELECT doc_id, md5(s) || md5('x'||s) AS d FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(substr(d,1,8)) h0, min(substr(d,9,8)) h1,
+        |  min(substr(d,17,8)) h2, min(substr(d,25,8)) h3,
+        |  min(substr(d,33,8)) h4, min(substr(d,41,8)) h5,
+        |  min(substr(d,49,8)) h6, min(substr(d,57,8)) h7
+        |  FROM shd GROUP BY doc_id),
+        |bands AS (SELECT doc_id, '0'||h0||h1 AS bk FROM sig UNION ALL SELECT doc_id, '1'||h2||h3 FROM sig
+        |  UNION ALL SELECT doc_id, '2'||h4||h5 FROM sig UNION ALL SELECT doc_id, '3'||h6||h7 FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+        |  JOIN bands y ON x.bk=y.bk AND x.doc_id<y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |common AS (SELECT c.a, c.b, count(*) AS cm FROM cand c JOIN sh sa ON sa.doc_id=c.a
+        |  JOIN sh sb ON sb.doc_id=c.b AND sb.s=sa.s GROUP BY c.a, c.b),
+        |p AS (SELECT a, b FROM common JOIN sizes na ON na.doc_id=a JOIN sizes nb ON nb.doc_id=b
+        |  WHERE cm::DOUBLE/(na.n+nb.n-cm) >= 0.5),
+        |e AS (SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),
+        |reach AS (SELECT s, t FROM e UNION SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s AND e2.t <> r.s)
+        |SELECT s AS doc_id, least(s, min(t)) AS cluster, s <= min(t) AS is_canonical
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
   )
 }

@@ -231,6 +231,60 @@ object DedupOps {
   }
 
   /**
+   * Near-duplicate CLUSTERS: connected components over the MinHash-LSH pair
+   * graph ([[minhashLsh]]), plus canonical-document election (min doc_id per
+   * component) — the step that turns a pair list into an actual deduplicated
+   * corpus ("keep is_canonical").
+   *
+   * Components by iterative min-label propagation: every node starts
+   * labelled with itself; each round takes the min of its own and its
+   * neighbours' labels; fixpoint after diameter rounds. Near-dup graphs are
+   * overwhelmingly tiny cliques/paths, so 2-3 rounds converge; each round is
+   * two hash-partitioned joins on node id (edges never move — only the
+   * O(nodes) label table shuffles), and the loop re-persists labels and
+   * checks convergence with an O(1)-row count. For adversarial long-chain
+   * graphs swap the update rule for large-star/small-star (Kiveris et al.,
+   * "Connected Components in MapReduce"), which squares the convergence
+   * rate with the same join shape.
+   */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("a"), col("b")).persist()
+    val edges = pairs
+      .union(pairs.select(col("b"), col("a")))
+      .toDF("s", "t")
+      .persist()
+    var labels = edges.select(col("s").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("t"), col("lbl").as("tlbl")), "t")
+        .groupBy(col("s").as("doc_id"))
+        .agg(min("tlbl").as("nlbl"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lbl"), least(col("lbl"), col("nlbl")).as("lbl2"))
+        .persist()
+      changed = next.filter(col("lbl2") < col("lbl")).count()
+      val prev = labels
+      labels = next.select(col("doc_id"), col("lbl2").as("lbl")).persist()
+      labels.count() // materialize off the cached `next` before dropping it
+      prev.unpersist()
+      next.unpersist()
+    }
+    edges.unpersist()
+    pairs.unpersist()
+    labels
+      .select(
+        col("doc_id"),
+        col("lbl").as("cluster"),
+        (col("doc_id") === col("lbl")).as("is_canonical")
+      )
+      .orderBy("doc_id")
+  }
+
+  /**
    * Edit-distance (Levenshtein) near-duplicate pairs: docs in the same
    * language whose lengths differ by <= 30 chars and whose edit distance is
    * <= 5% of the longer text. The 5% budget is what makes the q-gram count

@@ -400,6 +400,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.forall(row => row.getLong(2) == row.getInt(1) * 40L))
   }
 
+  test("dedupClusters: edge endpoints share a cluster, one canonical per cluster") {
+    val pairs = DedupOps.minhashLsh(spark, dir).select("a", "b")
+    val clusters = DedupOps.dedupClusters(spark, dir)
+    // every near-dup pair landed in the same component
+    val broken = pairs
+      .join(clusters.select(col("doc_id").as("a"), col("cluster").as("ca")), "a")
+      .join(clusters.select(col("doc_id").as("b"), col("cluster").as("cb")), "b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(broken == 0L)
+    // exactly one canonical per cluster, and it is the min id
+    val canon = clusters.groupBy("cluster")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("nc"), min("doc_id").as("mn"))
+    assert(canon.filter(col("nc") =!= 1 || col("mn") =!= col("cluster")).count() == 0L)
+  }
+
   test("hashSplit and stratifiedSample are deterministic and exhaustive") {
     val s1 = SamplingOps.hashSplit(spark, dir).collect()
     val s2 = SamplingOps.hashSplit(spark, dir).collect()
