@@ -26,6 +26,18 @@ object StreamingOps {
         col("event_type"), col("n"), col("total")
       )
 
+  /** Streaming exact dedup on a content key with bounded state:
+   * duplicates arriving within the watermark horizon are dropped, and the
+   * key's state is freed once the watermark passes its event time — the
+   * streaming dual of [[graft.operators.DedupOps.exact]]. Without the
+   * watermark variant, state grows with every distinct key ever seen; with
+   * it, state is O(keys per horizon), which is what survives an unbounded
+   * stream. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String], watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
 

@@ -132,6 +132,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     streamed.foreach { case (k, n) => assert(n > 0 && n <= totals(k)) }
   }
 
+  test("streaming dedupWithinWatermark drops in-horizon duplicates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("stream-dedup")
+    val batchDf = operators.Tables.t(spark, dir, "events")
+    // duplicate every event: the deduped stream must emit each key once
+    batchDf.union(batchDf).write.mode("overwrite").parquet(tmp.toString)
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(tmp.toString)
+    val q = graft.streaming.StreamingOps
+      .dedupWithinWatermark(streamDf, Seq("event_id"), watermark = "10 days")
+      .writeStream.outputMode("append").format("memory").queryName("dd")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dd").head()
+    assert(out.getLong(0) == out.getLong(1), "emitted duplicates")
+    assert(out.getLong(0) == batchDf.count())
+  }
+
   test("streaming sessionize accumulates per-user state") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("stream-in2")
