@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan regression guards: every query in [[SparkEntry.queries]] must keep
+ * the physical-plan properties its scaladoc claims. Correctness is the
+ * oracle's job; THIS spec pins the scale properties — a refactor that
+ * silently turns an equi-join into a Cartesian product or drops a pushed
+ * filter still passes the oracle at sf0.01, and only blows up at 100 TB.
+ */
+class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-guard")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    try spark.stop()
+    finally super.afterAll()
+  }
+
+  /** Queries whose plan legitimately contains a broadcast-nested-loop join —
+   * all three are keyless crosses whose broadcast side is provably tiny:
+   * q27 broadcasts a literal 1-row query vector; q19/q45 cross an hourly
+   * spine with the distinct event-type set (5 rows) to materialize gaps. */
+  private val bnljAllowed = Set("q27_knn_bruteforce", "q19_resample_gapfill", "q45_interpolate")
+
+  test("no query plans a Cartesian product; BNLJ only where intended") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cart || bnlj) Some(s"$name cartesian=$cart bnlj=$bnlj") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("filters and projections reach the parquet scan") {
+    // q03: predicate pushdown — the scan itself must carry the filters
+    val p03 = SparkEntry.queries("q03_filter_project")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p03.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), EqualTo(event_type,purchase)")
+      || p03.contains("EqualTo(event_type,purchase)"), s"q03 lost pushdown:\n$p03")
+    // q20: column pruning — a 2-column text query must not read the
+    // events-wide schema; ReadSchema should mention only what it needs
+    val p20 = SparkEntry.queries("q20_text_tokens")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p20.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"q20 reads extra columns:\n$p20")
+  }
+
+  test("broadcast-eligible dimension joins broadcast (q08, q12)") {
+    for (q <- Seq("q08_join_broadcast", "q12_tpch3_topk")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q does not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q fell back to SMJ at dimension scale:\n$plan")
+    }
+  }
+
+  test("top-k queries avoid a global sort (TakeOrderedAndProject)") {
+    val plan = SparkEntry.queries("q12_tpch3_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"q12 global-sorts for a LIMIT:\n$plan")
+  }
+}
