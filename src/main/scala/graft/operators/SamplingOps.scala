@@ -97,6 +97,36 @@ object SamplingOps {
   }
 
   /**
+   * Train/test decontamination: flag training docs sharing any 8-token
+   * shingle with a held-out (test-split) doc — the benchmark-leakage check
+   * every LLM data pipeline runs before training. Splits come from
+   * [[hashSplit]]'s md5 buckets; shingles from the `word_shingles` codegen
+   * kernel (distinct per doc, so a repeated phrase inside one doc counts
+   * once). The collision check is an equi-join on the shingle string with
+   * the TEST side broadcast — in production the contamination reference is
+   * a fixed benchmark suite, orders of magnitude smaller than the training
+   * corpus, so the train side (the 100 TB side) never shuffles. Swap
+   * the broadcast for a shuffle join only if the reference set outgrows
+   * executor memory; hashing shingles to longs first (xxhash64) cuts the
+   * broadcast size ~5x if it does.
+   */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val d = t(spark, dir, "documents")
+      .withColumn("h1", substring(md5(col("doc_id").cast("string")), 1, 1))
+    def shingles(df: DataFrame) =
+      df.select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("g"))
+    val train = shingles(d.filter(col("h1") < "d"))
+    val test = shingles(d.filter(col("h1") >= "f"))
+      .select(col("g"), col("doc_id").as("tdoc"))
+    train
+      .join(broadcast(test), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct("tdoc").as("n_test_hits"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * Stratified sampling: k docs per language, picked by hash order — a
    * deterministic "random" sample whose membership is stable across runs
    * and engines. One shuffle (the per-stratum window partition); the rank
