@@ -249,13 +249,19 @@ object DedupOps {
    */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("a"), col("b")).persist()
+    pairs.count() // materialize BEFORE the union below reads it twice
     val edges = pairs
       .union(pairs.select(col("b"), col("a")))
       .toDF("s", "t")
       .persist()
-    var labels = edges.select(col("s").as("doc_id")).distinct()
+    // `prev` stays persisted while `labels` lazily selects over it — one
+    // count() per round both materializes the new labels and yields the
+    // convergence test; no second action, no recompute window
+    var prev = edges.select(col("s").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
+      .withColumn("lbl2", col("lbl"))
       .persist()
+    var labels = prev.select(col("doc_id"), col("lbl"))
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
@@ -267,11 +273,9 @@ object DedupOps {
         .select(col("doc_id"), col("lbl"), least(col("lbl"), col("nlbl")).as("lbl2"))
         .persist()
       changed = next.filter(col("lbl2") < col("lbl")).count()
-      val prev = labels
-      labels = next.select(col("doc_id"), col("lbl2").as("lbl")).persist()
-      labels.count() // materialize off the cached `next` before dropping it
-      prev.unpersist()
-      next.unpersist()
+      prev.unpersist() // next is materialized; the old generation can go
+      prev = next
+      labels = next.select(col("doc_id"), col("lbl2").as("lbl"))
     }
     edges.unpersist()
     pairs.unpersist()
