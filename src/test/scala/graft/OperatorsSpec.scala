@@ -417,6 +417,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.forall(row => row.getLong(2) == row.getInt(1) * 40L))
   }
 
+  test("vec_sum aggregator equals the posexplode shape (both exact)") {
+    graft.functions.VectorSumAgg.register(spark, 64)
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("label", "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint)) AS v")
+    val viaAgg = q.groupBy("label").agg(expr("vec_sum_64(v) AS s"))
+      .selectExpr("label", "posexplode(s) AS (pos, sum_e6)")
+      .selectExpr("label", "pos + 1 AS pos", "sum_e6")
+    val viaExplode = operators.VectorOps.labelCentroids(spark, dir)
+      .select("label", "pos", "sum_e6")
+    assert(viaAgg.exceptAll(viaExplode).count() == 0 && viaExplode.exceptAll(viaAgg).count() == 0)
+  }
+
   test("dedupClusters: edge endpoints share a cluster, one canonical per cluster") {
     val pairs = DedupOps.minhashLsh(spark, dir).select("a", "b")
     val clusters = DedupOps.dedupClusters(spark, dir)
