@@ -90,7 +90,8 @@ object SparkEntry {
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     // -- flagship composite: the full curation pass as one plan --
-    "q43_curation_pipeline" -> (CurationPipeline.curate(_, _))
+    "q43_curation_pipeline" -> (CurationPipeline.curate(_, _)),
+    "q62_joint_curation" -> (CurationPipeline.jointCuration(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -552,6 +553,24 @@ object SparkEntry {
         |tr AS (SELECT doc_id, g FROM g WHERE h1 < 'd'),
         |te AS (SELECT doc_id AS tdoc, g FROM g WHERE h1 >= 'f')
         |SELECT tr.doc_id, CAST(count(DISTINCT te.tdoc) AS BIGINT) AS n_test_hits
-        |FROM tr JOIN te USING (g) GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+        |FROM tr JOIN te USING (g) GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q62_joint_curation" ->
+      """WITH q AS (SELECT doc_id, text, string_split(text,' ') AS toks,
+        |  CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text) AS punct_r,
+        |  CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_r
+        |  FROM documents),
+        |qs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(least(1.0, length(text)/500.0)*(1.0-punct_r)*(0.5+0.5*stop_r)*1000.0, 0) AS BIGINT) AS quality_score_k
+        |  FROM q),
+        |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |losers AS (SELECT DISTINCT y.vec_id AS vec_id FROM e x JOIN e y
+        |  ON x.label=y.label AND x.vec_id<y.vec_id
+        |  WHERE list_inner_product(x.emb,y.emb)/(sqrt(list_inner_product(x.emb,x.emb))*sqrt(list_inner_product(y.emb,y.emb))) >= 0.35)
+        |SELECT qs.doc_id, e2.label, qs.quality_score_k
+        |FROM qs JOIN embeddings e2 ON e2.vec_id = qs.doc_id
+        |WHERE qs.quality_score_k >= 300 AND qs.n_tokens >= 20
+        |  AND qs.doc_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY qs.doc_id""".stripMargin
   )
 }

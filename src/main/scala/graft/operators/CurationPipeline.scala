@@ -32,4 +32,27 @@ object CurationPipeline {
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality_score_k"))
       .orderBy("doc_id")
   }
+
+  /**
+   * Multimodal joint curation: a document survives only if its TEXT passes
+   * the quality gate AND its paired EMBEDDING (doc_id = vec_id) is not the
+   * loser of a cosine near-dup pair — the cross-modal compose every
+   * image+caption / audio+transcript pipeline runs. Scale shape: the
+   * doc-embedding equi-join shuffles on the shared key (or is free if both
+   * tables are bucketed by id, see BucketingSpec); the embedding-dedup
+   * loser set is label-blocked all-pairs ([[VectorOps.embeddingDedup]])
+   * and broadcasts as an anti-join build side.
+   */
+  def jointCuration(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score_k"), col("n_tokens"))
+    val losers = VectorOps.embeddingDedup(spark, dir).select(col("b").as("vec_id")).distinct()
+    val emb = Tables.t(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    quality
+      .filter(col("quality_score_k") >= 300 && col("n_tokens") >= 20)
+      .join(emb, col("doc_id") === col("vec_id"))
+      .join(broadcast(losers), Seq("vec_id"), "left_anti")
+      .select(col("doc_id"), col("label"), col("quality_score_k"))
+      .orderBy("doc_id")
+  }
 }
