@@ -82,6 +82,7 @@ object SparkEntry {
     "q45_interpolate" -> (TimeSeriesOps.interpolateHourly(_, _)),
     "q50_sessionize" -> (TimeSeriesOps.sessionizeBatch(_, _)),
     "q57_range_bucket_join" -> (TimeSeriesOps.rangeBucketJoin(_, _)),
+    "q63_ewma" -> (TimeSeriesOps.ewma(_, _)),
     "q58_label_centroids" -> (VectorOps.labelCentroids(_, _)),
     // -- multimodal plumbing --
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
@@ -571,6 +572,15 @@ object SparkEntry {
         |FROM qs JOIN embeddings e2 ON e2.vec_id = qs.doc_id
         |WHERE qs.quality_score_k >= 300 AND qs.n_tokens >= 20
         |  AND qs.doc_id NOT IN (SELECT vec_id FROM losers)
-        |ORDER BY qs.doc_id""".stripMargin
+        |ORDER BY qs.doc_id""".stripMargin,
+    "q63_ewma" ->
+      """WITH w AS (SELECT event_id, event_type, value,
+        |  list(value) OVER (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |CAST(round(list_sum(list_transform(range(len(vals)), i ->
+        |  vals[i+1] * pow(0.5, len(vals) - 1 - i))) * 100) AS BIGINT) AS ewma_cents
+        |FROM w ORDER BY event_id""".stripMargin
   )
 }

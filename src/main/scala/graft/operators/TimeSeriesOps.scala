@@ -172,6 +172,38 @@ object TimeSeriesOps {
   }
 
   /**
+   * Exponentially-weighted moving average over a trailing 20-event window,
+   * per event type — the decay-weighted rolling statistic that plain
+   * window aggregates can't express (the recurrence needs per-row
+   * weights). Shape: collect the frame into an array (bounded: 20
+   * elements), weight each element with `0.5^age` via an indexed
+   * transform, fold — all inside one window shuffle.
+   *
+   * Decay 0.5 is chosen deliberately: `0.5^k` and `x * 0.5^k` are EXACT
+   * in binary floating point (exponent shifts), so the only inexactness
+   * is the final 20-term fold, identical left-to-right in both engines —
+   * a `pow(0.9, k)` weighting would hang parity on last-ulp `pow`
+   * agreement across libm implementations. Output quantized to cents.
+   */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(-19, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("vals", collect_list("value").over(w))
+      .select(
+        col("event_id"), col("event_type"),
+        expr(
+          """cast(round(aggregate(
+            |  transform(vals, (x, i) -> x * pow(0.5D, size(vals) - 1 - i)),
+            |  0D, (acc, x) -> acc + x) * 100) as bigint)""".stripMargin
+        ).as("ewma_cents")
+      )
+      .orderBy("event_id")
+  }
+
+  /**
    * Time-range join via bucketing: for every purchase, count same-user
    * error events within +-300 s. Spark plans a raw range predicate as a
    * broadcast-nested-loop join — O(n*m) comparisons and a broadcast of a
