@@ -26,6 +26,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
  * Hashing is over UTF-16 code units (String.charAt), deterministic and
  * endianness-free; n is capped small (<= 8) since the filter's strength
  * decays as 1/(2n).
+ *
+ * BOUND SCOPE: the `lev >= L1/(2n)` guarantee holds when one edited
+ * codepoint occupies one UTF-16 unit — i.e. for BMP text. A non-BMP
+ * codepoint (surrogate pair) spans two units, so one edit can touch n+1
+ * windows and the divisor would need to be 2n+2. Callers pruning
+ * Levenshtein joins should scope to BMP (or, as
+ * [[graft.operators.DedupOps.levenshteinDedup]] does, ASCII) or use the
+ * looser divisor.
  */
 case class NgramHashHistogram(child: Expression, n: Int, bins: Int) extends UnaryExpression {
   require(n >= 1 && n <= 8, s"n must be in 1..8, got $n")
