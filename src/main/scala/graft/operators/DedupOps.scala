@@ -243,9 +243,8 @@ object DedupOps {
    * two hash-partitioned joins on node id (edges never move — only the
    * O(nodes) label table shuffles), and the loop re-persists labels and
    * checks convergence with an O(1)-row count. For adversarial long-chain
-   * graphs swap the update rule for large-star/small-star (Kiveris et al.,
-   * "Connected Components in MapReduce"), which squares the convergence
-   * rate with the same join shape.
+   * graphs swap in [[connectedComponentsStar]] (large-star/small-star),
+   * which converges in O(log^2 n) rounds with the same join shape.
    */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("a"), col("b")).persist()
@@ -286,6 +285,69 @@ object DedupOps {
         (col("doc_id") === col("lbl")).as("is_canonical")
       )
       .orderBy("doc_id")
+  }
+
+  /**
+   * Connected components by alternating large-star / small-star rounds
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14) — the adversarial-diameter alternative to
+   * [[dedupClusters]]' min-label propagation. Each round rewires the edge
+   * list itself: large-star hooks every neighbor LARGER than a node onto
+   * the minimum of its neighborhood, small-star does the same for the
+   * smaller side. Convergence is O(log^2 n) rounds on ANY graph (vs
+   * O(diameter) for propagation), with the same join shape per round —
+   * that is the whole trade: more rewiring per round, exponentially fewer
+   * rounds on long chains.
+   *
+   * Returns (node, component-min) pairs for every non-isolated node of
+   * `edges` — the same contract the propagation loop's label table has.
+   */
+  def connectedComponentsStar(edges: DataFrame): DataFrame = {
+    // adjacency both ways once up front; loop state is the DIRECTED edge
+    // list (u -> v, u > v invariant restored by small-star).
+    // localCheckpoint (NOT persist) each generation: every round embeds the
+    // previous plan ~4x (two self-unions + joins), so WITHOUT lineage
+    // truncation the logical plan grows 4^rounds and the DRIVER dies on
+    // plan analysis long before any executor breaks a sweat — the classic
+    // iterative-DataFrame failure mode.
+    var e = edges.toDF("s", "t")
+      .union(edges.toDF("t", "s").select(col("s"), col("t")))
+      .filter(col("s") =!= col("t"))
+      .select(greatest(col("s"), col("t")).as("u"), least(col("s"), col("t")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var stable = false
+    while (!stable) {
+      // large-star: for each u, m = min(neighbors ∪ self); hook every
+      // STRICTLY LARGER neighbor onto m
+      val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy("u").agg(least(min("v"), first("u")).as("m"))
+      val large = adj.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: for each u, m = min(smaller-neighbors ∪ self); hook the
+      // smaller neighbors (and u itself) onto m
+      val smallAdj = large // large-star output already has u > v
+      val smins = smallAdj.groupBy("u").agg(min("v").as("m"))
+      val next = smallAdj.join(smins, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v"))
+        )).as("p"))
+        .select(col("p.u"), col("p.v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint when the directed edge multiset stops changing (exact
+      // set-equality; at production scale compare (count, checksum) instead
+      // of two anti-joins)
+      stable = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+    }
+    // after convergence every edge points at its component min
+    e.select(col("u").as("doc_id"), col("v").as("lbl"))
   }
 
   /**

@@ -429,6 +429,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaAgg.exceptAll(viaExplode).count() == 0 && viaExplode.exceptAll(viaAgg).count() == 0)
   }
 
+  test("large-star/small-star CC agrees with min-label propagation") {
+    val pairs = DedupOps.minhashLsh(spark, dir).select("a", "b")
+    // star output omits component centers (they never appear as a source);
+    // complete it to the full label table the propagation loop produces
+    val star = DedupOps.connectedComponentsStar(pairs)
+    val nodes = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val starLabels = nodes.join(star, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    val propLabels = DedupOps.dedupClusters(spark, dir).select("doc_id", "cluster")
+    assert(starLabels.exceptAll(propLabels).count() == 0 &&
+      propLabels.exceptAll(starLabels).count() == 0)
+    // synthetic long chain (worst case for propagation): 0-1-2-...-9
+    import spark.implicits._
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainStar = DedupOps.connectedComponentsStar(chain)
+    assert(chainStar.collect().forall(_.getLong(1) == 0L))
+  }
+
   test("dedupClusters: edge endpoints share a cluster, one canonical per cluster") {
     val pairs = DedupOps.minhashLsh(spark, dir).select("a", "b")
     val clusters = DedupOps.dedupClusters(spark, dir)
