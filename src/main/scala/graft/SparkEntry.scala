@@ -53,6 +53,7 @@ object SparkEntry {
     "q41_stats_aggs" -> (RelationalOps.statsAggs(_, _)),
     "q42_array_funcs" -> (RelationalOps.arrayFuncs(_, _)),
     "q46_pivot_conditional" -> (RelationalOps.pivotSegments(_, _)),
+    "q64_unpivot" -> (RelationalOps.unpivotMeasures(_, _)),
     // -- extension ops: text analysis (BASELINE.json north star) --
     "q20_text_tokens" -> (TextOps.tokenCount(_, _)),
     "q21_text_quality" -> (TextOps.qualityScore(_, _)),
@@ -581,6 +582,15 @@ object SparkEntry {
         |SELECT event_id, event_type,
         |CAST(round(list_sum(list_transform(range(len(vals)), i ->
         |  vals[i+1] * pow(0.5, len(vals) - 1 - i))) * 100) AS BIGINT) AS ewma_cents
-        |FROM w ORDER BY event_id""".stripMargin
+        |FROM w ORDER BY event_id""".stripMargin,
+    "q64_unpivot" ->
+      """SELECT measure, CAST(count(*) AS BIGINT) AS n, min(val) AS mn, max(val) AS mx,
+        |round(sum(val), 2) AS total
+        |FROM (
+        |  SELECT 'discount' AS measure, l_discount AS val FROM lineitem
+        |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'quantity', l_quantity FROM lineitem
+        |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+        |GROUP BY measure ORDER BY measure""".stripMargin
   )
 }

@@ -368,6 +368,30 @@ object RelationalOps {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy("oyear", "oquarter")
 
+  /** UNPIVOT (wide -> long): the four lineitem measures melted into
+   * (measure, value) rows via the `stack` generator — one codegen'd pass, 4x
+   * row amplification, then a 4-group aggregate. The inverse of
+   * [[pivotSegments]]; together they round-trip between layouts. Sums are
+   * rounded at 2 only because every measure sits on the cent grid (sums of
+   * on-grid data stay on-grid — engine-stable). */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .selectExpr(
+        """stack(4,
+          |  'discount', l_discount,
+          |  'extendedprice', l_extendedprice,
+          |  'quantity', l_quantity,
+          |  'tax', l_tax) AS (measure, val)""".stripMargin
+      )
+      .groupBy("measure")
+      .agg(
+        count(lit(1)).as("n"),
+        min("val").as("mn"),
+        max("val").as("mx"),
+        round(sum("val"), 2).as("total")
+      )
+      .orderBy("measure")
+
   /** CUBE over (year, priority): all four grouping-set combinations in one
    * pass (map-side partial agg expands the sets; one shuffle total). NULL
    * grouping keys are coalesced to sentinels — Spark sorts NULLS FIRST,
