@@ -54,6 +54,9 @@ object SparkEntry {
     "q42_array_funcs" -> (RelationalOps.arrayFuncs(_, _)),
     "q46_pivot_conditional" -> (RelationalOps.pivotSegments(_, _)),
     "q64_unpivot" -> (RelationalOps.unpivotMeasures(_, _)),
+    "q65_daily_active" -> (RelationalOps.dailyActiveUsers(_, _)),
+    "q66_value_histogram" -> (RelationalOps.valueHistogram(_, _)),
+    "q67_string_agg" -> (RelationalOps.stringAgg(_, _)),
     // -- extension ops: text analysis (BASELINE.json north star) --
     "q20_text_tokens" -> (TextOps.tokenCount(_, _)),
     "q21_text_quality" -> (TextOps.qualityScore(_, _)),
@@ -591,6 +594,21 @@ object SparkEntry {
         |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
         |  UNION ALL SELECT 'quantity', l_quantity FROM lineitem
         |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
-        |GROUP BY measure ORDER BY measure""".stripMargin
+        |GROUP BY measure ORDER BY measure""".stripMargin,
+    "q65_daily_active" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+        |CAST(count(*) AS BIGINT) AS n_events,
+        |round(sum(value), 2) AS total_value
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "q66_value_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS INT) + 1 AS bucket,
+        |CAST(count(*) AS BIGINT) AS n, round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q67_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |CAST(count(*) AS BIGINT) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
   )
 }

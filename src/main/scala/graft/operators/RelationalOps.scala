@@ -392,6 +392,50 @@ object RelationalOps {
       )
       .orderBy("measure")
 
+  /** Daily active users: per-day exact distinct-user count plus event
+   * volume. COUNT(DISTINCT) plans as a two-phase expand/aggregate — the
+   * per-day partials deduplicate map-side, so the shuffle carries at most
+   * (days x distinct users) rows, not events. */
+  def dailyActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(
+        countDistinct("user_id").as("dau"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value")
+      )
+      .orderBy("day")
+
+  /** Fixed-width value histogram: 50 width-10 buckets over [0, 500). Pure
+   * map-side bucketing + one tiny aggregate — the profiling query shape that
+   * replaces exact percentiles when only the distribution's shape is needed
+   * at scale. Bucket math is spelled out (floor(value/10)+1, the
+   * width_bucket formula) so both engines evaluate the IDENTICAL double
+   * expression — DuckDB has no width_bucket, and a differently-factored
+   * formula could floor-flip on boundary values. */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(expr("cast(floor(value / 10.0D) as int) + 1").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("value"), 2).as("lo"),
+        round(max("value"), 2).as("hi")
+      )
+      .orderBy("bucket")
+
+  /** Ordered string aggregation (LISTAGG shape): region -> CSV of its
+   * nations, sorted for determinism. The sort happens INSIDE the collected
+   * array (sort_array, per-group), not as a global sort. */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_nations")
+      )
+      .orderBy("r_name")
+
   /** CUBE over (year, priority): all four grouping-set combinations in one
    * pass (map-side partial agg expands the sets; one shuffle total). NULL
    * grouping keys are coalesced to sentinels — Spark sorts NULLS FIRST,
