@@ -64,6 +64,7 @@ object SparkEntry {
     "q23_text_langid" -> (TextOps.langId(_, _)),
     "q52_text_repetition" -> (TextOps.repetition(_, _)),
     "q53_tfidf_topterms" -> (TextOps.tfidfTopTerms(_, _)),
+    "q68_source_report" -> (TextOps.sourceReport(_, _)),
     // -- extension ops: dataset assembly (split / shuffle-pack / sample) --
     "q54_hash_split" -> (SamplingOps.hashSplit(_, _)),
     "q55_sequence_pack" -> (SamplingOps.sequencePack(_, _)),
@@ -609,6 +610,21 @@ object SparkEntry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
         |CAST(count(*) AS BIGINT) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q68_source_report" ->
+      """WITH q AS (SELECT doc_id, text, string_split(text,' ') AS toks,
+        |  CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text) AS punct_r,
+        |  CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_r
+        |  FROM documents),
+        |qs AS (SELECT doc_id,
+        |  CAST(round(least(1.0, length(text)/500.0)*(1.0-punct_r)*(0.5+0.5*stop_r)*1000.0, 0) AS BIGINT) AS quality_score_k
+        |  FROM q)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        |CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+        |CAST(sum(qs.quality_score_k) // count(*) AS BIGINT) AS mean_quality_k
+        |FROM documents d JOIN qs ON qs.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }

@@ -113,6 +113,28 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /**
+   * Per-source curation report: the data-governance rollup a crawl
+   * pipeline publishes per ingest source — volume, language spread, and
+   * mean quality (integer division over the summed quantized score, so the
+   * mean is exact). Composes [[qualityScore]]'s gate score with a plain
+   * grouped aggregate; one shuffle on the (tiny) source key.
+   */
+  def sourceReport(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(spark, dir)
+      .join(
+        t(spark, dir, "documents").select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        "doc_id"
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_chars").as("sum_chars"),
+        expr("sum(quality_score_k) div count(1)").as("mean_quality_k")
+      )
+      .orderBy("source")
+
   /** Language ID by stopword-hit voting with a fixed descending tie-break
    * (zh > fr > es > en > de — first language whose score ties the max wins). */
   def langId(spark: SparkSession, dir: String): DataFrame =
