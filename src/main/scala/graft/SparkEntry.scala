@@ -95,6 +95,7 @@ object SparkEntry {
     "q59_mm_frame_sample" -> (MultimodalOps.frameSample(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
+    "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
     // -- flagship composite: the full curation pass as one plan --
     "q43_curation_pipeline" -> (CurationPipeline.curate(_, _)),
     "q62_joint_curation" -> (CurationPipeline.jointCuration(_, _))
@@ -255,6 +256,20 @@ object SparkEntry {
         |SELECT a, b, round(cm::DOUBLE/(na.n+nb.n-cm),4) AS jaccard FROM common
         |JOIN sizes na ON na.doc_id=a JOIN sizes nb ON nb.doc_id=b
         |WHERE cm::DOUBLE/(na.n+nb.n-cm) >= 0.5 ORDER BY a, b""".stripMargin,
+    // byte-level blob iteration in DuckDB: hex() the payload, read the HIGH
+    // NIBBLE of each byte pair — with 16 bins, bin(byte) = byte >>> 4 IS the
+    // high nibble, so the hex route reproduces byte_histogram exactly
+    "q32_mm_byte_histogram" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS nb FROM documents),
+        |n AS (SELECT doc_id, nb, list_transform(range(nb),
+        |  i -> strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) AS nibs FROM h),
+        |hist AS (SELECT doc_id, nb,
+        |  list_transform(range(16), k -> CAST(len(list_filter(nibs, c -> c = k)) AS BIGINT)) AS hist FROM n)
+        |SELECT doc_id AS id, CAST(nb AS BIGINT) AS total_bytes,
+        |CAST(list_position(hist, list_max(hist)) AS BIGINT) AS modal_bin,
+        |array_to_string(hist, ',') AS hist_csv
+        |FROM hist ORDER BY id""".stripMargin,
     "q26_dedup_ngram_jaccard" ->
       """WITH g0 AS (SELECT DISTINCT * FROM (SELECT doc_id, n_chars,
         |  unnest(list_transform(range(1, length(text)-2), i -> substr(text, i, 4))) AS g
@@ -331,6 +346,10 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |CAST(count(*) AS BIGINT) AS n, round(sum(value),2) AS total
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q39_approx_aggs" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |TRUE AS approx_users_ok, TRUE AS approx_med_ok, TRUE AS approx_p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q41_stats_aggs" ->
       """SELECT event_type,
         |CAST(round(stddev_samp(value)*1000.0, 0) AS BIGINT) AS sd_k,

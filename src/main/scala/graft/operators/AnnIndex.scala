@@ -39,9 +39,36 @@ object AnnIndex {
     df.withColumn("bucket", bits.reduce(_ + _))
   }
 
+  /** All bucket ids within Hamming distance `probeBits` of `center` — the
+   * multi-probe set, sum of C(nPlanes, d) for d <= probeBits ids. Enumerated
+   * driver-side (it depends only on the query, never on data) so the search
+   * filter is a literal IN-list that PUSHES DOWN: a parquet scan records it
+   * in PushedFilters (row-group stats prune), a `bucketBy("bucket")` table
+   * prunes whole buckets, a `partitionBy("bucket")` layout prunes
+   * directories. Keep nPlanes/probeBits such that the id count stays small
+   * (16 planes, 2 probe bits -> 137 ids). */
+  def probeBuckets(center: Long, nPlanes: Int, probeBits: Int): Seq[Long] = {
+    def flips(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until nPlanes).flatMap(i => flips(i + 1, left - 1).map(m => m | (1L << i)))
+    (0 to probeBits).flatMap(d => flips(0, d)).map(_ ^ center)
+  }
+
+  /** The query vector's LSH bucket under `planes` (sign of each projection). */
+  def queryBucket(queryVec: Array[Double], planes: Array[Array[Double]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(queryVec).map { case (a, b) => a * b }.sum
+      if (dot > 0) 1L << i else 0L
+    }.sum
+
   /** Top-k by cosine among vectors sharing the query's bucket, widened to
-   * buckets within Hamming distance `probeBits` (multi-probe improves recall
-   * without touching more than a sliver of the corpus). */
+   * buckets within Hamming distance `probeBits` (multi-probe improves
+   * recall). The probe set is an explicit IN-list of bucket ids, NOT a
+   * `bit_count(bucket ^ q)` predicate over the whole corpus: an arithmetic
+   * predicate must evaluate on every row, while the IN-list reaches the
+   * scan (PushedFilters / bucket pruning / partition pruning), so the
+   * search touches only the probed buckets — the property that makes LSH
+   * pay off at 100 TB. Plan pinned by AnnPruneSpec. */
   def lshSearch(
       indexed: DataFrame,
       embCol: String,
@@ -50,14 +77,10 @@ object AnnIndex {
       k: Int,
       probeBits: Int
   ): DataFrame = {
-    val spark = indexed.sparkSession
-    val qBucket = planes.zipWithIndex.map { case (p, i) =>
-      val dot = p.zip(queryVec).map { case (a, b) => a * b }.sum
-      if (dot > 0) 1L << i else 0L
-    }.sum
+    val qBucket = queryBucket(queryVec, planes)
     val qSql = arraySql(queryVec)
     indexed
-      .filter(expr(s"bit_count(bucket ^ $qBucket) <= $probeBits"))
+      .filter(col("bucket").isin(probeBuckets(qBucket, planes.length, probeBits): _*))
       .withColumn(
         "cos",
         expr(

@@ -81,13 +81,16 @@ object DedupOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // Verify against true shingle Jaccard WITHOUT re-exploding the corpus:
-    // candidates are a tiny fraction of docs, so two broadcast joins pull the
-    // two shingle arrays onto each candidate pair and array_intersect counts
-    // the overlap map-side. Zero shuffles in the verify stage (the old shape
-    // exploded shingles into two shuffle joins + a groupBy).
+    // broadcast the (tiny, id-only) candidate pair list, pull the two shingle
+    // arrays onto each pair, and array_intersect counts the overlap map-side.
+    // Only `cand` is ever broadcast explicitly: the second join arm carries
+    // full shingle arrays, so it is left to AQE — broadcast when its runtime
+    // size is small (the common case), shuffle-join when a skewed band blows
+    // the candidate set up (a forced broadcast there risks OOM; the shuffle
+    // shape degrades gracefully).
     val withA = broadcast(cand)
       .join(docs.select(col("doc_id").as("a"), col("sharr").as("arr_a")), Seq("a"))
-    val pairs = broadcast(withA)
+    val pairs = withA
       .join(docs.select(col("doc_id").as("b"), col("sharr").as("arr_b")), Seq("b"))
     pairs
       .withColumn("cm", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
@@ -152,11 +155,13 @@ object DedupOps {
       )
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // Verify: broadcast the (tiny) candidate set, pull both gram arrays on,
-    // count overlap map-side — no shuffle, mirrors minhashLsh's verify stage.
+    // Verify: broadcast the (tiny, id-only) candidate set, pull both gram
+    // arrays on, count overlap map-side — mirrors minhashLsh's verify stage.
+    // The gram-carrying second arm is NOT force-broadcast (AQE decides):
+    // see the sizing note there.
     val withA = broadcast(cand)
       .join(arrs.select(col("doc_id").as("a"), col("garr").as("arr_a"), col("n").as("na")), Seq("a"))
-    val pairs = broadcast(withA)
+    val pairs = withA
       .join(arrs.select(col("doc_id").as("b"), col("garr").as("arr_b"), col("n").as("nb")), Seq("b"))
     pairs
       .withColumn("cm", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
@@ -255,9 +260,15 @@ object DedupOps {
       .persist()
     // `prev` stays persisted while `labels` lazily selects over it — one
     // count() per round both materializes the new labels and yields the
-    // convergence test; no second action, no recompute window
-    var prev = edges.select(col("s").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
+    // convergence test; no second action, no recompute window.
+    // Round 0 is FOLDED INTO initialization: lbl_0(v) = min(v ∪ N(v)) comes
+    // straight off the bidirectional edge list as one aggregation (no join),
+    // so the loop starts a full propagation round ahead — for the dominant
+    // near-dup shape (cliques) lbl_0 already IS the component min and the
+    // loop runs exactly one confirming round.
+    var prev = edges.groupBy(col("s"))
+      .agg(min(col("t")).as("nmin"))
+      .select(col("s").as("doc_id"), least(col("s"), col("nmin")).as("lbl"))
       .withColumn("lbl2", col("lbl"))
       .persist()
     var labels = prev.select(col("doc_id"), col("lbl"))
@@ -315,7 +326,19 @@ object DedupOps {
       .filter(col("s") =!= col("t"))
       .select(greatest(col("s"), col("t")).as("u"), least(col("s"), col("t")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the sig() action below materializes it
+    // ONE action per round: the (count, order-independent checksum) signature
+    // is computed by the same job that materializes the lazily-checkpointed
+    // generation. XOR-folded xxhash64 is commutative/associative (order- and
+    // partitioning-independent), never overflows (a SUM would trip ANSI
+    // long-overflow), and two equal-size distinct edge sets collide with
+    // probability ~2^-64 — the production-scale fixpoint test (an exact
+    // exceptAll comparison would cost two extra joins per round).
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var eSig = sig(e)
     var stable = false
     while (!stable) {
       // large-star: for each u, m = min(neighbors ∪ self); hook every
@@ -339,11 +362,12 @@ object DedupOps {
         .select(col("p.u"), col("p.v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
-      // fixpoint when the directed edge multiset stops changing (exact
-      // set-equality; at production scale compare (count, checksum) instead
-      // of two anti-joins)
-      stable = next.count() == e.count() && next.exceptAll(e).isEmpty
+        .localCheckpoint(false)
+      // fixpoint when the directed edge set stops changing, tested by
+      // signature equality — one job materializes next AND yields the test
+      val nextSig = sig(next)
+      stable = nextSig == eSig
+      eSig = nextSig
       e = next
     }
     // after convergence every edge points at its component min

@@ -13,16 +13,23 @@ object Tables {
       // The legacy flag is needed only while the relation's schema resolves
       // (spark.read.parquet is eager about footers), so scope it: flip,
       // build the DataFrame, restore — other TIMESTAMP(NANOS) reads in the
-      // session keep their configured behavior.
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+      // session keep their configured behavior. The critical section is
+      // LOCKED: session conf is session-global, so two threads building
+      // events readers concurrently could interleave set/unset (one thread
+      // reads with the flag off -> PARQUET_TYPE_ILLEGAL, or the flag leaks
+      // set). A process-wide lock is coarse but the section is milliseconds
+      // (footer read), and library callers may share one session.
+      Tables.synchronized {
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try
+          spark.read.parquet(s"$dir/$name.parquet")
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -300,13 +307,29 @@ object RelationalOps {
     t(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        // the sketches: HLL++ distinct count and GK percentile summary. Both
+        // are order/partition-independent enough to validate deterministically
+        // (HLL registers are max-merged; GK error is bounded by n/accuracy).
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
         countDistinct(col("user_id")).as("exact_users"),
-        expr("approx_percentile(value, array(0.5, 0.99), 10000)").as("approx_p")
+        expr("approx_percentile(value, array(0.5, 0.99), 10000)").as("ap"),
+        // exact bracketing quantiles, computed Spark-side only and folded
+        // into the validation booleans below
+        expr("percentile(value, array(0.40, 0.60, 0.97))").as("ep"),
+        max(col("value")).as("vmax")
       )
+      // Hash-checkable contract: the oracle can't reproduce Spark's sketch
+      // values (different HLL/quantile implementations), but it CAN assert
+      // the same accuracy contract — so emit the exact count plus booleans
+      // verifying each sketch lands inside its guaranteed band (DuckDB side:
+      // literal TRUE). The sketches still run end to end; a broken sketch
+      // flips a boolean and fails the hash check.
       .select(
-        col("event_type"), col("approx_users"), col("exact_users"),
-        expr("approx_p[0]").as("approx_med"), expr("approx_p[1]").as("approx_p99")
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("au") - col("exact_users")) * 20 <= col("exact_users")).as("approx_users_ok"),
+        (col("ap")(0) >= col("ep")(0) && col("ap")(0) <= col("ep")(1)).as("approx_med_ok"),
+        (col("ap")(1) >= col("ep")(2) && col("ap")(1) <= col("vmax")).as("approx_p99_ok")
       )
       .orderBy("event_type")
 

@@ -60,9 +60,14 @@ object SamplingOps {
    * every row through one task.
    */
   def sequencePack(spark: SparkSession, dir: String, capacity: Int = 512): DataFrame = {
-    // persist the range-partitioned frame: the offsets job and the main job
-    // must see the SAME partition ids, so the range exchange (whose sampled
-    // boundaries need not be identical across recomputations) runs once
+    // localCheckpoint (not persist) the range-partitioned frame: the offsets
+    // job and the main job must see the SAME partition ids, and
+    // repartitionByRange's sampled boundaries (hence pids) need not be
+    // identical across recomputations. A persist() can silently RECOMPUTE
+    // (cache eviction, executor loss) and mis-assign every seq_id downstream
+    // of the divergent pids; checkpointing truncates the lineage, so losing
+    // the materialized partitions fails the job loudly instead — the only
+    // safe failure mode for a correctness-bearing partition identity.
     val docs = t(spark, dir, "documents")
       .select(
         col("doc_id"),
@@ -71,7 +76,7 @@ object SamplingOps {
       )
       .repartitionByRange(col("skey"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
 
     // per-partition token totals -> exclusive prefix offsets (driver-side:
     // one row per partition, O(partitions) not O(rows))

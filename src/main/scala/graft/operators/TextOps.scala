@@ -96,17 +96,24 @@ object TextOps {
    * flip the top-k). tf and df both derive from one exploded token relation
    * shuffled on `tok`, so the join is co-partitioned — one token-keyed
    * shuffle total, then a tiny per-lang window for the top-10.
+   *
+   * The corpus size N rides INSIDE the plan as a 1-row aggregate cross-joined
+   * onto the scores (broadcast, no shuffle) — never a separate `count()`
+   * action, which at 100 TB would be a second full pass over the corpus just
+   * to fetch a scalar. Every doc has >= 1 token (split('') yields ['']), so
+   * N = count(documents) without touching the exploded relation.
    */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-    val nDocs = tok.select("doc_id").distinct().count()
+    val nDocs = t(spark, dir, "documents").agg(count(lit(1)).as("nd"))
     val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
     val w = Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))
     tf.join(df, "tok")
-      .withColumn("score", expr(s"tf * (cast($nDocs as bigint) * 1000000 div df)"))
+      .crossJoin(nDocs)
+      .withColumn("score", expr("tf * (nd * 1000000 div df)"))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("lang"), col("rnk"), col("tok"), col("tf"), col("df"), col("score"))

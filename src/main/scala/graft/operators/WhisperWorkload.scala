@@ -41,6 +41,49 @@ object WhisperWorkload {
     p.toString
   }
 
+  /** Reference-scale fixture: the exact shape of the reference repo's
+   * 82,785,664-byte example file — 3 archives, 6,898,801 slots, golden
+   * filled counts 1,555,200 / 2,331,015 / 38,855
+   * (`test_whisper_pandas.py:43-77`, BASELINE.md). Written once per tmpdir;
+   * re-synthesized whenever the on-disk copy fails the size check. Callers
+   * that can afford a scan should also validate [[RefScaleRows]] and call
+   * [[writeRefScale]] on mismatch (decode tolerates truncation silently, so
+   * a racing writer's partial file would otherwise skew timings unnoticed). */
+  val RefScaleBytes = 82785664L
+  val RefScaleRows = 3925070L
+
+  def writeRefScale(p: Path): Unit = {
+    val t0 = 1700000000L
+    WhisperWriter.writeFile(p, FileSpec(archives = Seq(
+      ArchiveSpec(10L, 1555200L, 1555200L, t0 - t0 % 10, 123457L),
+      ArchiveSpec(60L, 5256000L, 2331015L, t0 - t0 % 60, 987654L),
+      ArchiveSpec(3600L, 87601L, 38855L, t0 - t0 % 3600, 7701L))))
+  }
+
+  def refScaleFixture(): Path = {
+    val p: Path = Paths.get(System.getProperty("java.io.tmpdir"), "graft_bench_ref.wsp")
+    if (!Files.exists(p) || Files.size(p) != RefScaleBytes) writeRefScale(p)
+    p
+  }
+
+  /** Reference-scale head-to-head as a first-class query (rows-only: DuckDB
+   * cannot read .wsp): full decode of all 3,925,070 filled points of the
+   * reference-shape file — the same work `whisper_pandas.to_frame()` does
+   * eagerly for all three archives — rolled up per archive. Tracked per
+   * round in BENCH alongside the `whisper_ref_scan_sec` side metric. */
+  def refScale(spark: SparkSession, dir: String): DataFrame = {
+    val wsp = refScaleFixture()
+    spark.read.format("whisper").load(wsp.toString)
+      .groupBy(col("archive"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("timestamp")).as("ts_min"),
+        max(col("timestamp")).as("ts_max"),
+        round(avg(col("value")), 4).as("avg_value")
+      )
+      .orderBy("archive")
+  }
+
   /** End-to-end whisper pipeline as a driver-checkable query (rows-only:
    * DuckDB cannot read Whisper files): scan with archive pruning + pushed
    * time filter, then the 8-method downsample to 1-hour buckets. */

@@ -236,12 +236,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("approx aggregates are within tolerance of exact") {
+    // the tolerance checks now ride INSIDE the query as booleans (that's
+    // what makes q39 hash-checkable against the oracle's literal TRUEs);
+    // the spec asserts they all hold at this sf too
     val rows = RelationalOps.approxAggs(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.1, s"HLL off: $approx vs $exact")
+      assert(r.getBoolean(2), s"HLL outside 5% for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"approx median outside [p40,p60] for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"approx p99 outside [p97,max] for ${r.getString(0)}")
     }
   }
 

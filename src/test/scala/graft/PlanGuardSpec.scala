@@ -30,10 +30,13 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Queries whose plan legitimately contains a broadcast-nested-loop join —
-   * all three are keyless crosses whose broadcast side is provably tiny:
+   * all are keyless crosses whose broadcast side is provably tiny:
    * q27 broadcasts a literal 1-row query vector; q19/q45 cross an hourly
-   * spine with the distinct event-type set (5 rows) to materialize gaps. */
-  private val bnljAllowed = Set("q27_knn_bruteforce", "q19_resample_gapfill", "q45_interpolate")
+   * spine with the distinct event-type set (5 rows) to materialize gaps;
+   * q53 crosses the scored terms with the 1-row corpus-size aggregate
+   * (the in-plan N that replaces a separate count() action). */
+  private val bnljAllowed = Set(
+    "q27_knn_bruteforce", "q19_resample_gapfill", "q45_interpolate", "q53_tfidf_topterms")
 
   test("no query plans a Cartesian product; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -70,5 +73,16 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = SparkEntry.queries("q12_tpch3_topk")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"q12 global-sorts for a LIMIT:\n$plan")
+  }
+
+  test("q61 decontaminate broadcasts the test side (shingle join stays hash)") {
+    // sf0.001 under AQE degenerates to empty-relation propagation, which
+    // hides the join; pin the INTENDED shape from the initial plan instead:
+    // a broadcast hash join whose build side is the (small) test-shingle arm.
+    val plan = SparkEntry.queries("q61_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q61 lost its broadcast join:\n$plan")
+    assert(plan.contains("BuildRight"), s"q61 builds on the wrong (train) side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"q61 shuffles the 100TB train side:\n$plan")
   }
 }
