@@ -83,4 +83,33 @@ class AnnPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(pruned == full, "probe IN-list selects different rows than the Hamming predicate")
   }
+
+  test("on a bucket-partitioned layout the search reads ONLY probed directories") {
+    // the 100 TB layout: partitionBy("bucket") turns the probe IN-list into
+    // directory-level partition pruning — the scan's file list, not just its
+    // row-group filter, shrinks to the probe set
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val planes = AnnIndex.hyperplanes(nPlanes = 6, dim = 64, seed = 42L)
+    val idx = java.nio.file.Files.createTempDirectory("ann-part").resolve("idx").toString
+    AnnIndex.lshBucketize(e, "emb", planes).write.partitionBy("bucket").mode("overwrite").parquet(idx)
+    val indexed = spark.read.parquet(idx)
+    val qVec = e.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+
+    val res = AnnIndex.lshSearch(indexed, "emb", qVec, planes, k = 5, probeBits = 1)
+    res.collect()
+    val scan = scans(res.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "bucket"))
+      .getOrElse(fail("no parquet scan of the partitioned index"))
+    val probed = AnnIndex.probeBuckets(
+      AnnIndex.queryBucket(qVec, planes), planes.length, 1).toSet
+    // bucket ids of the directories the scan actually selected, parsed from
+    // the hive-style partition path segment of each selected file
+    val read = scan.selectedPartitions.toPartitionArray
+      .flatMap(pf => "bucket=(-?\\d+)".r.findFirstMatchIn(pf.filePath.toString).map(_.group(1).toLong))
+      .toSet
+    assert(read.subsetOf(probed), s"scan read non-probed buckets: ${read -- probed}")
+    assert(read.size <= probed.size && read.nonEmpty,
+      s"expected <= ${probed.size} partition dirs, read ${read.size}")
+  }
 }
