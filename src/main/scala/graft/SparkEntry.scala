@@ -70,6 +70,7 @@ object SparkEntry {
     "q55_sequence_pack" -> (SamplingOps.sequencePack(_, _)),
     "q56_stratified_sample" -> (SamplingOps.stratifiedSample(_, _)),
     "q61_decontaminate" -> (SamplingOps.decontaminate(_, _)),
+    "q70_decontaminate_bloom" -> (SamplingOps.decontaminateBloom(_, _)),
     // -- extension ops: deduplication --
     "q24_dedup_exact" -> (DedupOps.exact(_, _)),
     "q25_dedup_minhash_lsh" -> (DedupOps.minhashLsh(_, _)),
@@ -570,6 +571,18 @@ object SparkEntry {
         |SELECT s AS doc_id, least(s, min(t)) AS cluster, s <= min(t) AS is_canonical
         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
     "q61_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
+        |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),
+        |g AS (SELECT DISTINCT doc_id, h1, unnest(list_transform(range(1, len(arr) - 6), i ->
+        |  arr[i]||' '||arr[i+1]||' '||arr[i+2]||' '||arr[i+3]||' '||arr[i+4]||' '||arr[i+5]||' '||arr[i+6]||' '||arr[i+7])) AS g
+        |  FROM tok WHERE len(arr) >= 8),
+        |tr AS (SELECT doc_id, g FROM g WHERE h1 < 'd'),
+        |te AS (SELECT doc_id AS tdoc, g FROM g WHERE h1 >= 'f')
+        |SELECT tr.doc_id, CAST(count(DISTINCT te.tdoc) AS BIGINT) AS n_test_hits
+        |FROM tr JOIN te USING (g) GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // the bloom pre-filter is exact after the verify join, so q70's oracle is
+    // the same exhaustive-join SQL as q61's
+    "q70_decontaminate_bloom" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
         |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),
         |g AS (SELECT DISTINCT doc_id, h1, unnest(list_transform(range(1, len(arr) - 6), i ->

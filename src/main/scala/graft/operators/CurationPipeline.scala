@@ -24,7 +24,7 @@ object CurationPipeline {
       .select(col("doc_id"), col("quality_score_k"), col("n_tokens"))
     val lang = TextOps.langId(spark, dir).select(col("doc_id"), col("lang_pred"))
     // near-dup pairs a < b: the larger doc_id of each pair is dropped
-    val losers = DedupOps.minhashLsh(spark, dir).select(col("b").as("doc_id")).distinct()
+    val losers = DedupOps.minhashPairs(spark, dir).select(col("b").as("doc_id")).distinct()
     quality
       .filter(col("quality_score_k") >= 300 && col("n_tokens") >= 20)
       .join(broadcast(losers), Seq("doc_id"), "left_anti")

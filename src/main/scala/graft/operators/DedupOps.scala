@@ -60,7 +60,14 @@ object DedupOps {
    * Scale shape: groupBy doc (signature), explode 4 band keys, self-join on
    * band key (shuffle on band — tiny), verify join only on candidates.
    */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy("a", "b")
+
+  /** [[minhashLsh]] without the presentation sort — the shared core for
+   * consumers that immediately re-aggregate the pair list
+   * ([[dedupClusters]], the curation pipelines) and would pay the
+   * range-partition exchange for nothing. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
     val docs = shingleArrays(spark, dir).cache()
     // signature entirely map-side, ONE pass over the shingles per doc:
@@ -98,7 +105,6 @@ object DedupOps {
         (size(col("arr_a")).cast("long") + size(col("arr_b")).cast("long") - col("cm")))
       .filter(col("j") >= 0.5)
       .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
-      .orderBy("a", "b")
   }
 
   /**
@@ -252,11 +258,16 @@ object DedupOps {
    * which converges in O(log^2 n) rounds with the same join shape.
    */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("a"), col("b")).persist()
-    pairs.count() // materialize BEFORE the union below reads it twice
-    val edges = pairs
-      .union(pairs.select(col("b"), col("a")))
-      .toDF("s", "t")
+    // Bidirectional edge list in ONE read of the pair pipeline (explode, not
+    // a self-union — a union's two branches would each recompute the full
+    // MinHash lineage unless it was materialized first, which used to cost a
+    // dedicated count() action here). Unsorted core: the component join
+    // neither needs nor keeps the pair list's presentation order.
+    val edges = minhashPairs(spark, dir)
+      .select(explode(array(
+        struct(col("a").as("s"), col("b").as("t")),
+        struct(col("b").as("s"), col("a").as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
       .persist()
     // `prev` stays persisted while `labels` lazily selects over it — one
     // count() per round both materializes the new labels and yields the
@@ -288,7 +299,6 @@ object DedupOps {
       labels = next.select(col("doc_id"), col("lbl2").as("lbl"))
     }
     edges.unpersist()
-    pairs.unpersist()
     labels
       .select(
         col("doc_id"),

@@ -132,6 +132,44 @@ object SamplingOps {
   }
 
   /**
+   * Bloom-filter decontamination — same contract and EXACT same result as
+   * [[decontaminate]], different scale path. [[decontaminate]] broadcasts the
+   * test-side shingle SET, which grows with the reference corpus;
+   * here the test shingles compress into a fixed-size bloom bitmap
+   * (`bloom_agg`: 1 MiB for ~1M shingles at ~1% fpp) injected as a SCALAR
+   * SUBQUERY — `BloomFilterMightContain` requires a constant or scalar
+   * subquery on the bitmap side, and this is exactly the plan shape Spark's
+   * own `InjectRuntimeFilter` produces — so the probe pre-filters the train
+   * side map-side inside codegen, and only the surviving candidates
+   * (true hits + the ~1% false positives) enter the exact equi-join that
+   * removes false positives and attributes hits to test docs. At 100 TB the
+   * bloom probe is the only work the bulk of the corpus pays — a scan with
+   * a boolean, no shuffle, no broadcast growth. False negatives are
+   * impossible, so the exact verify join restores bit-identical output
+   * (q70 shares q61's oracle).
+   */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.BloomFunctions.register(spark)
+    val d = t(spark, dir, "documents")
+      .withColumn("h1", substring(md5(col("doc_id").cast("string")), 1, 1))
+    def shingles(df: DataFrame) =
+      df.select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("g"))
+    val train = shingles(d.filter(col("h1") < "d"))
+    val test = shingles(d.filter(col("h1") >= "f"))
+      .select(col("g"), col("doc_id").as("tdoc"))
+    // 1-row bitmap: 2^23 bits = 1 MiB, sized for ~1M reference shingles
+    val bf = test.agg(expr("bloom_agg(xxhash64(g), 1000000L, 8388608L)")).scalar()
+    val cand = train
+      .filter(call_function("bloom_contains", bf, xxhash64(col("g"))))
+    cand
+      .join(test, "g") // exact verify: drops bloom false positives
+      .groupBy("doc_id")
+      .agg(countDistinct("tdoc").as("n_test_hits"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * Stratified sampling: k docs per language, picked by hash order — a
    * deterministic "random" sample whose membership is stable across runs
    * and engines. One shuffle (the per-stratum window partition); the rank

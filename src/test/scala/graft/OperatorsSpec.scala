@@ -451,6 +451,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chainStar.collect().forall(_.getLong(1) == 0L))
   }
 
+  test("star-CC fixpoint costs ONE action per round (count+checksum fused)") {
+    import spark.implicits._
+    // count Dataset ACTIONS (not Spark jobs — under AQE one action submits a
+    // job per query stage) via the per-action QueryExecutionListener hook
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        // a LAZY localCheckpoint also reports through withAction but runs no
+        // job — only the job-running actions (head/collect) are the cost
+        if (!f.contains("heckpoint")) actions.incrementAndGet()
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    // 3-chain 0-1-2: converges in EXACTLY two star rounds (round 1 rewires
+    // (2,1)->(2,0), round 2 confirms the fixpoint), so the action budget is
+    // fully determined: 1 initial signature + 2 round signatures + 1 collect.
+    val chain = (0L until 2L).map(i => (i, i + 1)).toDF("a", "b")
+    spark.listenerManager.register(listener)
+    try {
+      DedupOps.connectedComponentsStar(chain).collect()
+      // the listener bus is async: poll until the count settles
+      var (n, last) = (actions.get, -1)
+      while (n != last) { last = n; Thread.sleep(300); n = actions.get }
+      // exactly ONE action per round — the signature aggregate that also
+      // materializes the lazily-checkpointed generation. The old fixpoint
+      // (count + exceptAll.isEmpty) spent 3 actions per round and would
+      // show up here as n = 8.
+      assert(n == 4, s"star-CC spent $n actions (expected 1 init + 2 rounds + 1 collect)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("dedupClusters: edge endpoints share a cluster, one canonical per cluster") {
     val pairs = DedupOps.minhashLsh(spark, dir).select("a", "b")
     val clusters = DedupOps.dedupClusters(spark, dir)

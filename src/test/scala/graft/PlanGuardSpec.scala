@@ -34,9 +34,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
    * q27 broadcasts a literal 1-row query vector; q19/q45 cross an hourly
    * spine with the distinct event-type set (5 rows) to materialize gaps;
    * q53 crosses the scored terms with the 1-row corpus-size aggregate
-   * (the in-plan N that replaces a separate count() action). */
+   * (the in-plan N that replaces a separate count() action). q70's bloom
+   * bitmap rides in as a scalar subquery, not a join, so it needs no
+   * entry here. */
   private val bnljAllowed = Set(
-    "q27_knn_bruteforce", "q19_resample_gapfill", "q45_interpolate", "q53_tfidf_topterms")
+    "q27_knn_bruteforce", "q19_resample_gapfill", "q45_interpolate",
+    "q53_tfidf_topterms")
 
   test("no query plans a Cartesian product; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
