@@ -20,16 +20,18 @@ object Bench {
     catch { case _: Throwable => }
     // Steady-state latency: the first execution per query pays one-off
     // whole-stage-codegen compilation (~1s/query, invariant in data size);
-    // of the two timed runs that follow, report the MIN — a single timed run
-    // is exposed to box noise (GC pause, a concurrent tenant), and one such
-    // blip inflated a whole band of queries in the round-2 official record
-    // (see BENCH_NOTES.md).
+    // of the three timed runs that follow, report the MIN — a single timed
+    // run is exposed to box noise (GC pause, a concurrent tenant), and one
+    // such blip inflated a whole band of queries in the round-2 official
+    // record (see BENCH_NOTES.md); a round-3 recheck saw a two-run window
+    // where BOTH samples of one query landed 3x its steady state, so three
+    // samples buy the official record one more independent draw.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       spark.catalog.clearCache()
       // a crashing query must surface as a failure, not as its (fast)
       // time-to-exception: report -1 and list it under "errors"
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
