@@ -65,12 +65,16 @@ object SparkEntry {
     "q52_text_repetition" -> (TextOps.repetition(_, _)),
     "q53_tfidf_topterms" -> (TextOps.tfidfTopTerms(_, _)),
     "q68_source_report" -> (TextOps.sourceReport(_, _)),
+    "q72_vocab_coverage" -> (TextOps.vocabCoverage(_, _)),
+    "q74_pii_redact" -> (TextOps.piiRedact(_, _)),
     // -- extension ops: dataset assembly (split / shuffle-pack / sample) --
     "q54_hash_split" -> (SamplingOps.hashSplit(_, _)),
     "q55_sequence_pack" -> (SamplingOps.sequencePack(_, _)),
     "q56_stratified_sample" -> (SamplingOps.stratifiedSample(_, _)),
     "q61_decontaminate" -> (SamplingOps.decontaminate(_, _)),
     "q70_decontaminate_bloom" -> (SamplingOps.decontaminateBloom(_, _)),
+    "q71_mixture_sample" -> (SamplingOps.mixtureSample(_, _)),
+    "q73_length_clip" -> (SamplingOps.lengthClip(_, _)),
     // -- extension ops: deduplication --
     "q24_dedup_exact" -> (DedupOps.exact(_, _)),
     "q25_dedup_minhash_lsh" -> (DedupOps.minhashLsh(_, _)),
@@ -592,6 +596,48 @@ object SparkEntry {
         |te AS (SELECT doc_id AS tdoc, g FROM g WHERE h1 >= 'f')
         |SELECT tr.doc_id, CAST(count(DISTINCT te.tdoc) AS BIGINT) AS n_test_hits
         |FROM tr JOIN te USING (g) GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q71_mixture_sample" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_in FROM documents GROUP BY source, lang),
+        |m AS (SELECT min(n_in) AS mc FROM c),
+        |t AS (SELECT source, lang, n_in,
+        |      CAST(floor(1048576 * sqrt(CAST(mc AS DOUBLE) / n_in)) AS BIGINT) AS thr FROM c CROSS JOIN m),
+        |k AS (SELECT d.source, d.lang, d.doc_id FROM documents d JOIN t USING (source, lang)
+        |      WHERE thr >= 1048576 OR substr(md5('mix-' || CAST(d.doc_id AS VARCHAR)), 1, 5) < lpad(lower(to_hex(thr)), 5, '0')),
+        |g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_kept FROM k GROUP BY source, lang)
+        |SELECT t.source, t.lang, t.n_in, t.thr, COALESCE(g.n_kept, 0) AS n_kept
+        |FROM t LEFT JOIN g USING (source, lang) ORDER BY source, lang""".stripMargin,
+    "q72_vocab_coverage" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab FROM tok GROUP BY source),
+        |bg AS (SELECT source, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg FROM documents),
+        |t2 AS (SELECT source, CAST(count(DISTINCT bg) AS BIGINT) AS n_bigram_vocab FROM bg GROUP BY source),
+        |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+        |SELECT t1.source, n_docs, n_tokens, n_vocab, n_bigram_vocab,
+        |CAST(n_vocab * 1000 // n_tokens AS BIGINT) AS ttr_mille
+        |FROM t1 JOIN t2 USING (source) JOIN d USING (source) ORDER BY source""".stripMargin,
+    "q73_length_clip" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM documents)
+        |SELECT source, max(n) AS n_in, CAST(count(*) AS BIGINT) AS n_kept,
+        |CAST(sum(n_chars) AS BIGINT) AS kept_chars, min(n_chars) AS min_kept, max(n_chars) AS max_kept
+        |FROM r WHERE rn > CAST(floor(n * 0.05) AS BIGINT) AND rn <= n - CAST(floor(n * 0.05) AS BIGINT)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q74_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com call +1-' ||
+        |  CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' now' AS aug
+        |  FROM documents),
+        |red AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |                 '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+        |  FROM aug)
+        |SELECT doc_id, n_emails, n_phones, right(red, 40) AS red_tail, md5(red) AS red_fp
+        |FROM red ORDER BY doc_id""".stripMargin,
     "q62_joint_curation" ->
       """WITH q AS (SELECT doc_id, text, string_split(text,' ') AS toks,
         |  CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text) AS punct_r,

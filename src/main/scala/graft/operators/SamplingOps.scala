@@ -170,6 +170,87 @@ object SamplingOps {
   }
 
   /**
+   * Temperature-weighted mixture sampling (the "data mixing" step of an LLM
+   * pipeline): rebalance (source, lang) domain cells toward a flatter
+   * distribution by keeping each cell with probability
+   * `sqrt(min_cell / cell)` — i.e. sampling weights proportional to
+   * `count^alpha` with alpha = 0.5, the standard temperature flattening.
+   *
+   * Membership is deterministic: a doc survives iff the first 5 hex digits
+   * of `md5('mix-' || doc_id)` fall below the cell's threshold, so reruns
+   * and engines agree bit-for-bit and a doc's fate never depends on
+   * partition layout. The threshold is an INTEGER (`floor(2^20 * p)`)
+   * compared as a zero-padded hex string — `sqrt`/`/`/`*` are all exactly
+   * rounded IEEE ops, so both engines derive the identical integer; the
+   * `thr >= 2^20` arm keeps p = 1 cells exact (a 6-hex-digit threshold
+   * would otherwise be TRUNCATED by lpad to 5 digits and reject everything).
+   *
+   * Scale shape: cell counts are one partial-agg shuffle on a tiny key
+   * space; the per-cell thresholds broadcast back onto the corpus, and the
+   * accept predicate evaluates inside the scan's codegen stage — no
+   * document row ever shuffles (both rollups are map-side
+   * partial-aggregated down to one row per cell per task before their
+   * exchanges); the global min rides in-plan as a 1-row cross join, never
+   * a separate driver action.
+   */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_in"))
+    val mc = cells.agg(min("n_in").as("mc"))
+    val thr = cells.crossJoin(mc)
+      .withColumn("thr", expr("cast(floor(1048576 * sqrt(cast(mc as double) / n_in)) as bigint)"))
+      .select("source", "lang", "n_in", "thr")
+    val kept = docs
+      .join(broadcast(thr), Seq("source", "lang"))
+      .filter(expr(
+        "thr >= 1048576 OR substr(md5(concat('mix-', cast(doc_id as string))), 1, 5) < lpad(lower(hex(thr)), 5, '0')"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_kept"))
+    // left join: a cell whose every doc hashed above the threshold still
+    // reports, with n_kept = 0 (both sides are cell-cardinality tiny)
+    thr.join(kept, Seq("source", "lang"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .orderBy("source", "lang")
+  }
+
+  /**
+   * Percentile length clipping: drop each source's shortest and longest 5%
+   * of documents (truncation outliers and boilerplate mega-docs are the
+   * classic length-tail garbage). Implemented as RANK clipping — keep ranks
+   * `(floor(0.05n), n - floor(0.05n)]` by `(n_chars, doc_id)` order — i.e.
+   * `percentile_disc` semantics, NOT interpolated `percentile_cont`:
+   * the cut points are exact integers derived from one float multiply, so
+   * the survivor set is bit-stable across engines, whereas an interpolated
+   * threshold can land a hair's width from an integer n_chars and flip a
+   * boundary doc on a 1-ulp disagreement.
+   *
+   * One shuffle (the per-source window partition; both windows share it).
+   * At 100 TB a full per-source sort is the wrong tool — swap the exact
+   * ranks for `approx_percentile(n_chars, array(0.05, 0.95))` thresholds
+   * broadcast onto the scan, which keeps the corpus shuffle-free and
+   * changes membership only within the sketch's rank-error band.
+   */
+  def lengthClip(spark: SparkSession, dir: String): DataFrame = {
+    val byLen = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    val whole = Window.partitionBy("source")
+    t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(byLen))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("lo", expr("cast(floor(n * 0.05) as bigint)"))
+      .filter(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"))
+      .groupBy("source")
+      .agg(
+        max("n").as("n_in"),
+        count(lit(1)).as("n_kept"),
+        sum("n_chars").as("kept_chars"),
+        min("n_chars").as("min_kept"),
+        max("n_chars").as("max_kept")
+      )
+      .orderBy("source")
+  }
+
+  /**
    * Stratified sampling: k docs per language, picked by hash order — a
    * deterministic "random" sample whose membership is stable across runs
    * and engines. One shuffle (the per-stratum window partition); the rank

@@ -39,7 +39,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
    * entry here. */
   private val bnljAllowed = Set(
     "q27_knn_bruteforce", "q19_resample_gapfill", "q45_interpolate",
-    "q53_tfidf_topterms")
+    "q53_tfidf_topterms", "q71_mixture_sample")
 
   test("no query plans a Cartesian product; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
