@@ -75,6 +75,8 @@ object SparkEntry {
     "q70_decontaminate_bloom" -> (SamplingOps.decontaminateBloom(_, _)),
     "q71_mixture_sample" -> (SamplingOps.mixtureSample(_, _)),
     "q73_length_clip" -> (SamplingOps.lengthClip(_, _)),
+    "q76_chunk_split" -> (SamplingOps.chunkSplit(_, _)),
+    "q77_incremental_dedup" -> (SamplingOps.incrementalDedup(_, _)),
     // -- extension ops: deduplication --
     "q24_dedup_exact" -> (DedupOps.exact(_, _)),
     "q25_dedup_minhash_lsh" -> (DedupOps.minhashLsh(_, _)),
@@ -86,6 +88,8 @@ object SparkEntry {
     // -- extension ops: similarity search --
     "q27_knn_bruteforce" -> (VectorOps.knnBruteForce(_, _)),
     "q28_dedup_embedding" -> (VectorOps.embeddingDedup(_, _)),
+    // rows-only: approximate by construction (recall pinned by spec)
+    "q75_ann_ivf_topk" -> (VectorOps.ivfTopK(_, _)),
     // -- time-series: resample/gap-fill + as-of join --
     "q19_resample_gapfill" -> (TimeSeriesOps.resampleGapFill(_, _)),
     "q31_asof_join" -> (TimeSeriesOps.asofErrorPurchase(_, _)),
@@ -625,6 +629,21 @@ object SparkEntry {
         |CAST(sum(n_chars) AS BIGINT) AS kept_chars, min(n_chars) AS min_kept, max(n_chars) AS max_kept
         |FROM r WHERE rn > CAST(floor(n * 0.05) AS BIGINT) AND rn <= n - CAST(floor(n * 0.05) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q76_chunk_split" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |s AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM d)
+        |SELECT doc_id, start // 48 AS chunk_id,
+        |least(64, n - start) AS n_chunk_tokens,
+        |md5(array_to_string(list_slice(toks, start + 1, start + least(64, n - start)), ' ')) AS chunk_fp
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q77_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM documents),
+        |o AS (SELECT DISTINCT fp FROM d WHERE h1 < 'c'),
+        |n AS (SELECT doc_id, source, fp FROM d WHERE h1 >= 'c')
+        |SELECT n.doc_id, n.source, (o.fp IS NOT NULL) AS is_dup
+        |FROM n LEFT JOIN o USING (fp) ORDER BY n.doc_id""".stripMargin,
     "q74_pii_redact" ->
       """WITH aug AS (SELECT doc_id,
         |  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com call +1-' ||

@@ -251,6 +251,71 @@ object SamplingOps {
   }
 
   /**
+   * Overlapping-window chunking — the doc→chunk explosion that feeds an
+   * embedding or context-window pipeline: windows of `window` tokens every
+   * `stride` tokens (trailing chunk may be shorter; every token is covered,
+   * consecutive chunks overlap by `window - stride`). Chunk text is emitted
+   * as an md5 fingerprint, not the string, so the result stays narrow.
+   *
+   * Pure generator projection — `explode(sequence(...))` + `slice` run
+   * inside one codegen stage, no shuffle, no state; output order is
+   * (doc_id, chunk_id), both derived per-row. At 100 TB the only knob that
+   * matters is the ~`window/stride`× row expansion: size
+   * `spark.sql.files.maxPartitionBytes` (or repartition after the explode)
+   * so post-explosion partitions still fit executor memory, exactly as
+   * [[MultimodalOps.frameSample]]'s scaladoc prescribes for frame
+   * explosion.
+   */
+  def chunkSplit(spark: SparkSession, dir: String, window: Int = 64, stride: Int = 48): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(
+        col("doc_id"), col("toks"), col("n"),
+        explode(expr(s"sequence(0L, n - 1, $stride)")).as("start")
+      )
+      .selectExpr(
+        "doc_id",
+        s"start div $stride as chunk_id",
+        s"least(cast($window as bigint), n - start) as n_chunk_tokens",
+        s"md5(concat_ws(' ', slice(toks, cast(start + 1 as int), cast(least(cast($window as bigint), n - start) as int)))) as chunk_fp"
+      )
+      .orderBy("doc_id", "chunk_id")
+
+  /**
+   * Incremental (snapshot) dedup — the daily-ingest question "which of
+   * today's docs did we already have?". The historical corpus and the new
+   * batch are disjoint md5 hash-splits of `documents` (~75% / ~25%); content
+   * identity is a canonical bag-of-words fingerprint (md5 of the sorted
+   * distinct token set — catches word-order permutations, the near-dup mode
+   * of this corpus, where byte-exact md5 catches nothing).
+   *
+   * Scale shape — the historical side is the 100 TB side and NEVER
+   * shuffles: (1) a left-SEMI join with the NEW batch's fingerprints
+   * broadcast streams the history map-side and keeps only fingerprints the
+   * batch mentions (output ≤ |batch|); (2) the surviving fingerprint set
+   * broadcasts back onto the batch for the per-doc flag. Both joins
+   * broadcast the small side. If the daily batch ever outgrows broadcast,
+   * compress it into a `bloom_agg` bitmap first ([[decontaminateBloom]]'s
+   * plan shape) and keep the exact semi-join as the verify stage.
+   */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .withColumn("h1", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("fp", md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+    val hist = d.filter(col("h1") < "c").select("fp")
+    val batch = d.filter(col("h1") >= "c").select(col("doc_id"), col("source"), col("fp"))
+    val seen = hist
+      .join(broadcast(batch.select("fp")), Seq("fp"), "left_semi")
+      .distinct() // <= |batch| rows: dedup AFTER the semi-join, not on the history
+      .withColumn("dup", lit(true))
+    batch
+      .join(broadcast(seen), Seq("fp"), "left")
+      .select(col("doc_id"), col("source"), coalesce(col("dup"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * Stratified sampling: k docs per language, picked by hash order — a
    * deterministic "random" sample whose membership is stable across runs
    * and engines. One shuffle (the per-stratum window partition); the rank

@@ -63,6 +63,31 @@ object VectorOps {
   }
 
   /**
+   * End-to-end IVF ANN search as a benchable query: build the coarse index
+   * (systematic centroid sample + broadcast arg-min assignment) and run a
+   * multi-list top-k probe against the vec_id=0 query vector — the full
+   * index-build + search lifecycle [[graft.operators.AnnIndex]] documents,
+   * exercised per bench round so the ANN path has an official latency row
+   * next to the exact baseline (q27).
+   *
+   * Approximate by construction (probes 4 of 16 inverted lists, ~25% of the
+   * corpus; recall vs brute force is pinned by AnnPruneSpec/OperatorsSpec),
+   * so there is no DuckDB oracle — rows-only. At scale the build is
+   * amortized: the assigned table persists bucketed by `bucket` (the layout
+   * AnnPruneSpec proves prunes to the probed directories) and each query
+   * pays only its probe lists.
+   */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val cents = AnnIndex.ivfCentroids(e, "emb", "vec_id", nCentroids = 16)
+    val assigned = AnnIndex.ivfAssign(e, "emb", cents)
+    val qv = e.filter(col("vec_id") === 0).select("emb")
+      .head().getSeq[Double](0).toArray
+    AnnIndex.ivfSearch(assigned.filter(col("vec_id") =!= 0), cents, "emb", qv, k = 20, nprobe = 4)
+      .select(col("vec_id"), col("bucket"), round(col("cos"), 6).as("cos"))
+  }
+
+  /**
    * Per-label embedding centroids in exact integer arithmetic: quantize each
    * element to a scaled long FIRST (`round(x * 1e6)` — deterministic IEEE
    * product + half-up rounding, identical in Spark and DuckDB), then
