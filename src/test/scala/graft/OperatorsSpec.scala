@@ -506,4 +506,54 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perLang.forall(_.getLong(1) <= 50L))
     assert(strat.count() == SamplingOps.stratifiedSample(spark, dir, k = 50).count())
   }
+
+  test("chunkSplit: chunk counts and coverage telescope to the token count") {
+    val chunks = SamplingOps.chunkSplit(spark, dir, window = 64, stride = 48)
+      .collect().groupBy(_.getLong(0))
+    val nTokens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == nTokens.keySet) // every doc chunked
+    chunks.foreach { case (doc, rows) =>
+      val n = nTokens(doc)
+      val m = rows.length.toLong
+      assert(m == (n - 1) / 48 + 1, s"doc $doc: $m chunks for $n tokens")
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (0L until m), s"doc $doc chunk ids")
+      val lastLen = rows.maxBy(_.getLong(1)).getLong(2)
+      assert((m - 1) * 48 + lastLen == n, s"doc $doc coverage")
+      assert(rows.forall(r => r.getLong(2) == math.min(64L, n - r.getLong(1) * 48)))
+    }
+  }
+
+  test("mixtureSample: bounded by input, min cell survives whole, deterministic") {
+    val r1 = SamplingOps.mixtureSample(spark, dir).collect()
+    val r2 = SamplingOps.mixtureSample(spark, dir).collect()
+    assert(r1.toSeq == r2.toSeq)
+    val nIn = r1.map(_.getLong(2)).sum
+    assert(nIn == spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(r1.forall(r => r.getLong(4) <= r.getLong(2))) // n_kept <= n_in
+    val minIn = r1.map(_.getLong(2)).min
+    // every argmin cell saturates its threshold and keeps all of its docs
+    assert(r1.filter(_.getLong(2) == minIn)
+      .forall(r => r.getLong(3) >= 1048576L && r.getLong(4) == r.getLong(2)))
+  }
+
+  test("incrementalDedup flags match an independently derived fingerprint set") {
+    import org.apache.spark.sql.Row
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+    def fp(text: String): String = {
+      val canon = text.split(" ", -1).distinct.sorted.mkString(" ")
+      java.security.MessageDigest.getInstance("MD5").digest(canon.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    def h1(id: Long): Char =
+      java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+    val hist = docs.collect { case Row(id: Long, t: String) if h1(id) < 'c' => fp(t) }.toSet
+    val want = docs.collect { case Row(id: Long, t: String) if h1(id) >= 'c' => id -> hist(fp(t)) }.toMap
+    val got = SamplingOps.incrementalDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == want)
+  }
 }
