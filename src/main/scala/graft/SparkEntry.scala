@@ -97,6 +97,9 @@ object SparkEntry {
     "q50_sessionize" -> (TimeSeriesOps.sessionizeBatch(_, _)),
     "q57_range_bucket_join" -> (TimeSeriesOps.rangeBucketJoin(_, _)),
     "q63_ewma" -> (TimeSeriesOps.ewma(_, _)),
+    "q78_sliding_window" -> (TimeSeriesOps.slidingWindowAgg(_, _)),
+    "q79_funnel" -> (TimeSeriesOps.funnel(_, _)),
+    "q80_retention_cohorts" -> (TimeSeriesOps.retentionCohorts(_, _)),
     "q58_label_centroids" -> (VectorOps.labelCentroids(_, _)),
     // -- multimodal plumbing --
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
@@ -629,6 +632,29 @@ object SparkEntry {
         |CAST(sum(n_chars) AS BIGINT) AS kept_chars, min(n_chars) AS min_kept, max(n_chars) AS max_kept
         |FROM r WHERE rn > CAST(floor(n * 0.05) AS BIGINT) AND rn <= n - CAST(floor(n * 0.05) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q78_sliding_window" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL '30 minutes') AS ws,
+        |  event_type, value FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT CAST(floor(epoch(ws)) AS BIGINT) AS ws_sec, event_type, CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM w GROUP BY ws, event_type ORDER BY ws_sec, event_type""".stripMargin,
+    "q79_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL '24 hours' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL '24 hours' GROUP BY e.user_id)
+        |SELECT s1.user_id, CAST(floor(epoch(s1.t1)) AS BIGINT) AS t1_sec,
+        |CAST(floor(epoch(s2.t2)) AS BIGINT) AS t2_sec, CAST(floor(epoch(s3.t3)) AS BIGINT) AS t3_sec
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) ORDER BY s1.user_id""".stripMargin,
+    "q80_retention_cohorts" ->
+      """WITH fp AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |            FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_no,
+        |CAST(count(*) AS BIGINT) AS n_active
+        |FROM fp JOIN act USING (user_id) WHERE wk >= cohort
+        |GROUP BY fp.cohort, week_no ORDER BY cohort, week_no""".stripMargin,
     "q76_chunk_split" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),

@@ -264,4 +264,82 @@ object TimeSeriesOps {
       )
       .orderBy("user_id", "session_idx")
   }
+
+  /**
+   * Sliding (hopping) window aggregation: 1-hour windows every 30 minutes
+   * via Spark's native `window()` — each event lands in exactly
+   * `size/slide` = 2 windows (the generator expands them map-side, before
+   * the aggregation shuffle on the window key, so partial aggregation still
+   * collapses each task's output to one row per (window, type)). The value
+   * sum is quantized to integer cents BEFORE summing — integer addition is
+   * order-independent, so the result is identical at any parallelism and in
+   * any engine, where a float sum depends on shuffle layout
+   * ([[graft.operators.VectorOps.labelCentroids]] states the same rule).
+   * Epoch-aligned buckets: Spark's `window()` origin and DuckDB's
+   * `time_bucket` agree on 1970-01-01 UTC.
+   */
+  def slidingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents")
+      )
+      // epoch seconds, not raw timestamps: engines disagree on timestamp
+      // unit metadata (ns vs us) even when values match, exactly as q04
+      .select(unix_timestamp(col("window.start")).as("ws_sec"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .orderBy("ws_sec", "event_type")
+
+  /**
+   * Conversion funnel (signup -> view -> purchase, each step within 24 h of
+   * the previous): the event-sequence query behind every activation
+   * dashboard. Each stage is a min-timestamp aggregate of the event stream
+   * joined against the previous stage's per-user frontier; all three joins
+   * and all three aggregates key on `user_id`, so the chain co-partitions on
+   * one shuffle key end-to-end and the stage frontiers stay bounded by the
+   * user count (not the event count) — the property that holds at 100 TB,
+   * where events are huge but per-user frontiers are one row each. NULL
+   * stage timestamps mean the user never reached that stage (LEFT joins
+   * preserve the full population for conversion-rate math downstream).
+   */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = e.filter(col("event_type") === "view").join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), unix_timestamp(col("t1")).as("t1_sec"),
+        unix_timestamp(col("t2")).as("t2_sec"), unix_timestamp(col("t3")).as("t3_sec"))
+      .orderBy("user_id")
+  }
+
+  /**
+   * Retention cohort matrix: users cohorted by first-purchase week, counted
+   * active in each subsequent week — the classic triangle every growth team
+   * reads. Week buckets come from `date_trunc('week', ...)` (Monday-based in
+   * both engines); week offsets are exact integer day arithmetic. Shape:
+   * one distinct on (user, week) — partial-aggregated map-side, output
+   * bounded by users x weeks — then a user-keyed join against the per-user
+   * cohort frontier (bounded by user count) and a tiny rollup. The raw
+   * event table is read once and never carries its full width past the
+   * first projection.
+   */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val cohorts = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(date_trunc("week", min("ts")).cast("date").as("cohort"))
+    val active = e.select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+    cohorts.join(active, "user_id")
+      .filter(col("wk") >= col("cohort"))
+      .withColumn("week_no", expr("cast(datediff(wk, cohort) div 7 as bigint)"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"), col("week_no"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "week_no")
+  }
 }

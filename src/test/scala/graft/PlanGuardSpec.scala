@@ -45,12 +45,30 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the centroid set per row)
     "q75_ann_ivf_topk")
 
-  test("no query plans a Cartesian product; BNLJ only where intended") {
+  // Merge joins whose BOTH sides are aggregate outputs already
+  // hash-partitioned on the join key (stage frontiers, per-cell thresholds,
+  // cluster labels): the SMJ adds ZERO exchanges, and at 100 TB — where
+  // these relations are keyspace-sized, not corpus-sized — merging
+  // co-partitioned inputs beats broadcasting them. Whether AQE picks SMJ or
+  // demotes to broadcast here varies with sf/parallelism (sf0.01 audit:
+  // only q79 retains it); both outcomes are correct, so all three are
+  // allowlisted rather than pinned to one environment's choice.
+  private val smjAllowed = Set("q79_funnel", "q71_mixture_sample", "q60_dedup_clusters")
+
+  test("no query plans a Cartesian product; BNLJ/SMJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val cart = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
-      if (cart || bnlj) Some(s"$name cartesian=$cart bnlj=$bnlj") else None
+      // SMJ in the INITIAL plan is routinely converted to broadcast by AQE
+      // once runtime sizes are known; only an SMJ that survives EXECUTION
+      // counts. Execute only the (few) suspects, keeping the test cheap.
+      val smj = plan.contains("SortMergeJoin") && !smjAllowed(name) && {
+        val d = fn(spark, dir)
+        d.collect()
+        d.queryExecution.executedPlan.toString.contains("SortMergeJoin")
+      }
+      if (cart || bnlj || smj) Some(s"$name cartesian=$cart bnlj=$bnlj smj=$smj") else None
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
