@@ -100,6 +100,7 @@ object SparkEntry {
     "q78_sliding_window" -> (TimeSeriesOps.slidingWindowAgg(_, _)),
     "q79_funnel" -> (TimeSeriesOps.funnel(_, _)),
     "q80_retention_cohorts" -> (TimeSeriesOps.retentionCohorts(_, _)),
+    "q81_salted_join" -> (SkewOps.saltedSegmentRollup(_, _)),
     "q58_label_centroids" -> (VectorOps.labelCentroids(_, _)),
     // -- multimodal plumbing --
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
@@ -632,6 +633,11 @@ object SparkEntry {
         |CAST(sum(n_chars) AS BIGINT) AS kept_chars, min(n_chars) AS min_kept, max(n_chars) AS max_kept
         |FROM r WHERE rn > CAST(floor(n * 0.05) AS BIGINT) AND rn <= n - CAST(floor(n * 0.05) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q81_salted_join" ->
+      """SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_events,
+        |CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY c.c_mktsegment ORDER BY segment""".stripMargin,
     "q78_sliding_window" ->
       """WITH w AS (SELECT time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL '30 minutes') AS ws,
         |  event_type, value FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))

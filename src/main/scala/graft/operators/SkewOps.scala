@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -65,5 +65,33 @@ object SkewOps {
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("__salt", col("__salt").cast("long")) // generators can't nest inside a cast
     l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /**
+   * [[saltedJoin]] as an oracle-checked query: events (the skew-prone fact
+   * side) joined to a customer-derived dimension through the 8-way salt,
+   * then rolled up per market segment. The salt provably cancels — every
+   * left row matches exactly ONE replica of its dimension row (the one
+   * carrying its salt value) — so the result is bit-identical to the plain
+   * join the oracle runs, whatever the salt distribution was. Value sums
+   * quantize to integer cents before summing (order-independent exactness,
+   * same rule as [[TimeSeriesOps.slidingWindowAgg]]).
+   *
+   * At 100 TB this is the shape for a hot-keyed fact↔dimension join whose
+   * dimension exceeds the broadcast threshold: the 8x replicated dimension
+   * still shuffles as a dimension, while the hot fact key fans out over 8
+   * reducers instead of melting one.
+   */
+  def saltedSegmentRollup(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.t(spark, dir, "events")
+    val dim = Tables.t(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    saltedJoin(events, dim, "user_id", salts = 8)
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents")
+      )
+      .orderBy("segment")
   }
 }
