@@ -101,6 +101,8 @@ object SparkEntry {
     "q79_funnel" -> (TimeSeriesOps.funnel(_, _)),
     "q80_retention_cohorts" -> (TimeSeriesOps.retentionCohorts(_, _)),
     "q81_salted_join" -> (SkewOps.saltedSegmentRollup(_, _)),
+    // SQL entry point: the statement is shared verbatim with the oracle
+    "q82_tpch5_sql" -> (RelationalOps.tpchQ5Sql(_, _)),
     "q58_label_centroids" -> (VectorOps.labelCentroids(_, _)),
     // -- multimodal plumbing --
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
@@ -633,6 +635,7 @@ object SparkEntry {
         |CAST(sum(n_chars) AS BIGINT) AS kept_chars, min(n_chars) AS min_kept, max(n_chars) AS max_kept
         |FROM r WHERE rn > CAST(floor(n * 0.05) AS BIGINT) AND rn <= n - CAST(floor(n * 0.05) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q82_tpch5_sql" -> RelationalOps.TpchQ5Sql,
     "q81_salted_join" ->
       """SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_events,
         |CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -153,6 +153,37 @@ object RelationalOps {
       .select(col("c_custkey"), col("c_acctbal"))
       .orderBy("c_custkey")
 
+  /**
+   * TPC-H Q5 through the SQL entry point (`spark.sql` over registered
+   * views): the relational surface is reachable as ANSI text, not just the
+   * DataFrame DSL, and lands in the identical Catalyst plan. The statement
+   * below is written in the Spark∩DuckDB dialect subset and is shared
+   * VERBATIM with the oracle — one string, two engines, hash-equal result.
+   * Revenue uses q12's convention (rounded hundreds as bigint) so the float
+   * product sum quantizes identically. Plan shape: lineitem⋈orders is the
+   * one big co-keyed join; customer/supplier/nation/region are
+   * broadcast-eligible dimensions, and the c_nationkey = s_nationkey
+   * condition rides the supplier join.
+   */
+  val TpchQ5Sql: String =
+    """SELECT n_name, CAST(round(sum(l_extendedprice*(1-l_discount))/100.0, 0) AS BIGINT) AS revenue_h
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue_h DESC, n_name""".stripMargin
+
+  def tpchQ5Sql(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(TpchQ5Sql)
+  }
+
   /** TPC-H Q1 shape: scan-heavy grouped aggregate over lineitem. */
   def tpchQ1(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
