@@ -36,6 +36,11 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // intra-query caches must not tax the next run
+        // localCheckpoint blocks (sequencePack's partition-identity pin) are
+        // RDD-level storage that clearCache() does NOT release and that
+        // otherwise lingers until driver GC — drop them so each run starts
+        // with empty executor storage
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         if (ok) dt else -1.0
       }
       (name, if (times.exists(_ < 0)) -1.0 else times.min)
@@ -65,10 +70,16 @@ object Bench {
         WhisperWorkload.writeRefScale(p)
         rows = scanRows()
       }
-      val t0n = System.nanoTime()
-      val rows2 = scanRows()
-      val dt = (System.nanoTime() - t0n) / 1e9
-      s""","whisper_ref_scan_sec":${f3(dt)},"whisper_ref_rows":$rows2"""
+      if (rows != WhisperWorkload.RefScaleRows)
+        // still wrong after a rewrite: decoder or disk fault — flag it
+        // instead of publishing a silently-wrong official metric
+        s""","whisper_ref_error":"row count $rows != ${WhisperWorkload.RefScaleRows} after rewrite""""
+      else {
+        val t0n = System.nanoTime()
+        val rows2 = scanRows()
+        val dt = (System.nanoTime() - t0n) / 1e9
+        s""","whisper_ref_scan_sec":${f3(dt)},"whisper_ref_rows":$rows2"""
+      }
     } catch { case _: Throwable => "" }
     // ONE compact line, emitted last: the driver records only the output
     // TAIL (~4 KB), and round-2's full-precision doubles pushed the line

@@ -42,11 +42,17 @@ object AnnIndex {
   /** All bucket ids within Hamming distance `probeBits` of `center` — the
    * multi-probe set, sum of C(nPlanes, d) for d <= probeBits ids. Enumerated
    * driver-side (it depends only on the query, never on data) so the search
-   * filter is a literal IN-list that PUSHES DOWN: a parquet scan records it
-   * in PushedFilters (row-group stats prune), a `bucketBy("bucket")` table
-   * prunes whole buckets, a `partitionBy("bucket")` layout prunes
-   * directories. Keep nPlanes/probeBits such that the id count stays small
-   * (16 planes, 2 probe bits -> 137 ids). */
+   * filter is a literal IN-list that PUSHES DOWN. Which pruning tier carries
+   * it depends on the layout: a `partitionBy("bucket")` directory layout and
+   * a `bucketBy("bucket")` table prune at the CATALOG level, for any id
+   * count (the 100 TB layout — AnnPruneSpec pins the documented 137-id
+   * config on it). Parquet ROW-GROUP stats pruning, by contrast, only sees
+   * the IN-list verbatim up to
+   * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10) ids; above
+   * that Spark pushes a min/max range, and because the XOR ball scatters
+   * across the id domain the range covers nearly everything — so on a flat
+   * parquet index either raise that threshold to cover the probe count or
+   * accept scan-with-filter. */
   def probeBuckets(center: Long, nPlanes: Int, probeBits: Int): Seq[Long] = {
     def flips(start: Int, left: Int): Seq[Long] =
       if (left == 0) Seq(0L)

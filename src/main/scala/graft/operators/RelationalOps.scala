@@ -352,13 +352,17 @@ object RelationalOps {
       // Hash-checkable contract: the oracle can't reproduce Spark's sketch
       // values (different HLL/quantile implementations), but it CAN assert
       // the same accuracy contract — so emit the exact count plus booleans
-      // verifying each sketch lands inside its guaranteed band (DuckDB side:
-      // literal TRUE). The sketches still run end to end; a broken sketch
-      // flips a boolean and fails the hash check.
+      // verifying each sketch lands inside its band (DuckDB side: literal
+      // TRUE). The sketches still run end to end; a broken sketch flips a
+      // boolean and fails the hash check. The HLL band is 15% against the
+      // rsd=0.02 STANDARD DEVIATION — ~7.5 sigma, so it never flips on a
+      // healthy sketch over any fixture, while a broken one (orders of
+      // magnitude off) still trips it; a 5% band would be only ~2.5 sigma,
+      // a legitimate few-per-thousand flip risk per group on new data.
       .select(
         col("event_type"),
         col("exact_users"),
-        (abs(col("au") - col("exact_users")) * 20 <= col("exact_users")).as("approx_users_ok"),
+        (abs(col("au") - col("exact_users")) * 20 <= col("exact_users") * 3).as("approx_users_ok"),
         (col("ap")(0) >= col("ep")(0) && col("ap")(0) <= col("ep")(1)).as("approx_med_ok"),
         (col("ap")(1) >= col("ep")(2) && col("ap")(1) <= col("vmax")).as("approx_p99_ok")
       )

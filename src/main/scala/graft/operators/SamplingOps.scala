@@ -68,6 +68,11 @@ object SamplingOps {
     // of the divergent pids; checkpointing truncates the lineage, so losing
     // the materialized partitions fails the job loudly instead — the only
     // safe failure mode for a correctness-bearing partition identity.
+    // Storage note: checkpoint blocks are RDD-level, released by the
+    // ContextCleaner on GC — NOT by spark.catalog.clearCache(); a caller
+    // cycling this in a loop (Bench) should also drop
+    // sparkContext.getPersistentRDDs between runs. The frame is a narrow
+    // 3-column projection, so each instance is small relative to its input.
     val docs = t(spark, dir, "documents")
       .select(
         col("doc_id"),
@@ -156,8 +161,13 @@ object SamplingOps {
     def shingles(df: DataFrame) =
       df.select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("g"))
     val train = shingles(d.filter(col("h1") < "d"))
+    // cache the (small, reference-corpus-sized) test shingles: the bitmap's
+    // scalar subquery and the verify join are separate plan arms that share
+    // no exchange across the subquery boundary — without the cache each
+    // execution scans and re-shingles the test split TWICE
     val test = shingles(d.filter(col("h1") >= "f"))
       .select(col("g"), col("doc_id").as("tdoc"))
+      .cache()
     // 1-row bitmap: 2^23 bits = 1 MiB, sized for ~1M reference shingles
     val bf = test.agg(expr("bloom_agg(xxhash64(g), 1000000L, 8388608L)")).scalar()
     val cand = train

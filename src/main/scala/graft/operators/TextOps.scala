@@ -100,14 +100,16 @@ object TextOps {
    * The corpus size N rides INSIDE the plan as a 1-row aggregate cross-joined
    * onto the scores (broadcast, no shuffle) — never a separate `count()`
    * action, which at 100 TB would be a second full pass over the corpus just
-   * to fetch a scalar. Every doc has >= 1 token (split('') yields ['']), so
-   * N = count(documents) without touching the exploded relation.
+   * to fetch a scalar. Every NON-NULL text has >= 1 token (split('') yields
+   * ['']) while a NULL text contributes no tokens at all, so
+   * `count(text)` — which skips NULLs, exactly like the exploded relation
+   * does — equals the tokenized distinct-doc count without touching it.
    */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-    val nDocs = t(spark, dir, "documents").agg(count(lit(1)).as("nd"))
+    val nDocs = t(spark, dir, "documents").agg(count(col("text")).as("nd"))
     val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
     val w = Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))

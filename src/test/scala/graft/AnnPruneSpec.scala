@@ -112,4 +112,33 @@ class AnnPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read.size <= probed.size && read.nonEmpty,
       s"expected <= ${probed.size} partition dirs, read ${read.size}")
   }
+
+  test("directory pruning survives a probe set ABOVE the parquet IN-threshold") {
+    // 16 planes + probeBits=2 -> 137 probe ids, far above
+    // spark.sql.parquet.pushdown.inFilterThreshold (default 10). Parquet
+    // ROW-GROUP pushdown degrades to a min/max range there (the XOR ball
+    // spans nearly the whole id domain), but catalog-level PARTITION pruning
+    // is threshold-independent — this pins the documented 100 TB config on
+    // the layout that actually carries it.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val planes = AnnIndex.hyperplanes(nPlanes = 16, dim = 64, seed = 42L)
+    val idx = java.nio.file.Files.createTempDirectory("ann-part-big").resolve("idx").toString
+    AnnIndex.lshBucketize(e, "emb", planes).write.partitionBy("bucket").mode("overwrite").parquet(idx)
+    val indexed = spark.read.parquet(idx)
+    val qVec = e.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+
+    val res = AnnIndex.lshSearch(indexed, "emb", qVec, planes, k = 5, probeBits = 2)
+    res.collect()
+    val scan = scans(res.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "bucket"))
+      .getOrElse(fail("no parquet scan of the partitioned index"))
+    val probed = AnnIndex.probeBuckets(
+      AnnIndex.queryBucket(qVec, planes), planes.length, 2).toSet
+    assert(probed.size == 137)
+    val read = scan.selectedPartitions.toPartitionArray
+      .flatMap(pf => "bucket=(-?\\d+)".r.findFirstMatchIn(pf.filePath.toString).map(_.group(1).toLong))
+      .toSet
+    assert(read.subsetOf(probed), s"scan read non-probed buckets: ${read -- probed}")
+  }
 }

@@ -470,9 +470,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.listenerManager.register(listener)
     try {
       DedupOps.connectedComponentsStar(chain).collect()
-      // the listener bus is async: poll until the count settles
-      var (n, last) = (actions.get, -1)
-      while (n != last) { last = n; Thread.sleep(300); n = actions.get }
+      // the listener bus is async: a fixed settle window races a loaded box
+      // (the next event can arrive arbitrarily late), so first wait — with a
+      // generous deadline — for the budget to be REACHED, then hold one more
+      // beat to catch overshoot (more actions than budgeted)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var n = actions.get
+      while (n < 4 && System.nanoTime() < deadline) { Thread.sleep(200); n = actions.get }
+      Thread.sleep(1000)
+      n = actions.get
       // exactly ONE action per round — the signature aggregate that also
       // materializes the lazily-checkpointed generation. The old fixpoint
       // (count + exceptAll.isEmpty) spent 3 actions per round and would
