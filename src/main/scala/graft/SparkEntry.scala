@@ -67,6 +67,7 @@ object SparkEntry {
     "q68_source_report" -> (TextOps.sourceReport(_, _)),
     "q72_vocab_coverage" -> (TextOps.vocabCoverage(_, _)),
     "q74_pii_redact" -> (TextOps.piiRedact(_, _)),
+    "q83_unigram_surprisal" -> (TextOps.unigramSurprisal(_, _)),
     // -- extension ops: dataset assembly (split / shuffle-pack / sample) --
     "q54_hash_split" -> (SamplingOps.hashSplit(_, _)),
     "q55_sequence_pack" -> (SamplingOps.sequencePack(_, _)),
@@ -636,6 +637,16 @@ object SparkEntry {
         |FROM r WHERE rn > CAST(floor(n * 0.05) AS BIGINT) AND rn <= n - CAST(floor(n * 0.05) AS BIGINT)
         |GROUP BY source ORDER BY source""".stripMargin,
     "q82_tpch5_sql" -> RelationalOps.TpchQ5Sql,
+    "q83_unigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok),
+        |n AS (SELECT CAST(sum(tf) AS BIGINT) AS nt FROM tf),
+        |sc AS (SELECT t.doc_id, (nt * 1000000 // tf.tf) AS rarity
+        |       FROM tok t JOIN tf USING (tok) CROSS JOIN n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(sum(rarity) // count(*) AS BIGINT) AS mean_rarity_ppm,
+        |CAST(max(rarity) AS BIGINT) AS max_rarity_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q81_salted_join" ->
       """SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_events,
         |CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

@@ -208,6 +208,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /**
+   * Unigram surprisal scoring — CCNet-style LM quality filtering reduced to
+   * its order-0 core: score each document by the mean corpus rarity of its
+   * tokens (template/boilerplate docs score low, lexically novel docs —
+   * and gibberish — score high; pipelines gate on both tails). Rarity is
+   * the INTEGER weight `N * 1e6 div tf` rather than `-log(tf/N)`: libm logs
+   * differ in the last ulp across engines, integer division doesn't, and
+   * the monotone transform preserves every ranking/threshold decision.
+   *
+   * Shape: one token-keyed shuffle builds the term-frequency relation; the
+   * occurrence stream joins it co-partitioned (no second exchange on the
+   * corpus side); the corpus token total rides in-plan as a 1-row aggregate
+   * over the VOCABULARY-sized tf relation (sum(tf) — never a second pass
+   * over the corpus); then a per-doc rollup. At 100 TB the tf relation is
+   * vocabulary-sized — AQE broadcasts it when it fits, and the plan
+   * degrades to a co-partitioned shuffle join when it doesn't.
+   */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val nt = tf.agg(sum("tf").as("nt"))
+    tok.join(tf, "tok")
+      .crossJoin(nt)
+      .withColumn("rarity", expr("nt * 1000000 div tf"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        expr("sum(rarity) div count(1)").as("mean_rarity_ppm"),
+        max("rarity").as("max_rarity_ppm")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Language ID by stopword-hit voting with a fixed descending tie-break
    * (zh > fr > es > en > de — first language whose score ties the max wins). */
   def langId(spark: SparkSession, dir: String): DataFrame =

@@ -39,7 +39,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
    * entry here. */
   private val bnljAllowed = Set(
     "q27_knn_bruteforce", "q19_resample_gapfill", "q45_interpolate",
-    "q53_tfidf_topterms", "q71_mixture_sample",
+    "q53_tfidf_topterms", "q71_mixture_sample", "q83_unigram_surprisal",
     // 16-row broadcast centroid table crossed onto every vector: the IVF
     // assignment IS a deliberate tiny-broadcast nested loop (arg-min over
     // the centroid set per row)
