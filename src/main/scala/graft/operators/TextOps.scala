@@ -217,13 +217,14 @@ object TextOps {
    * differ in the last ulp across engines, integer division doesn't, and
    * the monotone transform preserves every ranking/threshold decision.
    *
-   * Shape: one token-keyed shuffle builds the term-frequency relation; the
-   * occurrence stream joins it co-partitioned (no second exchange on the
-   * corpus side); the corpus token total rides in-plan as a 1-row aggregate
-   * over the VOCABULARY-sized tf relation (sum(tf) — never a second pass
-   * over the corpus); then a per-doc rollup. At 100 TB the tf relation is
-   * vocabulary-sized — AQE broadcasts it when it fits, and the plan
-   * degrades to a co-partitioned shuffle join when it doesn't.
+   * Shape: one token-keyed shuffle builds the VOCABULARY-sized term
+   * frequency relation, and AQE broadcasts it back onto the occurrence
+   * stream (PLANS.md: BHJ, no exchange on the corpus side of the join;
+   * were the vocabulary ever to outgrow broadcast, the plan degrades to a
+   * token-keyed shuffle join). The corpus token total rides in-plan as a
+   * 1-row aggregate over tf (sum(tf) — never a second pass over the
+   * corpus). The per-doc rollup is the only other corpus-wide exchange,
+   * partial-aggregated map-side.
    */
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val tok = t(spark, dir, "documents")
