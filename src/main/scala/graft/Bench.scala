@@ -1,10 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main. Protocol (BENCH_NOTES.md "stability runs", adopted as the
+ * official record in round 4):
+ *
+ *  - Pass 0 runs every query once, untimed: it pays the one-off
+ *    whole-stage-codegen compilation (~1s/query, invariant in data size) and
+ *    warms parquet footer caches, so the timed passes measure the queries.
+ *  - Then `SPARK_GRAFT_PASSES` (default 3) FULL-SUITE passes, each timing
+ *    every query once. The official per-query number is the MIN across
+ *    passes. Samples of one query are therefore spaced ~a full suite apart
+ *    (tens of seconds): a multi-second box-contention window (GC pause,
+ *    concurrent tenant) can inflate one pass's alphabetically-contiguous
+ *    band, but not the same query in all passes — the failure mode that put
+ *    phantom 3x regressions in the round-2 AND round-3 official records
+ *    (back-to-back min-of-3 samples all landed inside one contention window).
+ *  - The reference-scale whisper scan is timed once per pass, same min rule
+ *    (it was the one single-sample metric in r3 and duly came out 1.8x noisy).
+ *
+ * Output: the FULL per-query record is written to BENCH_LOCAL.json in the
+ * repo (the driver's stdout window is ~4 KB and 83+ queries overflow it —
+ * the truncation that clipped the r2 and r3 official records), and stdout
+ * gets ONE compact digest line, printed last: total, per-pass totals, the
+ * worst-5 queries, the ref-scan metric, and the path to the full record.
+ */
 object Bench {
   private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // native functions + whisper plan rules
@@ -14,77 +41,103 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/JIT + parquet footer caches so per-query numbers measure
-    // the queries, not first-touch costs.
-    try SparkEntry.queries.get("q01_tpch1_agg").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => }
-    // Steady-state latency: the first execution per query pays one-off
-    // whole-stage-codegen compilation (~1s/query, invariant in data size);
-    // of the three timed runs that follow, report the MIN — a single timed
-    // run is exposed to box noise (GC pause, a concurrent tenant), and one
-    // such blip inflated a whole band of queries in the round-2 official
-    // record (see BENCH_NOTES.md); a round-3 recheck saw a two-run window
-    // where BOTH samples of one query landed 3x its steady state, so three
-    // samples buy the official record one more independent draw.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      spark.catalog.clearCache()
-      // a crashing query must surface as a failure, not as its (fast)
-      // time-to-exception: report -1 and list it under "errors"
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // intra-query caches must not tax the next run
-        // localCheckpoint blocks (sequencePack's partition-identity pin) are
-        // RDD-level storage that clearCache() does NOT release and that
-        // otherwise lingers until driver GC — drop them so each run starts
-        // with empty executor storage
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        if (ok) dt else -1.0
-      }
-      (name, if (times.exists(_ < 0)) -1.0 else times.min)
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def dropState(): Unit = {
+      spark.catalog.clearCache() // intra-query caches must not tax the next run
+      // localCheckpoint blocks (sequencePack's partition-identity pin) are
+      // RDD-level storage that clearCache() does NOT release and that
+      // otherwise lingers until driver GC — drop them so each run starts
+      // with empty executor storage
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // Reference-scale whisper throughput: BASELINE.md's only concrete scale
-    // facts are the 82,785,664-byte 3-archive example file (6,898,801 points,
-    // 1,555,200/2,331,015/38,855 filled). Synthesize that exact shape once,
-    // then time a warm full read+decode+order+aggregate — the reference's
-    // whole `to_frame()` workload — so every BENCH round carries a direct
-    // single-node comparison point against the reference's eager numpy read.
-    val whisper = try {
-      import graft.operators.WhisperWorkload
-      val p = WhisperWorkload.refScaleFixture() // size-checked; rewrites if missing
-      def scanRows() = spark.read.format("whisper").load(p.toString)
-        .groupBy("archive").count().collect().map(_.getLong(1)).sum
-      // warm run doubles as CONTENT validation: the decoder tolerates
-      // truncation silently, so a racing writer's partial file (same size,
-      // wrong bytes) would skew the timing without erroring — the golden
-      // filled-row count catches it, and a rewrite repairs it.
-      var rows = scanRows()
-      if (rows != WhisperWorkload.RefScaleRows) {
-        WhisperWorkload.writeRefScale(p)
-        rows = scanRows()
-      }
-      if (rows != WhisperWorkload.RefScaleRows)
-        // still wrong after a rewrite: decoder or disk fault — flag it
-        // instead of publishing a silently-wrong official metric
-        s""","whisper_ref_error":"row count $rows != ${WhisperWorkload.RefScaleRows} after rewrite""""
-      else {
-        val t0n = System.nanoTime()
-        val rows2 = scanRows()
-        val dt = (System.nanoTime() - t0n) / 1e9
-        s""","whisper_ref_scan_sec":${f3(dt)},"whisper_ref_rows":$rows2"""
-      }
-    } catch { case _: Throwable => "" }
-    // ONE compact line, emitted last: the driver records only the output
-    // TAIL (~4 KB), and round-2's full-precision doubles pushed the line
-    // past the window — %.3f keeps the whole record inside it.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs$whisper,"sf":"$sfDir"}""")
+    // a crashing query must surface as a failure, not as its (fast)
+    // time-to-exception: record -1 for the pass and list it under "errors"
+    def timeOne(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropState()
+      if (ok) dt else -1.0
+    }
+
+    // Reference-scale whisper fixture: BASELINE.md's only concrete scale facts
+    // are the 82,785,664-byte 3-archive example file (6,898,801 points;
+    // 1,555,200/2,331,015/38,855 filled). Synthesized once, content-validated
+    // by golden filled-row count (the decoder tolerates truncation silently,
+    // so a partial file would otherwise skew the timing without erroring).
+    import graft.operators.WhisperWorkload
+    val whisperPath =
+      try {
+        val p = WhisperWorkload.refScaleFixture() // size-checked; rewrites if missing
+        def scanRows() = spark.read.format("whisper").load(p.toString)
+          .groupBy("archive").count().collect().map(_.getLong(1)).sum
+        var rows = scanRows() // warm + validate
+        if (rows != WhisperWorkload.RefScaleRows) { WhisperWorkload.writeRefScale(p); rows = scanRows() }
+        if (rows == WhisperWorkload.RefScaleRows) Some(p.toString) else None
+      } catch { case _: Throwable => None }
+    def timeWhisper(): Double = whisperPath match {
+      case None => -1.0
+      case Some(p) =>
+        val t0 = System.nanoTime()
+        spark.read.format("whisper").load(p)
+          .groupBy("archive").count().collect().map(_.getLong(1)).sum
+        (System.nanoTime() - t0) / 1e9
+    }
+
+    // Pass 0: warm (codegen compile + footer caches), untimed.
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => }
+      dropState()
+    }
+
+    // Timed passes: full suite per pass, ref-scan appended to each pass.
+    val samples = Array.fill(passes)(collection.mutable.LinkedHashMap.empty[String, Double])
+    val whisperSamples = collection.mutable.ArrayBuffer.empty[Double]
+    for (p <- 0 until passes) {
+      names.foreach(n => samples(p)(n) = timeOne(n))
+      whisperSamples += timeWhisper()
+    }
+
+    val official: Seq[(String, Double)] = names.map { n =>
+      val xs = samples.map(_(n))
+      (n, if (xs.exists(_ < 0)) -1.0 else xs.min)
+    }
+    val errs = official.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = official.map(_._2).filter(_ >= 0).sum
+    val passTotals = samples.map(_.values.filter(_ >= 0).sum)
+    val whisperOk = whisperSamples.filter(_ >= 0)
+    val whisperJson =
+      if (whisperOk.nonEmpty)
+        s""","whisper_ref_scan_sec":${f3(whisperOk.min)},"whisper_ref_rows":${WhisperWorkload.RefScaleRows}"""
+      else ""
+
+    val qs = official.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val perPass = samples.zipWithIndex.map { case (m, i) =>
+      "\"pass" + (i + 1) + "\":" + m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    }.mkString(",")
+    val fullJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,
+         |"pass_totals":[${passTotals.map(f3).mkString(",")}],
+         |"queries":$qs,
+         |"errors":$errs$whisperJson,
+         |"whisper_ref_samples":[${whisperSamples.map(f3).mkString(",")}],
+         |$perPass,
+         |"sf":"$sfDir"}""".stripMargin
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+    java.nio.file.Files.write(outFile, fullJson.getBytes("UTF-8"))
+
+    // ONE compact digest, emitted last: the driver records only the output
+    // TAIL (~4 KB) and 83+ queries overflow it (r2/r3 truncation) — the full
+    // record lives at bench_file, committed in the repo.
+    val worst5 = official.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${official.size},""" +
+      s""""pass_totals":[${passTotals.map(f3).mkString(",")}],"worst5":$worst5,""" +
+      s""""errors":$errs$whisperJson,"bench_file":"${outFile}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

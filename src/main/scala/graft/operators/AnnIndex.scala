@@ -103,9 +103,15 @@ object AnnIndex {
    * (every `step`-th vector by id) — sampling beats k-means iterations when
    * the assignment only needs to be balanced, not optimal, and it keeps the
    * index build a single pass. */
-  def ivfCentroids(df: DataFrame, embCol: String, idCol: String, nCentroids: Int): DataFrame = {
-    val n = df.count()
-    val step = math.max(n / nCentroids, 1L)
+  def ivfCentroids(df: DataFrame, embCol: String, idCol: String, nCentroids: Int): DataFrame =
+    ivfCentroids(df, embCol, idCol, nCentroids, df.count())
+
+  /** Action-free variant: the caller supplies the corpus size (knowable from
+   * table metadata, a prior pass, or a memoized build — see
+   * [[VectorOps.ivfTopK]]), so building the centroid PLAN launches no Spark
+   * job. `step` is then a literal and the id filter pushes down to the scan. */
+  def ivfCentroids(df: DataFrame, embCol: String, idCol: String, nCentroids: Int, corpusN: Long): DataFrame = {
+    val step = math.max(corpusN / nCentroids, 1L)
     df.filter((col(idCol) % step === 0) && (col(idCol) / step < nCentroids))
       .select((col(idCol) / step).cast("int").as("centroid_id"), col(embCol).as("centroid"))
   }
