@@ -111,6 +111,9 @@ object SparkEntry {
     "q30_mm_features" -> (MultimodalOps.features(_, _)),
     "q32_mm_byte_histogram" -> (MultimodalOps.byteHistograms(_, _)),
     "q59_mm_frame_sample" -> (MultimodalOps.frameSample(_, _)),
+    // real javax.imageio decode of synthesized PNGs; oracle recomputes the
+    // closed-form geometry/content from doc_id without decoding
+    "q84_mm_png_decode" -> (MultimodalOps.pngDecode(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -579,6 +582,11 @@ object SparkEntry {
         |SELECT id, CAST(frame_idx AS INT) AS frame_idx, CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
         |CAST(w // 2 AS INT) AS out_w, CAST(h // 2 AS INT) AS out_h
         |FROM f ORDER BY id, frame_idx""".stripMargin,
+    "q84_mm_png_decode" ->
+      """SELECT doc_id AS id, CAST(16 + doc_id % 48 AS INT) AS width,
+        |CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+        |CAST(doc_id % 256 AS INT) AS px00
+        |FROM documents ORDER BY id""".stripMargin,
     "q60_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,

@@ -9,12 +9,14 @@ import graft.functions.ByteHistogram
  * Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
  * columns with typed metadata, plus decode / feature-extract stages.
  *
- * The actual media decode is STUBBED (this container has no image/audio
- * codecs): [[FakeDecoder.decode]] is a deterministic fake that parses payload
- * bytes as if they were a media header. Everything around it — asset schema,
- * batched per-partition execution, typed Dataset stages, partition sizing —
- * is the real Spark plumbing a production decode would use; swapping the stub
- * for a JNI/ffmpeg call changes one function.
+ * The image decode is REAL: [[ImageDecoder.decode]] runs `javax.imageio`
+ * (public JDK API, in-JVM, headless-safe) over actual PNG payload bytes
+ * inside the batched `mapPartitions` stage. PNG fixtures are synthesized
+ * deterministically ([[pngAssets]]) with closed-form geometry/content, so a
+ * SQL oracle can verify the decoder's output without itself decoding
+ * anything (q84). Audio/video codecs are not bundled; those modalities ride
+ * the same Asset schema and batch shape, with the codec call swapped in at
+ * the one `decode` site.
  */
 object MultimodalOps {
   import Tables.t
@@ -30,21 +32,44 @@ object MultimodalOps {
       width: Int,
       height: Int,
       n_frames: Int,
-      byte_len: Long
+      byte_len: Long,
+      px00: Int // red channel of pixel (0,0): proof the decode read pixel data
   )
 
-  /** STUB decoder — deterministic fake: derives "dimensions" from the first
-   * payload bytes. Replace with a real codec for production use. */
-  object FakeDecoder {
+  /** Real in-JVM image codec (`javax.imageio`): encode side for fixture
+   * synthesis, decode side for the pipeline stage. */
+  object ImageDecoder {
+    /** A `width` x `height` PNG filled with gray level `gray` — every byte
+     * deterministic in the arguments, so fixtures are reproducible and the
+     * decoded (width, height, px00) triple is closed-form for the oracle. */
+    def pngBytes(width: Int, height: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode real payload bytes. A payload that is not a decodable image is
+     * a data error and fails loudly (ImageIO returns null) rather than
+     * producing fabricated dimensions. */
     def decode(a: Asset): Decoded = {
-      val b0 = if (a.bytes.length > 0) a.bytes(0) & 0xff else 0
-      val b1 = if (a.bytes.length > 1) a.bytes(1) & 0xff else 0
-      Decoded(a.id, a.modality, 16 + b0, 16 + b1, 1 + (a.bytes.length % 31), a.bytes.length.toLong)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+      require(img != null, s"asset ${a.id}: payload is not a decodable image")
+      Decoded(a.id, a.modality, img.getWidth, img.getHeight, 1,
+        a.bytes.length.toLong, img.getRGB(0, 0) & 0xff)
     }
   }
 
   /** Synthesize an asset table from documents (text bytes stand in for media
-   * payloads; the pipeline does not care what the bytes mean). */
+   * payloads; byte-level stages do not care what the bytes mean). */
   def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
     t(spark, dir, "documents")
@@ -57,13 +82,38 @@ object MultimodalOps {
       .as[Asset]
   }
 
-  /** Batched decode stage: mapPartitions so a real decoder could amortize
-   * per-batch setup (codec contexts, GPU handles) across a partition —
-   * the Scala analogue of pandas-UDF batch shape. */
+  /** One deterministic PNG per document: geometry and gray level are
+   * closed-form in doc_id (`w = 16 + id%48`, `h = 16 + (id*7)%32`,
+   * `gray = id%256`), so q84's oracle recomputes the expected decode output
+   * in SQL while Spark decodes the actual bytes. Encoding happens in
+   * `mapPartitions` — the same batch shape the decode stage uses. */
+  def pngAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        Asset(id, "image/png",
+          ImageDecoder.pngBytes(16 + (id % 48).toInt, 16 + ((id * 7) % 32).toInt, (id % 256).toInt),
+          source)
+      })
+  }
+
+  /** Batched decode stage: mapPartitions so the decoder amortizes per-batch
+   * setup (codec contexts, GPU handles) across a partition — the Scala
+   * analogue of pandas-UDF batch shape. */
   def decodeAll(assets: Dataset[Asset]): Dataset[Decoded] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(FakeDecoder.decode))
+    assets.mapPartitions(_.map(ImageDecoder.decode))
   }
+
+  /** q84: synthesize-then-decode round trip over real PNG bytes. The decoded
+   * (width, height, px00) must reproduce the closed-form synthesis formulas
+   * — hash-checked against a DuckDB oracle that computes them from doc_id. */
+  def pngDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeAll(pngAssets(spark, dir))
+      .select(col("id"), col("width"), col("height"), col("px00"))
+      .orderBy("id")
 
   /** Metadata/feature query (oracle-checked subset: everything here is also
    * computable by DuckDB over the raw text bytes). */

@@ -87,13 +87,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(assigned.select("bucket").distinct().count() > 1)
   }
 
+  test("Tables.t(events) is safe under concurrent construction (scoped conf flip)") {
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    assert(spark.conf.getOption(key).isEmpty, "precondition: flag unset")
+    val pool = Executors.newFixedThreadPool(8)
+    // 16 concurrent reader constructions: an unsynchronized flip-read-restore
+    // would interleave (one thread resolves the events schema with the flag
+    // off -> PARQUET_TYPE_ILLEGAL, or the flag leaks set session-wide)
+    val futures = (1 to 16).map { _ =>
+      pool.submit(new Callable[Long] {
+        def call(): Long = Tables.t(spark, dir, "events").limit(5).count()
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    futures.foreach(f => assert(f.get() == 5L))
+    assert(spark.conf.getOption(key).isEmpty, "flag must not leak after restore")
+  }
+
   test("multimodal decode pipeline is deterministic and batched") {
-    val a = MultimodalOps.assets(spark, dir)
+    val a = MultimodalOps.pngAssets(spark, dir)
     val d1 = MultimodalOps.decodeAll(a).collect().map(d => d.id -> d).toMap
     val d2 = MultimodalOps.decodeAll(a).collect().map(d => d.id -> d).toMap
     assert(d1 == d2)
     assert(d1.nonEmpty)
     assert(d1.values.forall(d => d.width >= 16 && d.byte_len > 0))
+  }
+
+  test("ImageDecoder decodes an actual PNG fixture (real javax.imageio round trip)") {
+    // encode -> decode outside Spark first: the codec itself must be real
+    val bytes = MultimodalOps.ImageDecoder.pngBytes(37, 21, 143)
+    assert(bytes.take(8).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      "payload must carry a real PNG signature")
+    val d = MultimodalOps.ImageDecoder.decode(
+      MultimodalOps.Asset(7L, "image/png", bytes, "fixture"))
+    assert(d.width == 37 && d.height == 21 && d.px00 == 143 && d.n_frames == 1)
+    // non-image payloads fail loudly instead of yielding fabricated dims
+    intercept[IllegalArgumentException] {
+      MultimodalOps.ImageDecoder.decode(
+        MultimodalOps.Asset(8L, "image/png", "not a png".getBytes, "fixture"))
+    }
+    // and the distributed stage reproduces the closed-form synthesis formulas
+    val decoded = MultimodalOps.pngDecode(spark, dir).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 16 + (id % 48).toInt, s"width mismatch at $id")
+      assert(r.getInt(2) == 16 + ((id * 7) % 32).toInt, s"height mismatch at $id")
+      assert(r.getInt(3) == (id % 256).toInt, s"px00 mismatch at $id")
+    }
   }
 
   test("byte_histogram expression: eval + codegen agree, counts sum to length") {
