@@ -39,6 +39,11 @@ object MultimodalOps {
   /** Real in-JVM image codec (`javax.imageio`): encode side for fixture
    * synthesis, decode side for the pipeline stage. */
   object ImageDecoder {
+    // ImageIO spools every encode/decode through a temp-FILE cache stream by
+    // default — per-image disk I/O that dominates a hot byte-array codec
+    // loop. In-memory streams only.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** A `width` x `height` PNG filled with gray level `gray` — every byte
      * deterministic in the arguments, so fixtures are reproducible and the
      * decoded (width, height, px00) triple is closed-form for the oracle. */
@@ -46,12 +51,8 @@ object MultimodalOps {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val rgb = (gray << 16) | (gray << 8) | gray
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
+      val row = Array.fill(width * height)(rgb)
+      img.setRGB(0, 0, width, height, row, 0, width) // bulk, not per-pixel
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray

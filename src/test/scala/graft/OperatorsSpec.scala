@@ -90,7 +90,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("Tables.t(events) is safe under concurrent construction (scoped conf flip)") {
     import java.util.concurrent.{Callable, Executors, TimeUnit}
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    assert(spark.conf.getOption(key).isEmpty, "precondition: flag unset")
+    // getOption surfaces the registered SQLConf DEFAULT (Some("false")), so
+    // "restored" means back-to-before, not unset
+    val before = spark.conf.getOption(key)
+    assert(!before.contains("true"), "precondition: flag not active")
     val pool = Executors.newFixedThreadPool(8)
     // 16 concurrent reader constructions: an unsynchronized flip-read-restore
     // would interleave (one thread resolves the events schema with the flag
@@ -103,7 +106,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     pool.shutdown()
     assert(pool.awaitTermination(120, TimeUnit.SECONDS))
     futures.foreach(f => assert(f.get() == 5L))
-    assert(spark.conf.getOption(key).isEmpty, "flag must not leak after restore")
+    assert(spark.conf.getOption(key) == before, "flag must be restored, not leaked")
   }
 
   test("multimodal decode pipeline is deterministic and batched") {
