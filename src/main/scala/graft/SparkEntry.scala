@@ -114,6 +114,9 @@ object SparkEntry {
     // real javax.imageio decode of synthesized PNGs; oracle recomputes the
     // closed-form geometry/content from doc_id without decoding
     "q84_mm_png_decode" -> (MultimodalOps.pngDecode(_, _)),
+    // real javax.sound WAV parse of synthesized PCM16 audio; oracle
+    // recomputes format fields + sample sum from doc_id in SQL
+    "q85_audio_decode" -> (MultimodalOps.wavDecode(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -587,6 +590,13 @@ object SparkEntry {
         |CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
         |CAST(doc_id % 256 AS INT) AS px00
         |FROM documents ORDER BY id""".stripMargin,
+    "q85_audio_decode" ->
+      """WITH d AS (SELECT doc_id AS id, 64 + doc_id % 192 AS n FROM documents),
+        |s AS (SELECT id, n, unnest(generate_series(0, CAST(n - 1 AS INT))) AS i FROM d)
+        |SELECT id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |CAST(n AS BIGINT) AS n_frames,
+        |CAST(sum((id * 131 + i * 17) % 4096 - 2048) AS BIGINT) AS pcm_sum
+        |FROM s GROUP BY id, n ORDER BY id""".stripMargin,
     "q60_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,

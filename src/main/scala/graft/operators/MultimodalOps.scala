@@ -116,6 +116,88 @@ object MultimodalOps {
       .select(col("id"), col("width"), col("height"), col("px00"))
       .orderBy("id")
 
+  final case class DecodedAudio(
+      id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      pcm_sum: Long // sum of all PCM16 samples: proof the decode read payload
+  )
+
+  /** Real in-JVM audio codec (`javax.sound.sampled` — public JDK, no audio
+   * device needed for parsing): encode side synthesizes RIFF/WAVE PCM16
+   * containers byte-by-byte, decode side runs `AudioSystem`'s WAV parser
+   * and reads back the sample stream. */
+  object AudioDecoder {
+    /** Mono PCM16 WAV, `n` samples at `sampleRate` Hz; sample i is the
+     * closed-form `(id*131 + i*17) % 4096 - 2048`, so q85's oracle can
+     * recompute the decoded sample SUM in SQL without parsing audio. */
+    def wavBytes(id: Long, n: Int, sampleRate: Int): Array[Byte] = {
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2)            // block align
+        .putShort(16)           // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        bb.putShort(((id * 131 + i * 17) % 4096 - 2048).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** Decode real WAV bytes: `AudioSystem` parses the RIFF header into an
+     * `AudioFormat` (rate/channels/endianness) and streams the PCM frames,
+     * which are summed as 16-bit samples. Malformed payloads fail loudly
+     * (`UnsupportedAudioFileException`). */
+    def decode(a: Asset): DecodedAudio = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.bytes))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val pcm = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L
+      while (bb.remaining() >= 2) sum += bb.getShort()
+      DecodedAudio(a.id, fmt.getSampleRate.toInt, fmt.getChannels, frames, sum)
+    }
+  }
+
+  /** One deterministic WAV per document (`n = 64 + id%192` samples at
+   * 8 kHz), same closed-form contract as [[pngAssets]]. */
+  def wavAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        Asset(id, "audio/wav",
+          AudioDecoder.wavBytes(id, 64 + (id % 192).toInt, 8000), source)
+      })
+  }
+
+  /** q85: synthesize-then-decode round trip over real WAV bytes — the
+   * decoded format fields and the PCM sample sum must reproduce the
+   * closed-form synthesis, hash-checked against a DuckDB oracle that
+   * recomputes them from doc_id with generate_series. */
+  def wavDecode(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    wavAssets(spark, dir)
+      .mapPartitions(_.map(AudioDecoder.decode))
+      .select(col("id"), col("sample_rate"), col("channels"), col("n_frames"), col("pcm_sum"))
+      .orderBy("id")
+  }
+
   /** Metadata/feature query (oracle-checked subset: everything here is also
    * computable by DuckDB over the raw text bytes). */
   def features(spark: SparkSession, dir: String): DataFrame =

@@ -109,6 +109,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.conf.getOption(key) == before, "flag must be restored, not leaked")
   }
 
+  test("AudioDecoder decodes an actual WAV fixture (real javax.sound round trip)") {
+    val bytes = MultimodalOps.AudioDecoder.wavBytes(id = 3L, n = 100, sampleRate = 8000)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val d = MultimodalOps.AudioDecoder.decode(
+      MultimodalOps.Asset(3L, "audio/wav", bytes, "fixture"))
+    assert(d.sample_rate == 8000 && d.channels == 1 && d.n_frames == 100L)
+    val expectedSum = (0 until 100).map(i => (3L * 131 + i * 17) % 4096 - 2048).sum
+    assert(d.pcm_sum == expectedSum)
+    // malformed payloads fail loudly instead of yielding fabricated metadata
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      MultimodalOps.AudioDecoder.decode(
+        MultimodalOps.Asset(4L, "audio/wav", "not audio".getBytes, "fixture"))
+    }
+  }
+
   test("multimodal decode pipeline is deterministic and batched") {
     val a = MultimodalOps.pngAssets(spark, dir)
     val d1 = MultimodalOps.decodeAll(a).collect().map(d => d.id -> d).toMap
