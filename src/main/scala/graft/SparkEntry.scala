@@ -117,6 +117,9 @@ object SparkEntry {
     // real javax.sound WAV parse of synthesized PCM16 audio; oracle
     // recomputes format fields + sample sum from doc_id in SQL
     "q85_audio_decode" -> (MultimodalOps.wavDecode(_, _)),
+    // real video frame sampling: container parse + seek + ImageIO decode of
+    // every 5th frame; oracle recomputes geometry/content from (id, frame)
+    "q86_video_frame_decode" -> (MultimodalOps.videoFrameDecode(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -597,6 +600,12 @@ object SparkEntry {
         |CAST(n AS BIGINT) AS n_frames,
         |CAST(sum((id * 131 + i * 17) % 4096 - 2048) AS BIGINT) AS pcm_sum
         |FROM s GROUP BY id, n ORDER BY id""".stripMargin,
+    "q86_video_frame_decode" ->
+      """WITH d AS (SELECT doc_id AS id, 1 + doc_id % 24 AS nf FROM documents),
+        |f AS (SELECT id, unnest(generate_series(0, CAST(nf - 1 AS INT), 5)) AS fi FROM d)
+        |SELECT id, CAST(fi AS INT) AS frame_idx, CAST(8 + id % 16 AS INT) AS width,
+        |CAST(8 + fi % 8 AS INT) AS height, CAST((id + fi * 13) % 256 AS INT) AS px00
+        |FROM f ORDER BY id, frame_idx""".stripMargin,
     "q60_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,

@@ -125,6 +125,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("VideoCodec samples and really decodes every step-th frame") {
+    val bytes = MultimodalOps.VideoCodec.videoBytes(id = 9L, nFrames = 13)
+    val frames = MultimodalOps.VideoCodec
+      .sampleFrames(MultimodalOps.Asset(9L, "video/x-graft-frames", bytes, "fixture"), step = 5)
+      .toSeq
+    assert(frames.map(_.frame_idx) == Seq(0, 5, 10)) // seek skips unsampled frames
+    frames.foreach { f =>
+      assert(f.width == 8 + (9 % 16))
+      assert(f.height == 8 + f.frame_idx % 8)
+      assert(f.px00 == ((9 + f.frame_idx * 13) % 256))
+    }
+    // container with a corrupt frame payload fails loudly when sampled
+    val corrupt = bytes.clone()
+    java.util.Arrays.fill(corrupt, 8, 30, 0.toByte) // stomp frame 0's PNG header
+    intercept[IllegalArgumentException] {
+      MultimodalOps.VideoCodec
+        .sampleFrames(MultimodalOps.Asset(9L, "video/x-graft-frames", corrupt, "fixture"), step = 5)
+        .toSeq
+    }
+  }
+
   test("multimodal decode pipeline is deterministic and batched") {
     val a = MultimodalOps.pngAssets(spark, dir)
     val d1 = MultimodalOps.decodeAll(a).collect().map(d => d.id -> d).toMap
