@@ -38,6 +38,27 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream INTERVAL join: each purchase joins the same
+   * user's error events from the preceding hour. Both sides carry
+   * watermarks and the join predicate bounds the event-time range in both
+   * directions, which is exactly what lets Spark expire buffered rows —
+   * state is O(rows per watermark horizon) instead of O(stream), the only
+   * join shape that survives an unbounded stream. The streaming dual of
+   * [[graft.operators.TimeSeriesOps.rangeBucketJoin]]. */
+  def intervalJoin(purchases: DataFrame, errors: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val e = errors
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    p.join(
+      e,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts"))
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
 

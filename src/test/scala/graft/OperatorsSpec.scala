@@ -232,6 +232,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(0) == batchDf.count())
   }
 
+  test("streaming interval join matches the batch join exactly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = operators.Tables.t(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+    val errors = events.filter(col("event_type") === "error")
+    val tmpP = java.nio.file.Files.createTempDirectory("stream-p")
+    val tmpE = java.nio.file.Files.createTempDirectory("stream-e")
+    purchases.write.mode("overwrite").parquet(tmpP.toString)
+    errors.write.mode("overwrite").parquet(tmpE.toString)
+    val sp = spark.readStream.schema(purchases.schema).parquet(tmpP.toString)
+    val se = spark.readStream.schema(errors.schema).parquet(tmpE.toString)
+    // generous watermark: nothing is late, so the stream must emit EVERY match
+    val q = graft.streaming.StreamingOps.intervalJoin(sp, se, watermark = "3650 days")
+      .writeStream.outputMode("append").format("memory").queryName("ij")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT count(*) FROM ij").head().getLong(0)
+    val batch = graft.streaming.StreamingOps.intervalJoin(purchases, errors).count()
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(batch > 0)
+  }
+
   test("streaming sessionize accumulates per-user state") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("stream-in2")
