@@ -1,0 +1,58 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.{Asset, AudioDecoder, ImageDecoder, VideoCodec}
+
+/** Round-trip properties for the real in-JVM media codecs over randomized
+ * geometry/content — the decode side must recover exactly what the encode
+ * side synthesized, for ANY parameters, not just the q84/q85/q86 fixtures.
+ * Pure JVM, no Spark session. */
+object MediaCodecProps extends Properties("MediaCodec") {
+
+  private val genPng: Gen[(Int, Int, Int)] = for {
+    w <- Gen.chooseNum(1, 128)
+    h <- Gen.chooseNum(1, 128)
+    g <- Gen.chooseNum(0, 255)
+  } yield (w, h, g)
+
+  property("png encode->decode recovers geometry and pixel content") =
+    forAll(genPng) { case (w, h, g) =>
+      val d = ImageDecoder.decode(Asset(1L, "image/png", ImageDecoder.pngBytes(w, h, g), "prop"))
+      d.width == w && d.height == h && d.px00 == g && d.n_frames == 1
+    }
+
+  private val genWav: Gen[(Long, Int, Int)] = for {
+    id <- Gen.chooseNum(0L, 1000000L)
+    n <- Gen.chooseNum(1, 4096)
+    rate <- Gen.oneOf(8000, 16000, 44100)
+  } yield (id, n, rate)
+
+  property("wav encode->decode recovers format and exact sample sum") =
+    forAll(genWav) { case (id, n, rate) =>
+      val d = AudioDecoder.decode(Asset(id, "audio/wav", AudioDecoder.wavBytes(id, n, rate), "prop"))
+      val expected = (0 until n).map(i => (id * 131 + i * 17) % 4096 - 2048).sum
+      d.sample_rate == rate && d.channels == 1 && d.n_frames == n.toLong && d.pcm_sum == expected
+    }
+
+  private val genVideo: Gen[(Long, Int, Int)] = for {
+    id <- Gen.chooseNum(0L, 1000000L)
+    nf <- Gen.chooseNum(1, 48)
+    step <- Gen.chooseNum(1, 7)
+  } yield (id, nf, step)
+
+  property("video container sampling decodes exactly the step-th frames") =
+    forAll(genVideo) { case (id, nf, step) =>
+      val frames = VideoCodec
+        .sampleFrames(Asset(id, "video/x-graft-frames", VideoCodec.videoBytes(id, nf), "prop"), step)
+        .toSeq
+      frames.map(_.frame_idx) == (0 until nf by step) &&
+        frames.forall { f =>
+          f.width == 8 + (id % 16).toInt &&
+            f.height == 8 + f.frame_idx % 8 &&
+            f.px00 == ((id + f.frame_idx * 13) % 256).toInt
+        }
+    }
+}
