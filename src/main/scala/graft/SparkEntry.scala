@@ -120,6 +120,9 @@ object SparkEntry {
     // real video frame sampling: container parse + seek + ImageIO decode of
     // every 5th frame; oracle recomputes geometry/content from (id, frame)
     "q86_video_frame_decode" -> (MultimodalOps.videoFrameDecode(_, _)),
+    // int8 scalar quantization of the embedding corpus (IVF-SQ8 storage
+    // path); exact affine-map oracle
+    "q87_sq_quantize" -> (VectorOps.scalarQuantize(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -606,6 +609,15 @@ object SparkEntry {
         |SELECT id, CAST(fi AS INT) AS frame_idx, CAST(8 + id % 16 AS INT) AS width,
         |CAST(8 + fi % 8 AS INT) AS height, CAST((id + fi * 13) % 256 AS INT) AS px00
         |FROM f ORDER BY id, frame_idx""".stripMargin,
+    "q87_sq_quantize" ->
+      """WITH x AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |mm AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY pos),
+        |c AS (SELECT vec_id, CAST(round((v - mn) * 255 / (mx - mn)) AS BIGINT) AS code
+        |  FROM x JOIN mm ON x.pos = mm.pos)
+        |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+        |CAST(min(code) AS INT) AS code_min, CAST(max(code) AS INT) AS code_max
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q60_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,

@@ -128,6 +128,37 @@ object VectorOps {
   }
 
   /**
+   * Int8 scalar quantization of the embedding corpus (the memory-bandwidth
+   * lever for billion-scale ANN — FAISS-style IVF+SQ8, Johnson et al.,
+   * "Billion-scale similarity search with GPUs", 2017): per-dimension
+   * min/max over the corpus defines an affine map onto 0..255, and each
+   * element stores as one byte (4x smaller than float32, 8x than float64),
+   * which is what lets an inverted-list scan at 100 TB run at memory
+   * bandwidth. Shapes: per-dim stats are a posexplode -> groupBy(pos)
+   * partial-agg (<= dims rows out per task), broadcast back (64-row build
+   * side), quantization itself map-side. Exactly oracle-checkable: min/max
+   * are order-independent, and the affine map + half-up round are the same
+   * IEEE double ops in Spark and DuckDB.
+   *
+   * Output: per-vector code summary (sum/min/max of the 64 int8 codes) —
+   * the oracle-stable digest of the quantized representation.
+   */
+  def scalarQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val x = t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"), (col("pos") + 1).as("pos"), col("e").cast("double").as("v"))
+    val mm = x.groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+    x.join(broadcast(mm), Seq("pos"))
+      .select(col("vec_id"),
+        expr("cast(round((v - mn) * 255 / (mx - mn)) as bigint)").as("code"))
+      .groupBy("vec_id")
+      .agg(sum("code").as("code_sum"),
+        min("code").cast("int").as("code_min"),
+        max("code").cast("int").as("code_max"))
+      .orderBy("vec_id")
+  }
+
+  /**
    * Per-label embedding centroids in exact integer arithmetic: quantize each
    * element to a scaled long FIRST (`round(x * 1e6)` — deterministic IEEE
    * product + half-up rounding, identical in Spark and DuckDB), then

@@ -125,6 +125,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scalar quantization: codes in [0,255], reconstruction within half a step") {
+    val codes = VectorOps.scalarQuantize(spark, dir).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      assert(r.getInt(2) >= 0 && r.getInt(3) <= 255) // code_min / code_max
+    }
+    // reconstruction bound: dequantized value within (mx-mn)/255/2 of the
+    // original, per element — the defining property of the affine int8 map
+    val x = operators.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("pos"), col("e").cast("double").as("v"))
+    val mm = x.groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+    val bad = x.join(broadcast(mm), Seq("pos"))
+      .withColumn("code", expr("round((v - mn) * 255 / (mx - mn))"))
+      .withColumn("deq", expr("mn + code * (mx - mn) / 255"))
+      .filter(expr("abs(deq - v) > (mx - mn) / 255 / 2 + 1e-12"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("VideoCodec samples and really decodes every step-th frame") {
     val bytes = MultimodalOps.VideoCodec.videoBytes(id = 9L, nFrames = 13)
     val frames = MultimodalOps.VideoCodec
