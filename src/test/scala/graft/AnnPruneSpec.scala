@@ -141,4 +141,35 @@ class AnnPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSet
     assert(read.subsetOf(probed), s"scan read non-probed buckets: ${read -- probed}")
   }
+
+  test("IVF: a bucket-partitioned assigned table prunes to the probed inverted lists") {
+    // the q75 amortized layout: the assigned corpus persists partitioned by
+    // its inverted-list id, so a search's nprobe IN-list prunes at the
+    // DIRECTORY level — each query pays only its probe lists, the property
+    // the ivfTopK scaladoc claims for 100 TB
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val cents = AnnIndex.ivfCentroids(e, "emb", "vec_id", nCentroids = 8)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-part").resolve("idx").toString
+    AnnIndex.ivfAssign(e, "emb", cents).write.partitionBy("bucket").mode("overwrite").parquet(idx)
+    val assigned = spark.read.parquet(idx)
+    val qVec = e.filter(col("vec_id") === 0).head().getSeq[Double](1).toArray
+
+    val res = AnnIndex.ivfSearch(assigned, cents, "emb", qVec, k = 5, nprobe = 2)
+    res.collect()
+    val scan = scans(res.queryExecution.executedPlan)
+      .find(_.output.exists(_.name == "bucket"))
+      .getOrElse(fail("no parquet scan of the partitioned assigned table"))
+    // the 2 probe ids, recomputed exactly as ivfSearch selects them
+    val probed = cents.collect().map { r =>
+      val cid = r.getAs[Int]("centroid_id")
+      val c = r.getAs[scala.collection.Seq[Double]]("centroid").toArray
+      (cid, c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (cid, d2) => (d2, cid) }.take(2).map(_._1.toLong).toSet
+    val read = scan.selectedPartitions.toPartitionArray
+      .flatMap(pf => "bucket=(-?\\d+)".r.findFirstMatchIn(pf.filePath.toString).map(_.group(1).toLong))
+      .toSet
+    assert(read.subsetOf(probed), s"scan read non-probed lists: ${read -- probed}")
+    assert(read.nonEmpty && probed.size == 2)
+  }
 }
