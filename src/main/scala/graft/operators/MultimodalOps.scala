@@ -154,13 +154,54 @@ object MultimodalOps {
       bb.array()
     }
 
-    /** Decode real WAV bytes: `AudioSystem` parses the RIFF header into an
-     * `AudioFormat` (rate/channels/endianness) and streams the PCM frames,
-     * which are summed as 16-bit samples. Malformed payloads fail loudly
-     * (`UnsupportedAudioFileException`). */
+    // The platform's audio codecs via the PUBLIC SPI, loaded ONCE:
+    // `AudioSystem.getAudioInputStream` consults the JDK's service registry
+    // through a synchronized static per CALL — a process-global lock that
+    // serialized all 32 decode threads (scale check 3 caught q85 at 14x
+    // wall-clock for 10x rows while the PNG path stayed flat). Resolving the
+    // `AudioFileReader` providers through ServiceLoader at init keeps the
+    // identical real codec and removes the per-call lock.
+    private val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    }
+
+    // Memoize the provider that recognizes our payloads: probing providers
+    // in registry order makes every NON-matching one throw
+    // UnsupportedAudioFileException per call, and constructing those
+    // exceptions (stack-fill) dominated the decode at 105us/op with
+    // NEGATIVE thread scaling. With the matching reader tried first, the
+    // happy path throws nothing.
+    @volatile private var preferredReader: javax.sound.sampled.spi.AudioFileReader = null
+
+    private def audioStream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      val pref = preferredReader
+      if (pref != null) {
+        try return pref.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      }
+      val readers = wavReaders.iterator
+      while (readers.hasNext) {
+        val r = readers.next()
+        try {
+          val in = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          preferredReader = r
+          return in
+        } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "payload not recognized by any installed AudioFileReader")
+    }
+
+    /** Decode real WAV bytes: the platform `AudioFileReader` parses the RIFF
+     * header into an `AudioFormat` (rate/channels/endianness) and streams
+     * the PCM frames, which are summed as 16-bit samples. Malformed payloads
+     * fail loudly (`UnsupportedAudioFileException`). */
     def decode(a: Asset): DecodedAudio = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(a.bytes))
+      val in = audioStream(a.bytes)
       val fmt = in.getFormat
       val frames = in.getFrameLength
       val pcm = in.readAllBytes()
