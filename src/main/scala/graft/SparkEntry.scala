@@ -123,6 +123,19 @@ object SparkEntry {
     // int8 scalar quantization of the embedding corpus (IVF-SQ8 storage
     // path); exact affine-map oracle
     "q87_sq_quantize" -> (VectorOps.scalarQuantize(_, _)),
+    // SemDeDup: near-dup removal blocked by learned IVF cluster (the
+    // deterministic centroids make assignment + drops oracle-checkable)
+    "q88_semantic_dedup" -> (VectorOps.semanticDedup(_, _)),
+    // order-1 LM scoring: per-doc mean bigram rarity in exact integers
+    "q89_bigram_surprisal" -> (TextOps.bigramSurprisal(_, _)),
+    // per-doc benchmark-overlap fraction (ppm) for threshold-based decon
+    "q90_contamination_overlap" -> (SamplingOps.contaminationOverlap(_, _)),
+    // fasttext-style linear quality model served as one codegen stage
+    "q91_quality_classifier" -> (TextOps.qualityClassifier(_, _)),
+    // product quantization: 8x4-bit codes from the literal-folded codebook
+    "q92_pq_quantize" -> (VectorOps.pqQuantize(_, _)),
+    // ExactSubstr-style char-20-gram duplication profile per doc
+    "q93_substring_dup" -> (DedupOps.substringDup(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -618,6 +631,94 @@ object SparkEntry {
         |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
         |CAST(min(code) AS INT) AS code_min, CAST(max(code) AS INT) AS code_max
         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q88: same deterministic centroid/assignment CTEs as q75, then
+    // within-bucket pairs and a (cos DESC, kept ASC) pick per dropped id
+    "q88_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
+        |c AS (SELECT CAST(vec_id // step AS INT) AS cid, emb AS cent FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
+        |assign AS (SELECT vec_id, cid AS bucket FROM (
+        |  SELECT e.vec_id AS vec_id, c.cid AS cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cent) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c) t WHERE rn = 1),
+        |ea AS (SELECT e.vec_id, a.bucket, e.emb, sqrt(list_inner_product(e.emb, e.emb)) AS nrm
+        |  FROM e JOIN assign a USING (vec_id)),
+        |p AS (SELECT x.bucket AS bucket, x.vec_id AS a, y.vec_id AS b,
+        |  list_inner_product(x.emb, y.emb) / (x.nrm * y.nrm) AS c
+        |  FROM ea x JOIN ea y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |  WHERE list_inner_product(x.emb, y.emb) / (x.nrm * y.nrm) >= 0.35),
+        |r AS (SELECT b AS dropped, bucket, a AS kept, c,
+        |  row_number() OVER (PARTITION BY b ORDER BY c DESC, a ASC) AS rn FROM p)
+        |SELECT dropped, CAST(bucket AS INT) AS bucket, kept, round(c, 4) AS cos
+        |FROM r WHERE rn = 1 ORDER BY dropped""".stripMargin,
+    "q89_bigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |bg AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM tok WHERE len(arr) >= 2)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+        |sc AS (SELECT bg.doc_id, (c1.c1 * 1000000 // c2.c2) AS rarity
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |CAST(sum(rarity) // count(*) AS BIGINT) AS mean_rarity_ppm,
+        |CAST(max(rarity) AS BIGINT) AS max_rarity_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q90_contamination_overlap" ->
+      """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
+        |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),
+        |g AS (SELECT DISTINCT doc_id, h1, unnest(list_transform(range(1, len(arr) - 6), i ->
+        |  arr[i]||' '||arr[i+1]||' '||arr[i+2]||' '||arr[i+3]||' '||arr[i+4]||' '||arr[i+5]||' '||arr[i+6]||' '||arr[i+7])) AS g
+        |  FROM tok WHERE len(arr) >= 8),
+        |tr AS (SELECT doc_id, g FROM g WHERE h1 < 'd'),
+        |te AS (SELECT DISTINCT g FROM g WHERE h1 >= 'f'),
+        |den AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY doc_id),
+        |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM tr JOIN te USING (g) GROUP BY doc_id)
+        |SELECT den.doc_id, den.n_shingles, CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
+        |CAST(coalesce(hit.n_hits, 0) * 1000000 // den.n_shingles AS BIGINT) AS overlap_ppm
+        |FROM den LEFT JOIN hit ON den.doc_id = hit.doc_id ORDER BY den.doc_id""".stripMargin,
+    "q91_quality_classifier" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(toks) AS stop_r,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_r,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_r,
+        |  least(CAST(len(toks) AS DOUBLE), 500.0) / 500.0 AS len_sat
+        |  FROM d),
+        |z AS (SELECT doc_id, n_toks,
+        |  -1.2 + 2.5 * stop_r + 0.8 * len_sat - 3.0 * punct_r - 2.0 * digit_r AS z FROM f)
+        |SELECT doc_id, n_toks, CAST(round(z * 1000) AS BIGINT) AS logit_milli, z > 0 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin,
+    // q92: e6-integer PQ — same systematic codebook as the IVF oracle,
+    // exact integer subspace distances, (d2, j) argmin per (vec, subspace)
+    "q92_pq_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
+        |cb AS (SELECT CAST(vec_id // step AS INT) AS j, qe AS cw FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
+        |sub AS (SELECT vec_id, qe, unnest(range(0, 8)) AS s FROM e),
+        |d AS (SELECT sub.vec_id AS vec_id, sub.s AS s, cb.j AS j,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (qe[s * 8 + i] - cw[s * 8 + i]) * (qe[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  FROM sub CROSS JOIN cb),
+        |a AS (SELECT vec_id, s, j, d2,
+        |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn FROM d)
+        |SELECT vec_id,
+        |CAST(sum(j * CAST(pow(16, s) AS BIGINT)) AS BIGINT) AS pq_code,
+        |CAST(sum(d2) AS BIGINT) AS pq_err_e12
+        |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q93_substring_dup" ->
+      """WITH g AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, length(text) - 18), i -> substr(text, i, 20))) AS g
+        |  FROM documents WHERE length(text) >= 20),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        |den AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+        |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM g JOIN dup USING (g) GROUP BY doc_id)
+        |SELECT den.doc_id, den.n_grams, CAST(coalesce(hit.n_dup, 0) AS BIGINT) AS n_dup,
+        |CAST(coalesce(hit.n_dup, 0) * 1000000 // den.n_grams AS BIGINT) AS dup_ppm
+        |FROM den LEFT JOIN hit ON den.doc_id = hit.doc_id ORDER BY den.doc_id""".stripMargin,
     "q60_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,

@@ -464,4 +464,38 @@ object DedupOps {
       .filter(col("lev") >= 0)
       .orderBy("doc_a", "doc_b")
   }
+
+  /**
+   * Exact substring-duplication profiling (Lee et al., "Deduplicating
+   * Training Data Makes Language Models Better", ACL 2022 — the ExactSubstr
+   * criterion): a span is duplicated if the same CHARACTER k-gram (k=20,
+   * stride 1, the paper's granularity scaled to fixture length) occurs in
+   * more than one document. Where the paper builds a monolithic suffix
+   * array, the distributed formulation inverts it: explode every position's
+   * k-gram, count gram→document incidence, and charge each doc the fraction
+   * of its distinct grams that are corpus-duplicated (ppm, exact integer) —
+   * the per-doc signal an ExactSubstr-style trimming pass consumes.
+   *
+   * Scale shape: per-doc gram DISTINCTing happens inside the row (an
+   * `array_distinct` over the transform — no DISTINCT shuffle); the gram
+   * incidence count is one partial-aggregated shuffle keyed on the gram
+   * (20-byte keys, combiner-reduced), and only (doc_id, count) pairs flow
+   * after that. Nothing is ever all-pairs; memory per task is bounded by
+   * the gram-partition size, which AQE splits on skew.
+   */
+  def substringDup(spark: SparkSession, dir: String): DataFrame = {
+    val g = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 20)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, length(text) - 19), i -> substring(text, i, 20)))")).as("g"))
+    val dup = g.groupBy("g").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+    val perDoc = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hit = g.join(dup.select("g"), "g").groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(hit, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_dup"),
+        expr("n_dup * 1000000 div n_grams").as("dup_ppm"))
+      .orderBy("doc_id")
+  }
 }

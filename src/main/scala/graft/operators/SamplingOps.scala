@@ -137,6 +137,43 @@ object SamplingOps {
   }
 
   /**
+   * Contamination OVERLAP profiling — [[decontaminate]] reports WHICH train
+   * docs collide with the benchmark; this reports HOW MUCH of each train
+   * doc is contaminated: the fraction of its distinct 8-token shingles that
+   * appear anywhere in the held-out split (the n-gram-overlap metric GPT-3
+   * appendix C / PaLM-style contamination analyses report, as ppm so the
+   * number is an exact integer). Pipelines threshold this (e.g. drop >15%
+   * overlap, keep-and-log below) rather than hard-dropping on any single
+   * collision, so the per-doc fraction is the operator a curation DAG
+   * actually consumes.
+   *
+   * Scale shape: the benchmark shingle set is distinct-reduced and
+   * BROADCAST (it is benchmark-sized, not corpus-sized); the train side
+   * computes its per-doc denominator map-side from the same exploded
+   * stream, and both rollups partial-aggregate before their one doc-keyed
+   * exchange. The 100 TB side never shuffles its text — only (doc_id,
+   * count) pairs move.
+   */
+  def contaminationOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val d = t(spark, dir, "documents")
+      .withColumn("h1", substring(md5(col("doc_id").cast("string")), 1, 1))
+    def shingles(df: DataFrame) =
+      df.select(col("doc_id"), explode(expr("word_shingles(text, 8)")).as("g"))
+    val train = shingles(d.filter(col("h1") < "d"))
+    val test = shingles(d.filter(col("h1") >= "f")).select("g").distinct()
+    val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(broadcast(test), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_hits"),
+        expr("n_hits * 1000000 div n_shingles").as("overlap_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * Bloom-filter decontamination — same contract and EXACT same result as
    * [[decontaminate]], different scale path. [[decontaminate]] broadcasts the
    * test-side shingle SET, which grows with the reference corpus;

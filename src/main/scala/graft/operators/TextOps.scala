@@ -265,4 +265,71 @@ object TextOps {
            |end as lang_pred""".stripMargin,
         "cast(c_en as bigint) as hits_en"
       ).orderBy("doc_id")
+
+  /**
+   * Bigram surprisal — [[unigramSurprisal]] lifted to order 1, the smallest
+   * LM that actually models CONTEXT: score each document by the mean corpus
+   * rarity of its (w1 → w2) transitions, where rarity is the integer
+   * `count(w1·) * 1e6 div count(w1 w2)` — the reciprocal of the conditional
+   * MLE p(w2|w1), monotone in -log p but computed in exact integer
+   * arithmetic (libm logs differ across engines in the last ulp; integer
+   * division doesn't). Boilerplate with stereotyped transitions scores low;
+   * shuffled/gibberish text scores high even when its UNIGRAMS are common —
+   * the failure mode order-0 scoring can't see.
+   *
+   * Shape: bigrams materialize map-side from the token array (an indexed
+   * `transform` over the array — no self-join on (doc, pos)); one shuffle
+   * builds the bigram counts, one the context counts, and AQE broadcasts
+   * both (vocabulary-sized) relations back onto the occurrence stream; the
+   * per-doc rollup partial-aggregates map-side.
+   */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val bg = t(spark, dir, "documents")
+      .withColumn("toks", expr("split(text, ' ')"))
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (x, i) -> named_struct('w1', x, 'w2', element_at(toks, i + 2)))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("rarity", expr("c1 * 1000000 div c2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(rarity) div count(1)").as("mean_rarity_ppm"),
+        max("rarity").as("max_rarity_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /**
+   * Model-based quality classification — the "fasttext filter" stage of a
+   * web-data pipeline (GPT-3/CCNet-style: a tiny linear model scores every
+   * document and the pipeline keeps the positive class), with fixed
+   * published-style coefficients standing in for trained weights (training
+   * is out of scope; SERVING the model over 100 TB is the engine's job).
+   * Features and the dot product are one map-side codegen stage per row —
+   * no shuffle, no UDF, no model server round-trip; at scale this is a
+   * pure scan+project whose throughput is the parquet read.
+   *
+   * The logit is emitted as an integer (round(z·1000)) rather than a float:
+   * every feature is a ratio of integers (exact IEEE division), the dot
+   * product is a fixed left-to-right sum of products, and milli-unit
+   * quantization absorbs any last-ulp cross-engine difference.
+   */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("n_toks", expr("cast(size(toks) as bigint)"))
+      .withColumn("stop_r", expr(s"cast(size(filter(toks, x -> x in ${inList(StopEn)})) as double) / n_toks"))
+      .withColumn("punct_r", expr("cast(regexp_count(text, '[.,!?;:]') as double) / length(text)"))
+      .withColumn("digit_r", expr("cast(regexp_count(text, '[0-9]') as double) / length(text)"))
+      .withColumn("len_sat", expr("least(cast(n_toks as double), 500.0D) / 500.0D"))
+      .withColumn("z", expr("-1.2D + 2.5D * stop_r + 0.8D * len_sat - 3.0D * punct_r - 2.0D * digit_r"))
+      .selectExpr(
+        "doc_id",
+        "n_toks",
+        "cast(round(z * 1000) as bigint) as logit_milli",
+        "z > 0D as keep"
+      ).orderBy("doc_id")
 }

@@ -159,6 +159,100 @@ object VectorOps {
   }
 
   /**
+   * SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+   * through semantic deduplication", 2023): embedding-space near-duplicate
+   * REMOVAL where the blocking key is a LEARNED cluster, not a metadata
+   * label — cluster the corpus (here: the same 16 deterministic IVF
+   * centroids q75 searches with), compare pairs only WITHIN a cluster, and
+   * drop the higher-id member of every pair above the cosine threshold.
+   * This is the scale path when no natural blocking key exists: k-means
+   * cost is linear, within-cluster all-pairs is quadratic only in the
+   * cluster size (bounded by corpus/k on average), and the two stages
+   * compose into one plan — assignment is a broadcast arg-min
+   * ([[AnnIndex.ivfAssign]], no shuffle), the pair join shuffles each
+   * vector once on its bucket id.
+   *
+   * Output: one row per DROPPED vector with the kept neighbor that
+   * condemned it (highest cosine, then lowest id — a deterministic
+   * total order, so the survivor set is reproducible across engines and
+   * partitionings).
+   */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val idx = ivfIndex(spark, dir)
+    val centsDF = idx.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+    val e = AnnIndex.ivfAssign(embeddings(spark, dir).select("vec_id", "emb"), "emb", centsDF)
+      .withColumn("nrm", expr("sqrt(dot_d(emb, emb))"))
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.bucket").as("bucket"),
+        col("x.vec_id").as("a"),
+        col("y.vec_id").as("b"),
+        (expr("dot_d(x.emb, y.emb)") / (col("x.nrm") * col("y.nrm"))).as("c"))
+      .filter(col("c") >= 0.35)
+    pairs
+      .withColumn("rn", row_number().over(Window.partitionBy("b").orderBy(col("c").desc, col("a"))))
+      .filter(col("rn") === 1)
+      .select(col("b").as("dropped"), col("bucket"), col("a").as("kept"), round(col("c"), 4).as("cos"))
+      .orderBy("dropped")
+  }
+
+  /**
+   * Product quantization (Jégou et al., "Product Quantization for Nearest
+   * Neighbor Search", PAMI 2011): split each 64-dim embedding into 8
+   * subvectors of 8 dims and encode each against a 16-codeword codebook →
+   * 8 × 4 bits = one 32-bit code per vector (64× smaller than float64,
+   * the compression regime billion-scale ANN shelves actually use, vs
+   * q87's 4× scalar quantization). Codebooks are the SAME deterministic
+   * systematic sample the IVF index uses (subvector s of codeword j =
+   * dims [8s, 8s+8) of the vector at id j·step), so the whole encoding is
+   * exactly reproducible — and all arithmetic happens on e6-quantized
+   * integers, so squared distances are exact and order-independent.
+   *
+   * Shape at 100 TB: the codebook is a 16×64 LITERAL folded into the
+   * expression tree — encoding is a pure map-side fold per row (argmin
+   * fold over 16 codewords × 8-dim integer L2), no join, no shuffle, no
+   * driver action; the only exchange in the query is the final presentation
+   * sort. Output: packed code (Σ code_s·16^s) + total quantization error.
+   */
+  def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    // 16 codewords × 64 dims, e6-quantized, as a nested array literal.
+    // HALF_UP via BigDecimal, matching SQL round() in Spark AND DuckDB
+    // (Scala's math.round is half-toward-+inf: wrong for negative .5s).
+    def e6(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val cb = idx.centroids.sortBy(_._1).map { case (_, c) =>
+      c.map(x => e6(x).toString + "L").mkString("array(", ",", ")")
+    }.mkString("array(", ",", ")")
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("qe"))
+      .withColumn("pq", expr(
+        s"""transform(sequence(0, 7), s ->
+           |  aggregate(sequence(0, 15),
+           |    named_struct('j', -1, 'd', 9223372036854775807L),
+           |    (acc, jj) ->
+           |      if(aggregate(transform(sequence(1, 8), i ->
+           |             element_at(qe, s * 8 + i) - element_at(element_at($cb, jj + 1), s * 8 + i)),
+           |           0L, (a, x) -> a + x * x) < acc.d,
+           |         named_struct('j', jj,
+           |           'd', aggregate(transform(sequence(1, 8), i ->
+           |                    element_at(qe, s * 8 + i) - element_at(element_at($cb, jj + 1), s * 8 + i)),
+           |                  0L, (a, x) -> a + x * x)),
+           |         acc)))""".stripMargin))
+      .select(
+        col("vec_id"),
+        expr("aggregate(transform(sequence(0, 7), s -> element_at(pq, s + 1).j * cast(pow(16, s) as bigint)), 0L, (a, x) -> a + x)").as("pq_code"),
+        expr("aggregate(pq, 0L, (a, x) -> a + x.d)").as("pq_err_e12"))
+      .orderBy("vec_id")
+  }
+
+  /**
    * Per-label embedding centroids in exact integer arithmetic: quantize each
    * element to a scaled long FIRST (`round(x * 1e6)` — deterministic IEEE
    * product + half-up rounding, identical in Spark and DuckDB), then

@@ -687,4 +687,74 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got == want)
   }
+
+  test("semanticDedup: one row per dropped id, kept<dropped, threshold respected") {
+    val rows = VectorOps.semanticDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val dropped = rows.map(_.getLong(0))
+    assert(dropped.distinct.length == dropped.length) // each vector dropped once
+    assert(rows.forall(r => r.getLong(2) < r.getLong(0))) // kept id is the lower
+    assert(rows.forall(_.getDouble(3) >= 0.35)) // rounded cos still at/above tau
+  }
+
+  test("bigramSurprisal: rarity floor 1e6 (c2<=c1), max>=mean, doc coverage") {
+    val rows = TextOps.bigramSurprisal(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("size(split(text, ' ')) >= 2").count()
+    assert(rows.length == nDocs)
+    // a bigram's count never exceeds its context count, so rarity >= 1e6
+    assert(rows.forall(_.getLong(2) >= 1000000L))
+    assert(rows.forall(r => r.getLong(3) >= r.getLong(2)))
+  }
+
+  test("contaminationOverlap: hits bounded by shingles, ppm bounded, train-side only") {
+    val rows = SamplingOps.contaminationOverlap(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= 1000000L))
+    def h1(id: Long): Char =
+      java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+    assert(rows.forall(r => h1(r.getLong(0)) < 'd')) // only train-split docs scored
+  }
+
+  test("qualityClassifier: logit within weight envelope, keep consistent with sign") {
+    val rows = TextOps.qualityClassifier(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // weights bound z to [-1.2-3.0-2.0, -1.2+2.5+0.8] = [-6.2, 2.1]
+    assert(rows.forall(r => r.getLong(2) >= -6200L && r.getLong(2) <= 2100L))
+    // sign consistency: a kept doc's logit can round to 0 but never negative
+    assert(rows.forall(r => if (r.getBoolean(3)) r.getLong(2) >= 0L else r.getLong(2) <= 0L))
+  }
+
+  test("pqQuantize: codes in range and codebook vectors encode with zero error") {
+    val rows = VectorOps.pqQuantize(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == n)
+    assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 4294967296L)) // 16^8
+    assert(rows.forall(_.getLong(2) >= 0L))
+    // the 16 sampled codewords must reconstruct themselves exactly:
+    // codeword j encodes as code j in every subspace with d2 = 0
+    val step = math.max(n / 16, 1L)
+    val unit = (0 until 8).map(s => math.pow(16, s).toLong).sum // sum 16^s
+    (0 until 16).foreach { j =>
+      rows.find(_.getLong(0) == j * step).foreach { r =>
+        assert(r.getLong(2) == 0L, s"codeword $j nonzero error")
+        assert(r.getLong(1) == j * unit, s"codeword $j wrong code")
+      }
+    }
+  }
+
+  test("substringDup: duplication is mutual — a dup gram implies a partner doc") {
+    val rows = DedupOps.substringDup(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("length(text) >= 20").count()
+    assert(rows.length == nDocs)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.forall(r => r.getLong(3) <= 1000000L))
+    // mutuality: total dup-gram incidence can never be 1 doc's worth alone —
+    // if ANY doc has n_dup > 0 then at least one OTHER doc does too
+    val withDup = rows.filter(_.getLong(2) > 0L)
+    assert(withDup.isEmpty || withDup.length >= 2)
+  }
 }
