@@ -43,7 +43,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 16-row broadcast centroid table crossed onto every vector: the IVF
     // assignment IS a deliberate tiny-broadcast nested loop (arg-min over
     // the centroid set per row)
-    "q75_ann_ivf_topk")
+    "q75_ann_ivf_topk",
+    // q88 runs the same IVF assignment as q75 before its pair join
+    "q88_semantic_dedup")
 
   // Merge joins whose BOTH sides are aggregate outputs already
   // hash-partitioned on the join key (stage frontiers, per-cell thresholds,
@@ -53,7 +55,13 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   // demotes to broadcast here varies with sf/parallelism (sf0.01 audit:
   // only q79 retains it); both outcomes are correct, so all three are
   // allowlisted rather than pinned to one environment's choice.
-  private val smjAllowed = Set("q79_funnel", "q71_mixture_sample", "q60_dedup_clusters")
+  private val smjAllowed = Set("q79_funnel", "q71_mixture_sample", "q60_dedup_clusters",
+    // q88's within-cluster pair join: BOTH sides are the corpus keyed by
+    // bucket id — at 100 TB each vector must move once to its cluster's
+    // partition and neither side can broadcast, so a shuffle/merge join on
+    // bucket is exactly the intended scale shape (AQE may still demote to
+    // broadcast at tiny sf; both outcomes are correct)
+    "q88_semantic_dedup")
 
   test("no query plans a Cartesian product; BNLJ/SMJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
