@@ -136,6 +136,10 @@ object SparkEntry {
     "q92_pq_quantize" -> (VectorOps.pqQuantize(_, _)),
     // ExactSubstr-style char-20-gram duplication profile per doc
     "q93_substring_dup" -> (DedupOps.substringDup(_, _)),
+    // batched exact KNN: per-query top-5 via the TopKAgg partial-reduce
+    "q94_knn_batch" -> (VectorOps.batchKnn(_, _)),
+    // PQ asymmetric-distance search over literal-folded codebook + LUT
+    "q95_pq_adc_search" -> (VectorOps.pqAdcSearch(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -709,6 +713,41 @@ object SparkEntry {
         |CAST(sum(j * CAST(pow(16, s) AS BIGINT)) AS BIGINT) AS pq_code,
         |CAST(sum(d2) AS BIGINT) AS pq_err_e12
         |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q94_knn_batch" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 20),
+        |c AS (SELECT vec_id, emb FROM e WHERE vec_id >= 20),
+        |s AS (SELECT q.qid, c.vec_id,
+        |  list_inner_product(c.emb, q.qe)
+        |    / (sqrt(list_inner_product(c.emb, c.emb)) * sqrt(list_inner_product(q.qe, q.qe))) AS cos
+        |  FROM c CROSS JOIN q),
+        |r AS (SELECT qid, vec_id, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+        |SELECT qid, CAST(rn - 1 AS INT) AS rank, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+    // q95: q92's code CTEs + a query-side LUT; adc = sum of 8 LUT lookups
+    "q95_pq_adc_search" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
+        |cb AS (SELECT CAST(vec_id // step AS INT) AS j, qe AS cw FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
+        |qv AS (SELECT qe AS q FROM e WHERE vec_id = 0),
+        |lut AS (SELECT s, j,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (q[s * 8 + i] - cw[s * 8 + i]) * (q[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  FROM (SELECT unnest(range(0, 8)) AS s) CROSS JOIN cb CROSS JOIN qv),
+        |sub AS (SELECT vec_id, qe, unnest(range(0, 8)) AS s FROM e WHERE vec_id <> 0),
+        |d AS (SELECT sub.vec_id AS vec_id, sub.s AS s, cb.j AS j,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (qe[s * 8 + i] - cw[s * 8 + i]) * (qe[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  FROM sub CROSS JOIN cb),
+        |a AS (SELECT vec_id, s, j,
+        |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn FROM d),
+        |adc AS (SELECT a.vec_id, CAST(sum(lut.d2) AS BIGINT) AS adc_e12
+        |  FROM a JOIN lut ON a.s = lut.s AND a.j = lut.j
+        |  WHERE a.rn = 1 GROUP BY a.vec_id)
+        |SELECT vec_id, adc_e12 FROM adc ORDER BY adc_e12 ASC, vec_id ASC LIMIT 20""".stripMargin,
     "q93_substring_dup" ->
       """WITH g AS (SELECT DISTINCT doc_id,
         |  unnest(list_transform(range(1, length(text) - 18), i -> substr(text, i, 20))) AS g

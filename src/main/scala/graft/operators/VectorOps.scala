@@ -179,11 +179,30 @@ object VectorOps {
    */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val idx = ivfIndex(spark, dir)
     val centsDF = idx.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("centroid_id", "centroid")
-    val e = AnnIndex.ivfAssign(embeddings(spark, dir).select("vec_id", "emb"), "emb", centsDF)
+    semanticDedupOn(spark, embeddings(spark, dir).select("vec_id", "emb"), centsDF)
+  }
+
+  /**
+   * [[semanticDedup]] with a caller-supplied cluster count — THE scale
+   * knob: within-cluster pairing is quadratic in cluster size, so k must
+   * grow with the corpus to hold clusters at a constant target size
+   * (SemDeDup's own configuration: k ∝ n). scale_check4 measures exactly
+   * this — fixed k=16 goes quadratic at 10× rows while k=16·scale stays
+   * flat. The centroid relation stays a DataFrame end-to-end (systematic
+   * sample by id — no collect, broadcast into the assignment).
+   */
+  def semanticDedupScaled(spark: SparkSession, dir: String, nCentroids: Int): DataFrame = {
+    val e = embeddings(spark, dir).select("vec_id", "emb")
+    val cents = AnnIndex.ivfCentroids(e, "emb", "vec_id", nCentroids, e.count())
+    semanticDedupOn(spark, e, cents)
+  }
+
+  private def semanticDedupOn(spark: SparkSession, e0: DataFrame, centsDF: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = AnnIndex.ivfAssign(e0, "emb", centsDF)
       .withColumn("nrm", expr("sqrt(dot_d(emb, emb))"))
     val pairs = e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
@@ -218,38 +237,114 @@ object VectorOps {
    * driver action; the only exchange in the query is the final presentation
    * sort. Output: packed code (Σ code_s·16^s) + total quantization error.
    */
-  def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val idx = ivfIndex(spark, dir)
-    // 16 codewords × 64 dims, e6-quantized, as a nested array literal.
-    // HALF_UP via BigDecimal, matching SQL round() in Spark AND DuckDB
-    // (Scala's math.round is half-toward-+inf: wrong for negative .5s).
-    def e6(x: Double): Long =
-      java.math.BigDecimal.valueOf(x * 1e6)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
-    val cb = idx.centroids.sortBy(_._1).map { case (_, c) =>
+  /** HALF_UP e6 quantization via BigDecimal, matching SQL round() in Spark
+   * AND DuckDB (Scala's math.round is half-toward-+inf: wrong for negative
+   * .5s). */
+  private def e6(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  /** The 16 codewords × 64 dims, e6-quantized, as a nested array literal. */
+  private def pqCodebookLit(idx: IvfIndex): String =
+    idx.centroids.sortBy(_._1).map { case (_, c) =>
       c.map(x => e6(x).toString + "L").mkString("array(", ",", ")")
     }.mkString("array(", ",", ")")
+
+  /** SQL expression encoding column `qe` (e6-long array) against codebook
+   * literal `cb`: an array of 8 (j, d) structs — per subspace, the argmin
+   * codeword index and its exact integer squared distance. A pure per-row
+   * fold: no join, no shuffle, whatever consumes it stays map-side. */
+  private def pqCodesExpr(cb: String): String =
+    s"""transform(sequence(0, 7), s ->
+       |  aggregate(sequence(0, 15),
+       |    named_struct('j', -1, 'd', 9223372036854775807L),
+       |    (acc, jj) ->
+       |      if(aggregate(transform(sequence(1, 8), i ->
+       |             element_at(qe, s * 8 + i) - element_at(element_at($cb, jj + 1), s * 8 + i)),
+       |           0L, (a, x) -> a + x * x) < acc.d,
+       |         named_struct('j', jj,
+       |           'd', aggregate(transform(sequence(1, 8), i ->
+       |                    element_at(qe, s * 8 + i) - element_at(element_at($cb, jj + 1), s * 8 + i)),
+       |                  0L, (a, x) -> a + x * x)),
+       |         acc)))""".stripMargin
+
+  private val QE6 = "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+
+  def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
     t(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("qe"))
-      .withColumn("pq", expr(
-        s"""transform(sequence(0, 7), s ->
-           |  aggregate(sequence(0, 15),
-           |    named_struct('j', -1, 'd', 9223372036854775807L),
-           |    (acc, jj) ->
-           |      if(aggregate(transform(sequence(1, 8), i ->
-           |             element_at(qe, s * 8 + i) - element_at(element_at($cb, jj + 1), s * 8 + i)),
-           |           0L, (a, x) -> a + x * x) < acc.d,
-           |         named_struct('j', jj,
-           |           'd', aggregate(transform(sequence(1, 8), i ->
-           |                    element_at(qe, s * 8 + i) - element_at(element_at($cb, jj + 1), s * 8 + i)),
-           |                  0L, (a, x) -> a + x * x)),
-           |         acc)))""".stripMargin))
+      .select(col("vec_id"), expr(QE6).as("qe"))
+      .withColumn("pq", expr(pqCodesExpr(pqCodebookLit(idx))))
       .select(
         col("vec_id"),
         expr("aggregate(transform(sequence(0, 7), s -> element_at(pq, s + 1).j * cast(pow(16, s) as bigint)), 0L, (a, x) -> a + x)").as("pq_code"),
         expr("aggregate(pq, 0L, (a, x) -> a + x.d)").as("pq_err_e12"))
       .orderBy("vec_id")
+  }
+
+  /**
+   * PQ asymmetric-distance search (ADC, Jégou et al. 2011 §IV) — the query
+   * half of the [[pqQuantize]] storage path, completing the FAISS-style
+   * IVF (q75) / SQ8 (q87) / PQ (q92) triad: precompute, DRIVER-side from
+   * the memoized index (pure arithmetic, no Spark action), the 8×16 lookup
+   * table `LUT[s][j] = ‖query_s − codeword_{s,j}‖²` in exact e6 integers;
+   * then each corpus vector's approximate distance is just 8 table lookups
+   * summed — the memory-bandwidth-bound inner loop that makes PQ search
+   * fast at billion scale. Encode + lookup run as ONE map-side codegen
+   * fold (both the codebook and the LUT are literals in the expression
+   * tree); the only non-map work is the global top-20, which plans as
+   * TakeOrderedAndProject (no sort shuffle).
+   *
+   * Exactly oracle-checkable: codes and LUT entries are deterministic
+   * integers, so DuckDB reproduces the encoding, the table, and the
+   * (adc, vec_id) total order.
+   */
+  def pqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    val cbq = idx.centroids.sortBy(_._1).map(_._2.map(e6))
+    val q = idx.queryVec.map(e6)
+    val lut = Array.tabulate(8, 16) { (s, j) =>
+      (0 until 8).map { i => val d = q(s * 8 + i) - cbq(j)(s * 8 + i); d * d }.sum
+    }
+    val lutLit = lut.map(_.map(_.toString + "L").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), expr(QE6).as("qe"))
+      .withColumn("pq", expr(pqCodesExpr(pqCodebookLit(idx))))
+      .select(
+        col("vec_id"),
+        expr(s"aggregate(transform(sequence(0, 7), s -> element_at(element_at($lutLit, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)").as("adc_e12"))
+      .orderBy(col("adc_e12").asc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  /**
+   * Batched exact KNN: top-5 cosine neighbors for EACH of the first 20
+   * vectors in one pass over the corpus — the bulk-retrieval shape
+   * (embed-and-retrieve pipelines score queries in batches, not one at a
+   * time like q27). The query batch broadcasts (it is batch-sized, not
+   * corpus-sized), every corpus row scores all queries map-side, and the
+   * per-query top-k runs through [[graft.functions.TopKAgg]] — a typed
+   * Aggregator whose partial buffers reduce each task's candidates to ≤k
+   * per query BEFORE the shuffle, so the exchange carries
+   * queries × tasks × k tuples instead of queries × corpus rows (the
+   * window-function formulation would shuffle the full cross product).
+   */
+  def batchKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(spark, 5)
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("emb").as("qe"))
+    e.filter(col("vec_id") >= 20).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), expr(CosExpr).as("c"))
+      .groupBy("qid")
+      .agg(expr("topk_cos_5(c, vec_id)").as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("rank", "hit")))
+      .select(
+        col("qid"), col("rank").cast("int").as("rank"),
+        col("hit._2").as("vec_id"), round(col("hit._1"), 6).as("cos"))
+      .orderBy("qid", "rank")
   }
 
   /**

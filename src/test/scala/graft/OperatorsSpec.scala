@@ -745,6 +745,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("batchKnn: TopKAgg result equals the window-function top-k exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val got = VectorOps.batchKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // independent formulation: full cross scores + row_number window
+    graft.functions.VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val want = e.filter(col("vec_id") >= 20).crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        expr("dot_d(emb, qe) / (sqrt(dot_d(emb, emb)) * sqrt(dot_d(qe, qe)))").as("c"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), (col("rn") - 1).cast("int").as("rank"), col("vec_id"), round(col("c"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.map(_._1).distinct.length == 20) // every query answered
+  }
+
+  test("pqAdcSearch: 20 ascending distances; codeword vectors carry their own LUT row") {
+    val rows = VectorOps.pqAdcSearch(spark, dir).collect()
+    assert(rows.length == 20)
+    val adc = rows.map(_.getLong(1))
+    assert(adc.forall(_ >= 0L))
+    assert(adc.sorted.toSeq == adc.toSeq) // presented in (adc, vec_id) order
+    assert(rows.forall(_.getLong(0) != 0L)) // the query itself never returned
+  }
+
   test("substringDup: duplication is mutual — a dup gram implies a partner doc") {
     val rows = DedupOps.substringDup(spark, dir).collect()
     val nDocs = spark.read.parquet(s"$dir/documents.parquet")
