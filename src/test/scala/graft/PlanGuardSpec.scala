@@ -45,7 +45,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the centroid set per row)
     "q75_ann_ivf_topk",
     // q88 runs the same IVF assignment as q75 before its pair join
-    "q88_semantic_dedup")
+    "q88_semantic_dedup",
+    // q94 broadcasts the 20-row query batch onto the corpus scan
+    "q94_knn_batch")
 
   // Merge joins whose BOTH sides are aggregate outputs already
   // hash-partitioned on the join key (stage frontiers, per-cell thresholds,
