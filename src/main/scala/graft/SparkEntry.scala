@@ -140,6 +140,8 @@ object SparkEntry {
     "q94_knn_batch" -> (VectorOps.batchKnn(_, _)),
     // PQ asymmetric-distance search over literal-folded codebook + LUT
     "q95_pq_adc_search" -> (VectorOps.pqAdcSearch(_, _)),
+    // md5-substrate SimHash: q29's oracle-checkable twin (q61/q70 pairing)
+    "q96_simhash_portable" -> (DedupOps.simhashPortable(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -713,6 +715,31 @@ object SparkEntry {
         |CAST(sum(j * CAST(pow(16, s) AS BIGINT)) AS BIGINT) AS pq_code,
         |CAST(sum(d2) AS BIGINT) AS pq_err_e12
         |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q96: md5-hex bits -> 4x16-bit chunk votes -> bucket-capped LSH ->
+    // exact Hamming, all reproduced digit-for-digit from md5(token)
+    "q96_simhash_portable" ->
+      """WITH d AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hx FROM documents),
+        |vals AS (SELECT doc_id,
+        |  list_transform(hx, h -> (strpos('0123456789abcdef', h[1])-1)*4096 + (strpos('0123456789abcdef', h[2])-1)*256 + (strpos('0123456789abcdef', h[3])-1)*16 + strpos('0123456789abcdef', h[4])-1) AS vs0,
+        |  list_transform(hx, h -> (strpos('0123456789abcdef', h[5])-1)*4096 + (strpos('0123456789abcdef', h[6])-1)*256 + (strpos('0123456789abcdef', h[7])-1)*16 + strpos('0123456789abcdef', h[8])-1) AS vs1,
+        |  list_transform(hx, h -> (strpos('0123456789abcdef', h[9])-1)*4096 + (strpos('0123456789abcdef', h[10])-1)*256 + (strpos('0123456789abcdef', h[11])-1)*16 + strpos('0123456789abcdef', h[12])-1) AS vs2,
+        |  list_transform(hx, h -> (strpos('0123456789abcdef', h[13])-1)*4096 + (strpos('0123456789abcdef', h[14])-1)*256 + (strpos('0123456789abcdef', h[15])-1)*16 + strpos('0123456789abcdef', h[16])-1) AS vs3
+        |  FROM d),
+        |h AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0,16), b -> CASE WHEN list_sum(list_transform(vs0, x -> ((x >> b) & 1) * 2 - 1)) >= 0 THEN (1 << b) ELSE 0 END)) AS INTEGER) AS c0,
+        |  CAST(list_sum(list_transform(range(0,16), b -> CASE WHEN list_sum(list_transform(vs1, x -> ((x >> b) & 1) * 2 - 1)) >= 0 THEN (1 << b) ELSE 0 END)) AS INTEGER) AS c1,
+        |  CAST(list_sum(list_transform(range(0,16), b -> CASE WHEN list_sum(list_transform(vs2, x -> ((x >> b) & 1) * 2 - 1)) >= 0 THEN (1 << b) ELSE 0 END)) AS INTEGER) AS c2,
+        |  CAST(list_sum(list_transform(range(0,16), b -> CASE WHEN list_sum(list_transform(vs3, x -> ((x >> b) & 1) * 2 - 1)) >= 0 THEN (1 << b) ELSE 0 END)) AS INTEGER) AS c3
+        |  FROM vals),
+        |ck AS (SELECT doc_id, c0, c1, c2, c3, 0 AS c, c0 AS vv FROM h
+        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 1, c1 FROM h
+        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 2, c2 FROM h
+        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 3, c3 FROM h),
+        |pr AS (SELECT * FROM (SELECT ck.*, count(*) OVER (PARTITION BY c, vv) AS bsz FROM ck) t WHERE bsz <= 50),
+        |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1)) + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) AS BIGINT) AS hamming
+        |  FROM pr x JOIN pr y ON x.c = y.c AND x.vv = y.vv AND x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM p WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
     "q94_knn_batch" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 20),

@@ -242,6 +242,62 @@ object DedupOps {
   }
 
   /**
+   * Engine-portable SimHash — [[simhash]]'s oracle-checkable twin, the same
+   * pairing discipline as q61/q70 (same contract, different hash substrate):
+   * where q29 derives per-token 64-bit hashes from the codegen `simhash64`
+   * kernel (xxhash64 — no DuckDB analogue, so q29 is golden-pinned only),
+   * this variant takes each token's 64 hash bits from the first 16 hex
+   * digits of md5(token) — the repo's standard engine-portable hash — so
+   * the fingerprints, the chunked LSH, the hot-bucket cap and the Hamming
+   * filter are all reproducible in DuckDB SQL and the whole pipeline
+   * hash-checks end-to-end.
+   *
+   * The fingerprint lives as 4×16-bit chunk ints (c0..c3) rather than one
+   * signed 64-bit value: chunks are what the LSH buckets on anyway, and
+   * small positive ints sidestep engine differences in unsigned 64-bit
+   * handling. Bit-vote semantics match [[simhash]]: occurrence-weighted
+   * (+1/−1 per token), ties vote 1.
+   *
+   * Cost shape: the md5s and the 64 bit-votes are one map-side HOF pass per
+   * row (the codegen q29 kernel stays the throughput path); everything
+   * after the fingerprint is identical to q29 — bucket window cap, chunk
+   * equi-join, exact Hamming verify.
+   */
+  def simhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+      .withColumn("hx", expr("transform(split(text, ' '), t -> md5(t))"))
+    val withChunks = (0 until 4).foldLeft(base) { (df, c) =>
+      df.withColumn(s"hv$c",
+          expr(s"transform(hx, h -> cast(conv(substring(h, ${c * 4 + 1}, 4), 16, 10) as int))"))
+        .withColumn(s"c$c", expr(
+          s"""aggregate(sequence(0, 15), 0, (acc, b) ->
+             |  acc + if(aggregate(hv$c, 0, (a, vv) -> a + (shiftright(vv, b) & 1) * 2 - 1) >= 0,
+             |           shiftleft(1, b), 0))""".stripMargin))
+    }.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+    val chunks = withChunks.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      explode(expr(
+        "array(struct(0 as c, c0 as v), struct(1 as c, c1 as v), struct(2 as c, c2 as v), struct(3 as c, c3 as v))")).as("ck"))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("ck.c").as("c"), col("ck.v").as("v"))
+    val pruned = chunks
+      .withColumn("bsz", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("c", "v")))
+      .filter(col("bsz") <= 50)
+      .drop("bsz")
+    pruned.as("x").join(
+      pruned.as("y"),
+      col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (bit_count(col("x.c0").bitwiseXOR(col("y.c0"))) +
+          bit_count(col("x.c1").bitwiseXOR(col("y.c1"))) +
+          bit_count(col("x.c2").bitwiseXOR(col("y.c2"))) +
+          bit_count(col("x.c3").bitwiseXOR(col("y.c3")))).cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("a", "b")
+  }
+
+  /**
    * Near-duplicate CLUSTERS: connected components over the MinHash-LSH pair
    * graph ([[minhashLsh]]), plus canonical-document election (min doc_id per
    * component) — the step that turns a pair list into an actual deduplicated

@@ -774,6 +774,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getLong(0) != 0L)) // the query itself never returned
   }
 
+  test("simhashPortable equals a from-scratch JVM reimplementation") {
+    import org.apache.spark.sql.Row
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // fingerprint: per chunk c, 16 bit-votes over the tokens' md5-hex bits
+    def chunksOf(text: String): Array[Int] = {
+      val hv = text.split(" ", -1).map(t => md5hex(t))
+      Array.tabulate(4) { c =>
+        (0 until 16).map { b =>
+          val vote = hv.map { h =>
+            val v = Integer.parseInt(h.substring(c * 4, c * 4 + 4), 16)
+            ((v >> b) & 1) * 2 - 1
+          }.sum
+          if (vote >= 0) 1 << b else 0
+        }.sum
+      }
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { case Row(id: Long, t: String) => id -> chunksOf(t) }.toMap
+    // bucket cap 50 on (chunk idx, chunk value), then pair + exact Hamming
+    val buckets = docs.toSeq.flatMap { case (id, cs) => cs.zipWithIndex.map { case (v, c) => ((c, v), id) } }
+      .groupBy(_._1).filter(_._2.size <= 50)
+    val want = buckets.values.flatMap { members =>
+      val ids = members.map(_._2).toSeq.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet.toSeq
+      .map { p: (Long, Long) =>
+        val h = docs(p._1).zip(docs(p._2)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+        (p._1, p._2, h.toLong)
+      }
+      .filter(_._3 <= 6L).sorted
+    val got = DedupOps.simhashPortable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("substringDup: duplication is mutual — a dup gram implies a partner doc") {
     val rows = DedupOps.substringDup(spark, dir).collect()
     val nDocs = spark.read.parquet(s"$dir/documents.parquet")
