@@ -142,6 +142,8 @@ object SparkEntry {
     "q95_pq_adc_search" -> (VectorOps.pqAdcSearch(_, _)),
     // md5-substrate SimHash: q29's oracle-checkable twin (q61/q70 pairing)
     "q96_simhash_portable" -> (DedupOps.simhashPortable(_, _)),
+    // md5-substrate winnowing: q44's oracle-checkable twin
+    "q97_winnow_portable" -> (DedupOps.winnowPortable(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -715,6 +717,24 @@ object SparkEntry {
         |CAST(sum(j * CAST(pow(16, s) AS BIGINT)) AS BIGINT) AS pq_code,
         |CAST(sum(d2) AS BIGINT) AS pq_err_e12
         |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q97: md5-substrate winnowing — t = h*2^16 + (2^16-1-p) makes the
+    // bounded-frame window MIN implement rightmost-minimum selection
+    "q97_winnow_portable" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |g AS (SELECT doc_id, i AS p, md5(substr(text, i, 8)) AS mh
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i FROM doc)),
+        |h AS (SELECT doc_id, p,
+        |  (CAST((strpos('0123456789abcdef', mh[1])-1)*4096 + (strpos('0123456789abcdef', mh[2])-1)*256 + (strpos('0123456789abcdef', mh[3])-1)*16 + strpos('0123456789abcdef', mh[4])-1 AS BIGINT) * 65536
+        |   + ((strpos('0123456789abcdef', mh[5])-1)*4096 + (strpos('0123456789abcdef', mh[6])-1)*256 + (strpos('0123456789abcdef', mh[7])-1)*16 + strpos('0123456789abcdef', mh[8])-1)) * 65536
+        |  + (65535 - p) AS t FROM g),
+        |sel AS (SELECT doc_id, p,
+        |  min(t) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS s,
+        |  max(p) OVER (PARTITION BY doc_id) AS pmax FROM h),
+        |fp AS (SELECT DISTINCT doc_id, s // 65536 AS fp FROM sel WHERE p <= pmax - 15),
+        |pr AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fp) t WHERE df <= 50),
+        |pares AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM pr x JOIN pr y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b, shared FROM pares WHERE shared >= 10 ORDER BY a, b""".stripMargin,
     // q96: md5-hex bits -> 4x16-bit chunk votes -> bucket-capped LSH ->
     // exact Hamming, all reproduced digit-for-digit from md5(token)
     "q96_simhash_portable" ->

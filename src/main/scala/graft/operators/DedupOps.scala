@@ -242,6 +242,48 @@ object DedupOps {
   }
 
   /**
+   * Engine-portable winnowing — [[winnowDedup]]'s oracle-checkable twin
+   * (the q61/q70 pairing discipline, as with [[simhashPortable]]): the
+   * codegen `winnow` kernel's rolling hash is O(1) per position but has no
+   * DuckDB analogue, so q44 is golden-pinned only; here each k-gram hashes
+   * independently through md5 (first 8 hex digits → one 32-bit value) and
+   * the MOSS selection runs declaratively. Winnowing's guarantee — any
+   * shared run of ≥ k+w−1 = 23 chars yields ≥ 1 shared fingerprint — holds
+   * for ANY hash substrate, so the twin detects the same local-overlap
+   * class; only the specific selected positions differ.
+   *
+   * Rightmost-minimum selection without an argmin aggregate: each position
+   * carries `t = h·2¹⁶ + (2¹⁶−1−p)` — minimizing t minimizes h and, on
+   * hash ties, picks the LARGEST position; `t div 2¹⁶` recovers the hash
+   * exactly. The per-window minimum is a standard bounded-frame window
+   * (`ROWS BETWEEN CURRENT ROW AND w−1 FOLLOWING`) — one doc-keyed
+   * shuffle+sort, then the same df-capped bucket join as q44.
+   */
+  def winnowPortable(spark: SparkSession, dir: String, minShared: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t(spark, dir, "documents")
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")).as(Seq("pi", "gram")))
+      .select(col("doc_id"), (col("pi") + 1).as("p"), col("gram"))
+      .withColumn("t", expr("cast(conv(substring(md5(gram), 1, 8), 16, 10) as bigint) * 65536 + (65535 - p)"))
+    val sel = g
+      .withColumn("s", min("t").over(Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 15)))
+      .withColumn("pmax", max("p").over(Window.partitionBy("doc_id")))
+      .filter(col("p") <= col("pmax") - 15)
+      .select(col("doc_id"), expr("s div 65536").as("fp")).distinct()
+    val pruned = sel
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= 50)
+      .drop("df")
+    pruned.as("x").join(pruned.as("y"), col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy("a", "b")
+  }
+
+  /**
    * Engine-portable SimHash — [[simhash]]'s oracle-checkable twin, the same
    * pairing discipline as q61/q70 (same contract, different hash substrate):
    * where q29 derives per-token 64-bit hashes from the codegen `simhash64`

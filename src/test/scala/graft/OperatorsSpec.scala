@@ -812,6 +812,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("winnowPortable equals a from-scratch JVM reimplementation") {
+    import org.apache.spark.sql.Row
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def fingerprints(text: String): Set[Long] = {
+      if (text.length < 8) return Set.empty
+      val ts = (1 to text.length - 7).map { p =>
+        val h = java.lang.Long.parseLong(md5hex(text.substring(p - 1, p + 7)).substring(0, 8), 16)
+        h * 65536L + (65535L - p)
+      }
+      (0 to ts.length - 16).map(i => ts.slice(i, i + 16).min / 65536L).toSet
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { case Row(id: Long, t: String) => id -> fingerprints(t) }.toMap
+    val df = docs.toSeq.flatMap { case (id, fps) => fps.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.size <= 50)
+    val shared = df.values.flatMap { members =>
+      val ids = members.map(_._2).toSeq.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = shared.toSeq.collect { case ((a, b), n) if n >= 10L => (a, b, n) }.sorted
+    val got = DedupOps.winnowPortable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("substringDup: duplication is mutual — a dup gram implies a partner doc") {
     val rows = DedupOps.substringDup(spark, dir).collect()
     val nDocs = spark.read.parquet(s"$dir/documents.parquet")
