@@ -144,6 +144,8 @@ object SparkEntry {
     "q96_simhash_portable" -> (DedupOps.simhashPortable(_, _)),
     // md5-substrate winnowing: q44's oracle-checkable twin
     "q97_winnow_portable" -> (DedupOps.winnowPortable(_, _)),
+    // assembly composite: quality gate -> exact dedup -> split -> pack
+    "q98_pretrain_export" -> (SamplingOps.pretrainExport(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -695,7 +697,7 @@ object SparkEntry {
         |  least(CAST(len(toks) AS DOUBLE), 500.0) / 500.0 AS len_sat
         |  FROM d),
         |z AS (SELECT doc_id, n_toks,
-        |  -1.2 + 2.5 * stop_r + 0.8 * len_sat - 3.0 * punct_r - 2.0 * digit_r AS z FROM f)
+        |  -0.25 + 2.5 * stop_r + 0.8 * len_sat - 3.0 * punct_r - 2.0 * digit_r AS z FROM f)
         |SELECT doc_id, n_toks, CAST(round(z * 1000) AS BIGINT) AS logit_milli, z > 0 AS keep
         |FROM z ORDER BY doc_id""".stripMargin,
     // q92: e6-integer PQ — same systematic codebook as the IVF oracle,
@@ -717,6 +719,30 @@ object SparkEntry {
         |CAST(sum(j * CAST(pow(16, s) AS BIGINT)) AS BIGINT) AS pq_code,
         |CAST(sum(d2) AS BIGINT) AS pq_err_e12
         |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q98: the q91 gate verbatim, then q24's survivor election, q54's
+    // buckets, q55's packing — per split
+    "q98_pretrain_export" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  -0.25 + 2.5 * (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) / len(toks))
+        |      + 0.8 * (least(CAST(len(toks) AS DOUBLE), 500.0) / 500.0)
+        |      - 3.0 * (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
+        |      - 2.0 * (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text)) AS z
+        |  FROM d),
+        |k AS (SELECT doc_id, text, n_tokens FROM f WHERE z > 0),
+        |s AS (SELECT doc_id, n_tokens FROM (
+        |  SELECT doc_id, n_tokens, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep FROM k) t
+        |  WHERE doc_id = keep),
+        |sp AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val' ELSE 'test' END AS split,
+        |  md5('seed42-' || CAST(doc_id AS VARCHAR)) AS skey FROM s),
+        |c AS (SELECT split, doc_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY split ORDER BY skey, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sp)
+        |SELECT split, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM c GROUP BY split, seq_id ORDER BY split, seq_id""".stripMargin,
     // q97: md5-substrate winnowing — t = h*2^16 + (2^16-1-p) makes the
     // bounded-frame window MIN implement rightmost-minimum selection
     "q97_winnow_portable" ->

@@ -107,6 +107,64 @@ object SamplingOps {
   }
 
   /**
+   * The pretraining EXPORT stage as one composite plan — the assembly dual
+   * of [[graft.operators.CurationPipeline.curate]] (which composes the
+   * FILTERING stages): model-based quality gate ([[TextOps.qualityClassifier]]'s
+   * exact logit, shared code so the gate is bit-identical) → exact-dup
+   * survivor election (min doc_id per content hash, [[DedupOps.exact]]'s
+   * convention) → md5 train/val/test split ([[hashSplit]]'s buckets) →
+   * per-split deterministic shuffle + greedy 512-token sequence packing
+   * ([[sequencePack]]'s seeded permutation and capacity cut).
+   *
+   * Packing generalizes sequencePack's scalable two-pass cumsum to per-split
+   * totals: range-partition on (split, skey, doc_id) — split-contiguous, so
+   * a partition holds at most a split boundary — local windows keyed
+   * (pid, split), and per-(pid, split) prefix offsets collected to the
+   * driver (O(partitions × 3) rows, size-independent). No single-partition
+   * window anywhere; every stage before the final rollup is map-side or
+   * partial-aggregated.
+   */
+  def pretrainExport(spark: SparkSession, dir: String, capacity: Int = 512): DataFrame = {
+    val kept = TextOps.withQualityLogit(t(spark, dir, "documents"))
+      .filter(col("z") > 0)
+      .select(col("doc_id"), col("text"), col("n_toks").as("n_tokens"))
+    val survivors = kept
+      .withColumn("keep", min("doc_id").over(Window.partitionBy(md5(lower(col("text"))))))
+      .filter(col("doc_id") === col("keep"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("case when substring(md5(cast(doc_id as string)), 1, 1) < 'd' then 'train' " +
+          "when substring(md5(cast(doc_id as string)), 1, 1) < 'f' then 'val' else 'test' end").as("split"),
+        md5(concat(lit("seed42-"), col("doc_id").cast("string"))).as("skey"))
+    // see sequencePack for why localCheckpoint (partition-id identity) —
+    // same contract here, with the split in the range key
+    val docs = survivors
+      .repartitionByRange(col("split"), col("skey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = docs.groupBy("pid", "split").agg(sum("n_tokens").as("ptotal"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._2).toSeq.flatMap { case (split, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => (pid, split, off) }
+    }
+    val offsetsDf = spark.createDataFrame(offsets).toDF("pid", "split", "offset")
+    val localW = Window.partitionBy("pid", "split").orderBy("skey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.join(broadcast(offsetsDf), Seq("pid", "split"))
+      .withColumn("cum", col("offset") + sum("n_tokens").over(localW))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $capacity"))
+      .groupBy("split", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("seq_tokens"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("split", "seq_id")
+  }
+
+  /**
    * Train/test decontamination: flag training docs sharing any 8-token
    * shingle with a held-out (test-split) doc — the benchmark-leakage check
    * every LLM data pipeline runs before training. Splits come from

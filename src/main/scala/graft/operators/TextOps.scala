@@ -317,15 +317,20 @@ object TextOps {
    * product is a fixed left-to-right sum of products, and milli-unit
    * quantization absorbs any last-ulp cross-engine difference.
    */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .withColumn("toks", expr("split(text, ' ')"))
+  /** The q91 feature/logit chain on any frame with (text) — shared verbatim
+   * by [[qualityClassifier]] and [[SamplingOps.pretrainExport]] so the
+   * composite's gate is bit-identical to the standalone query's. */
+  private[graft] def withQualityLogit(df: DataFrame): DataFrame =
+    df.withColumn("toks", expr("split(text, ' ')"))
       .withColumn("n_toks", expr("cast(size(toks) as bigint)"))
       .withColumn("stop_r", expr(s"cast(size(filter(toks, x -> x in ${inList(StopEn)})) as double) / n_toks"))
       .withColumn("punct_r", expr("cast(regexp_count(text, '[.,!?;:]') as double) / length(text)"))
       .withColumn("digit_r", expr("cast(regexp_count(text, '[0-9]') as double) / length(text)"))
       .withColumn("len_sat", expr("least(cast(n_toks as double), 500.0D) / 500.0D"))
-      .withColumn("z", expr("-1.2D + 2.5D * stop_r + 0.8D * len_sat - 3.0D * punct_r - 2.0D * digit_r"))
+      .withColumn("z", expr("-0.25D + 2.5D * stop_r + 0.8D * len_sat - 3.0D * punct_r - 2.0D * digit_r"))
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    withQualityLogit(t(spark, dir, "documents"))
       .selectExpr(
         "doc_id",
         "n_toks",

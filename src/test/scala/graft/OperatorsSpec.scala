@@ -721,8 +721,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("qualityClassifier: logit within weight envelope, keep consistent with sign") {
     val rows = TextOps.qualityClassifier(spark, dir).collect()
     assert(rows.nonEmpty)
-    // weights bound z to [-1.2-3.0-2.0, -1.2+2.5+0.8] = [-6.2, 2.1]
-    assert(rows.forall(r => r.getLong(2) >= -6200L && r.getLong(2) <= 2100L))
+    // weights bound z to [-0.25-3.0-2.0, -0.25+2.5+0.8] = [-5.25, 3.05]
+    assert(rows.forall(r => r.getLong(2) >= -5250L && r.getLong(2) <= 3050L))
+    // the calibrated gate actually splits this corpus (not degenerate)
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
     // sign consistency: a kept doc's logit can round to 0 but never negative
     assert(rows.forall(r => if (r.getBoolean(3)) r.getLong(2) >= 0L else r.getLong(2) <= 0L))
   }
@@ -838,6 +840,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = DedupOps.winnowPortable(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want)
+  }
+
+  test("pretrainExport: contiguous seq ids per split, conservation vs its stages") {
+    val rows = SamplingOps.pretrainExport(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val splits = rows.map(_.getString(0)).distinct.toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    splits.foreach { s =>
+      val ids = rows.filter(_.getString(0) == s).map(_.getLong(1)).sorted
+      assert(ids.toSeq == (0L until ids.length), s"split $s seq ids not contiguous")
+    }
+    // conservation: packed token totals equal the gated+deduped corpus totals
+    val expected = TextOps.withQualityLogit(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .filter(col("z") > 0)
+      .withColumn("keep",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy(md5(lower(col("text"))))))
+      .filter(col("doc_id") === col("keep"))
+      .withColumn("split", expr(
+        "case when substring(md5(cast(doc_id as string)), 1, 1) < 'd' then 'train' " +
+        "when substring(md5(cast(doc_id as string)), 1, 1) < 'f' then 'val' else 'test' end"))
+      .groupBy("split").agg(sum("n_toks").as("tot"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = rows.groupBy(_.getString(0)).map { case (s, rs) =>
+      s -> (rs.map(_.getLong(3)).sum, rs.map(_.getLong(2)).sum)
+    }
+    assert(got == expected)
   }
 
   test("substringDup: duplication is mutual — a dup gram implies a partner doc") {
