@@ -54,7 +54,12 @@ val ops: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.
   "q90_contam_overlap" -> ((s, d) => graft.operators.SamplingOps.contaminationOverlap(s, d)),
   "q91_quality_model" -> ((s, d) => graft.operators.TextOps.qualityClassifier(s, d)),
   "q92_pq_quantize" -> ((s, d) => graft.operators.VectorOps.pqQuantize(s, d)),
-  "q93_substring_dup" -> ((s, d) => graft.operators.DedupOps.substringDup(s, d))
+  "q93_substring_dup" -> ((s, d) => graft.operators.DedupOps.substringDup(s, d)),
+  "q94_knn_batch" -> ((s, d) => graft.operators.VectorOps.batchKnn(s, d)),
+  "q95_pq_adc_search" -> ((s, d) => graft.operators.VectorOps.pqAdcSearch(s, d)),
+  "q96_simhash_portable" -> ((s, d) => graft.operators.DedupOps.simhashPortable(s, d)),
+  "q97_winnow_portable" -> ((s, d) => graft.operators.DedupOps.winnowPortable(s, d)),
+  "q98_pretrain_export" -> ((s, d) => graft.operators.SamplingOps.pretrainExport(s, d))
 )
 
 for (k <- Seq(1, 3, 10)) {
