@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SimHash64(exprs.head)
     ))
     ext.injectFunction((
+      FunctionIdentifier("simhash64_md5"),
+      info("simhash64_md5", "simhash64_md5(array<string>) - 64-bit SimHash on the md5 substrate (engine-portable)"),
+      (exprs: Seq[Expression]) => graft.functions.Md5SimHash64(exprs.head)
+    ))
+    ext.injectFunction((
       FunctionIdentifier("char_ngrams"),
       info("char_ngrams", "char_ngrams(string, n) - distinct character n-grams, first-occurrence order"),
       (exprs: Seq[Expression]) => {

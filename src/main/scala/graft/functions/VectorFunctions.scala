@@ -145,6 +145,70 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * `simhash64_md5(array<string>)` — [[SimHash64]] on an md5 substrate: each
+ * token's 64 hash bits are the FIRST 8 BYTES of md5(token), big-endian, so
+ * the fingerprint is reproducible from md5's hex form in any engine (DuckDB
+ * recomputes it digit-for-digit — see q96's oracle) while the voting loop
+ * runs as one tight generated-code pass, not 64 interpreted HOF scans per
+ * chunk. Same vote/tie semantics as [[SimHash64]] (+1/−1 per occurrence,
+ * ties set the bit); only the per-token hash differs.
+ */
+case class Md5SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_md5"
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64_md5 needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.Md5SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash64 = copy(child = newChild)
+}
+
+object Md5SimHash64 {
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(arr: ArrayData): Long = {
+    val md = mdPool.get()
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val h = ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+          ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+          ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+        var b = 0
+        while (b < 64) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/**
  * `l1_dist(array<long>, array<long>)` — L1 (Manhattan) distance between two
  * integer vectors, e.g. byte histograms. The workhorse of cheap
  * edit-distance pruning: each Levenshtein edit changes a character
@@ -215,6 +279,8 @@ object VectorFunctions {
       "l1_dist", exprs => L1Distance(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64_md5", exprs => Md5SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow", exprs => RollingFingerprint(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -300,22 +300,24 @@ object DedupOps {
    * handling. Bit-vote semantics match [[simhash]]: occurrence-weighted
    * (+1/−1 per token), ties vote 1.
    *
-   * Cost shape: the md5s and the 64 bit-votes are one map-side HOF pass per
-   * row (the codegen q29 kernel stays the throughput path); everything
-   * after the fingerprint is identical to q29 — bucket window cap, chunk
-   * equi-join, exact Hamming verify.
+   * Cost shape: fingerprints come from the `simhash64_md5` codegen kernel
+   * ([[graft.functions.Md5SimHash64]]) — one md5 + one 64-way counter pass
+   * per row in generated code, so the portable variant pays ~one digest per
+   * token over the xxhash64 kernel instead of 64 interpreted HOF scans; the
+   * 4×16-bit chunks are bit-slices of the kernel's big-endian fingerprint,
+   * which the oracle reproduces from md5's hex digits (chars 4c+1..4c+4 ARE
+   * bits 63−16c..48−16c). Everything after the fingerprint is identical to
+   * q29 — bucket window cap, chunk equi-join, exact Hamming verify.
    */
   def simhashPortable(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir, "documents")
-      .withColumn("hx", expr("transform(split(text, ' '), t -> md5(t))"))
-    val withChunks = (0 until 4).foldLeft(base) { (df, c) =>
-      df.withColumn(s"hv$c",
-          expr(s"transform(hx, h -> cast(conv(substring(h, ${c * 4 + 1}, 4), 16, 10) as int))"))
-        .withColumn(s"c$c", expr(
-          s"""aggregate(sequence(0, 15), 0, (acc, b) ->
-             |  acc + if(aggregate(hv$c, 0, (a, vv) -> a + (shiftright(vv, b) & 1) * 2 - 1) >= 0,
-             |           shiftleft(1, b), 0))""".stripMargin))
-    }.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+    graft.functions.VectorFunctions.register(spark)
+    val withChunks = t(spark, dir, "documents")
+      .withColumn("f", expr("simhash64_md5(split(text, ' '))"))
+      .select(col("doc_id"),
+        expr("cast(shiftright(f, 48) & 65535 as int)").as("c0"),
+        expr("cast(shiftright(f, 32) & 65535 as int)").as("c1"),
+        expr("cast(shiftright(f, 16) & 65535 as int)").as("c2"),
+        expr("cast(f & 65535 as int)").as("c3"))
     val chunks = withChunks.select(
       col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       explode(expr(

@@ -244,16 +244,33 @@ object VectorOps {
     java.math.BigDecimal.valueOf(x * 1e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
-  /** The 16 codewords × 64 dims, e6-quantized, as a nested array literal. */
-  private def pqCodebookLit(idx: IvfIndex): String =
+  /** The 16 codewords × 64 dims, e6-quantized, as a nested array literal.
+   * Fails loudly on a short codebook (sparse id spaces starve the
+   * systematic sample; the argmin fold would otherwise silently encode
+   * against whatever subset exists). */
+  private def pqCodebookLit(idx: IvfIndex): String = {
+    require(idx.centroids.length == 16,
+      s"PQ codebook needs 16 systematic codewords, got ${idx.centroids.length} — " +
+        "vec_id space too sparse for systematic sampling; densify ids or sample by hash")
     idx.centroids.sortBy(_._1).map { case (_, c) =>
       c.map(x => e6(x).toString + "L").mkString("array(", ",", ")")
     }.mkString("array(", ",", ")")
+  }
 
   /** SQL expression encoding column `qe` (e6-long array) against codebook
    * literal `cb`: an array of 8 (j, d) structs — per subspace, the argmin
    * codeword index and its exact integer squared distance. A pure per-row
-   * fold: no join, no shuffle, whatever consumes it stays map-side. */
+   * fold: no join, no shuffle, whatever consumes it stays map-side.
+   * Strict `<` keeps the first (lowest-index) codeword on ties.
+   *
+   * MUST be evaluated inside a binding where `qe` is a LAMBDA VARIABLE
+   * (see [[letQe]]), not a projected column: Catalyst's CollapseProject
+   * inlines column definitions textually into every reference, so an
+   * `element_at(qe, …)` against a plain column re-evaluates the full
+   * 64-element quantization transform PER ACCESS — measured 75× slower on
+   * the ADC search. A 1-element `transform(array(expr), qe -> body)` is
+   * the SQL "let": the argument evaluates once per row and the body sees
+   * the bound value. */
   private def pqCodesExpr(cb: String): String =
     s"""transform(sequence(0, 7), s ->
        |  aggregate(sequence(0, 15),
@@ -268,17 +285,27 @@ object VectorOps {
        |                  0L, (a, x) -> a + x * x)),
        |         acc)))""".stripMargin
 
+  /** SQL let-binding: evaluate the e6 quantization ONCE per row and run
+   * `body` with `qe` bound as a lambda variable. */
+  private def letQe(body: String): String =
+    s"element_at(transform(array($QE6), qe -> $body), 1)"
+
+  /** Second-level let: bind the codes array as `pq` over a bound `qe`. */
+  private def letPq(cb: String, body: String): String =
+    letQe(s"element_at(transform(array(${pqCodesExpr(cb)}), pq -> $body), 1)")
+
   private val QE6 = "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
 
   def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndex(spark, dir)
+    // code + error computed inside ONE let-bound expression (qe and pq each
+    // evaluate once per row), emitted as a struct and unpacked after
+    val body = "named_struct(" +
+      "'pq_code', aggregate(transform(sequence(0, 7), s -> element_at(pq, s + 1).j * cast(pow(16, s) as bigint)), 0L, (a, x) -> a + x), " +
+      "'pq_err_e12', aggregate(pq, 0L, (a, x) -> a + x.d))"
     t(spark, dir, "embeddings")
-      .select(col("vec_id"), expr(QE6).as("qe"))
-      .withColumn("pq", expr(pqCodesExpr(pqCodebookLit(idx))))
-      .select(
-        col("vec_id"),
-        expr("aggregate(transform(sequence(0, 7), s -> element_at(pq, s + 1).j * cast(pow(16, s) as bigint)), 0L, (a, x) -> a + x)").as("pq_code"),
-        expr("aggregate(pq, 0L, (a, x) -> a + x.d)").as("pq_err_e12"))
+      .select(col("vec_id"), expr(letPq(pqCodebookLit(idx), body)).as("r"))
+      .select(col("vec_id"), col("r.pq_code").as("pq_code"), col("r.pq_err_e12").as("pq_err_e12"))
       .orderBy("vec_id")
   }
 
@@ -301,6 +328,8 @@ object VectorOps {
    */
   def pqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndex(spark, dir)
+    require(idx.centroids.length == 16,
+      s"PQ codebook needs 16 systematic codewords, got ${idx.centroids.length}")
     val cbq = idx.centroids.sortBy(_._1).map(_._2.map(e6))
     val q = idx.queryVec.map(e6)
     val lut = Array.tabulate(8, 16) { (s, j) =>
@@ -310,11 +339,8 @@ object VectorOps {
       .mkString("array(", ",", ")")
     t(spark, dir, "embeddings")
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), expr(QE6).as("qe"))
-      .withColumn("pq", expr(pqCodesExpr(pqCodebookLit(idx))))
-      .select(
-        col("vec_id"),
-        expr(s"aggregate(transform(sequence(0, 7), s -> element_at(element_at($lutLit, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)").as("adc_e12"))
+      .select(col("vec_id"), expr(letPq(pqCodebookLit(idx),
+        s"aggregate(transform(sequence(0, 7), s -> element_at(element_at($lutLit, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)")).as("adc_e12"))
       .orderBy(col("adc_e12").asc, col("vec_id").asc)
       .limit(20)
   }

@@ -33,9 +33,15 @@ def mkScale(k: Int): String = {
       if (i == 0) col("text") else concat(col("text"), lit(s" v$i")).as("text"),
       col("lang"), col("source"), col("n_chars"))
   }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  // CONTIGUOUS vec_ids across replicas (offset by the base count, not 1e6):
+  // ivfCentroids samples systematically by id (vec_id % step == 0), which
+  // presumes a dense id space -- sparse replica offsets would leave most of
+  // the 16 codebook slots empty (a real corpus samples by hash; the dense
+  // assumption is the documented contract of the systematic variant).
+  val embN = embBase.count()
   (0 until k).map { i =>
     embBase.select(
-      (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+      (col("vec_id") + lit(i.toLong * embN)).as("vec_id"),
       expr(s"transform(embedding, x -> cast(x + ${i}e-3f as float))").as("embedding"),
       col("label"))
   }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
