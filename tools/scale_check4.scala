@@ -16,7 +16,7 @@
 // The replicated corpora REUSE ivfIndex's per-dir memoized centroids, so
 // q88/q92 pay the one-time index build inside the first (warm) run only --
 // mirroring production, where codebooks are built once and amortized.
-// Run: /opt/spark/bin/spark-shell --master 'local[32]' \
+// Run: /opt/spark/bin/spark-shell --master 'local[32]' --driver-memory 48g \
 //        --jars target/scala-2.13/whisperpandasspark_2.13-0.1.0.jar \
 //        --conf spark.sql.extensions=graft.GraftExtensions \
 //        --conf spark.sql.shuffle.partitions=32 -i tools/scale_check4.scala
