@@ -96,6 +96,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("winnow", "winnow(string) - winnowing document fingerprints (rolling-hash minima)"),
       (exprs: Seq[Expression]) => RollingFingerprint(exprs.head)
     ))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_md5"),
+      info("winnow_md5", "winnow_md5(string) - winnowing fingerprints on the md5 substrate (engine-portable)"),
+      (exprs: Seq[Expression]) => graft.functions.Md5Winnow(exprs.head)
+    ))
     // physical, in AQE query-stage prep: after EnsureRequirements, where the
     // scan (with pushed predicates and planned partitions) and the redundant
     // Sort+Exchange pair are both visible

@@ -93,3 +93,86 @@ object RollingFingerprint {
     out
   }
 }
+
+/**
+ * `winnow_md5(string)` — [[RollingFingerprint]] on the engine-portable md5
+ * substrate (the q96/q97 pairing discipline): each k-gram's hash is the
+ * first 4 BYTES of md5(gram) big-endian (= the first 8 hex digits, exactly
+ * what DuckDB parses in q97's oracle), and MOSS rightmost-minimum selection
+ * runs through the same `t = h·2^16 + (2^16−1−p)` encoding the declarative
+ * SQL uses — minimizing t minimizes h with largest-position tie-break, and
+ * `t div 2^16` recovers h. Returns the per-document DISTINCT fingerprint
+ * set, ascending.
+ *
+ * This is the kernel that lets [[graft.operators.DedupOps.winnowPortable]]
+ * skip materializing the gram relation entirely: one map-side pass per row
+ * instead of an n-row explode + doc-keyed window shuffle over every gram
+ * position (measured 4.5 s → sub-second at sf0.1). Unlike the rolling-hash
+ * kernel, a document with fewer than W complete windows yields NO
+ * fingerprints — mirroring the SQL's `p <= pmax − (W−1)` frame exactly.
+ */
+case class Md5Winnow(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_md5"
+
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"winnow_md5 needs STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(Md5Winnow.compute(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.Md5Winnow.compute($c.toString()));")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Winnow = copy(child = newChild)
+}
+
+object Md5Winnow {
+  final val K = 8 // gram size (characters — positions match substr semantics)
+  final val W = 16 // winnowing window (hashes)
+
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Distinct winnowed fingerprints (ascending), or empty when the document
+   * has no complete window of W gram hashes. */
+  def compute(s: String): Array[Long] = {
+    val n = s.length
+    if (n < K) return Array.empty[Long]
+    val nh = n - K + 1
+    if (nh < W) return Array.empty[Long]
+    val md = mdPool.get()
+    val ts = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      md.reset()
+      val d = md.digest(s.substring(i, i + K).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      ts(i) = h * 65536L + (65535L - (i + 1)) // p is 1-based
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start <= nh - W) {
+      var m = ts(start)
+      var j = start + 1
+      while (j < start + W) {
+        if (ts(j) < m) m = ts(j)
+        j += 1
+      }
+      sel.add(java.lang.Long.valueOf(m / 65536L))
+      start += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+}

@@ -255,23 +255,18 @@ object DedupOps {
    * Rightmost-minimum selection without an argmin aggregate: each position
    * carries `t = h·2¹⁶ + (2¹⁶−1−p)` — minimizing t minimizes h and, on
    * hash ties, picks the LARGEST position; `t div 2¹⁶` recovers the hash
-   * exactly. The per-window minimum is a standard bounded-frame window
-   * (`ROWS BETWEEN CURRENT ROW AND w−1 FOLLOWING`) — one doc-keyed
-   * shuffle+sort, then the same df-capped bucket join as q44.
+   * exactly. The ORACLE runs this declaratively (bounded-frame window MIN
+   * over the exploded gram relation); the Spark side runs the SAME math
+   * through the `winnow_md5` codegen kernel ([[graft.functions.Md5Winnow]])
+   * — one map-side pass per document, so the n-row gram explode and its
+   * doc-keyed window shuffle never materialize (4.5 s → sub-second at
+   * sf0.1). After the fingerprints: the same df-capped bucket join as q44.
    */
   def winnowPortable(spark: SparkSession, dir: String, minShared: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = t(spark, dir, "documents")
-      .filter(length(col("text")) >= 8)
-      .select(col("doc_id"),
-        posexplode(expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")).as(Seq("pi", "gram")))
-      .select(col("doc_id"), (col("pi") + 1).as("p"), col("gram"))
-      .withColumn("t", expr("cast(conv(substring(md5(gram), 1, 8), 16, 10) as bigint) * 65536 + (65535 - p)"))
-    val sel = g
-      .withColumn("s", min("t").over(Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 15)))
-      .withColumn("pmax", max("p").over(Window.partitionBy("doc_id")))
-      .filter(col("p") <= col("pmax") - 15)
-      .select(col("doc_id"), expr("s div 65536").as("fp")).distinct()
+    graft.functions.VectorFunctions.register(spark)
+    val sel = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr("winnow_md5(text)")).as("fp"))
     val pruned = sel
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .filter(col("df") <= 50)
