@@ -146,6 +146,8 @@ object SparkEntry {
     "q97_winnow_portable" -> (DedupOps.winnowPortable(_, _)),
     // assembly composite: quality gate -> exact dedup -> split -> pack
     "q98_pretrain_export" -> (SamplingOps.pretrainExport(_, _)),
+    // IVF+PQ composed: probe 4 inverted lists, ADC-score only within them
+    "q99_ivfpq_search" -> (VectorOps.ivfPqSearch(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -719,6 +721,41 @@ object SparkEntry {
         |CAST(sum(j * CAST(pow(16, s) AS BIGINT)) AS BIGINT) AS pq_code,
         |CAST(sum(d2) AS BIGINT) AS pq_err_e12
         |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q99: q75's probe/assignment CTEs composed with q95's codes + LUT,
+    // ADC restricted to the probed inverted lists
+    "q99_ivfpq_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
+        |c AS (SELECT CAST(vec_id // step AS INT) AS cid, emb AS cent FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        |probes AS (SELECT cid FROM c, q ORDER BY list_distance(cent, qe) ASC, cid ASC LIMIT 4),
+        |assign AS (SELECT vec_id, cid AS bucket FROM (
+        |  SELECT e.vec_id AS vec_id, c.cid AS cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cent) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c) t WHERE rn = 1),
+        |e6 AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS qe6 FROM e),
+        |cb AS (SELECT CAST(vec_id // step AS INT) AS j, qe6 AS cw FROM e6, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
+        |qv AS (SELECT qe6 AS qq FROM e6 WHERE vec_id = 0),
+        |lut AS (SELECT s, j,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (qq[s * 8 + i] - cw[s * 8 + i]) * (qq[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  FROM (SELECT unnest(range(0, 8)) AS s) CROSS JOIN cb CROSS JOIN qv),
+        |sub AS (SELECT e6.vec_id AS vec_id, qe6, unnest(range(0, 8)) AS s FROM e6
+        |  JOIN assign a ON e6.vec_id = a.vec_id
+        |  WHERE e6.vec_id <> 0 AND a.bucket IN (SELECT cid FROM probes)),
+        |d AS (SELECT sub.vec_id AS vec_id, sub.s AS s, cb.j AS j,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (qe6[s * 8 + i] - cw[s * 8 + i]) * (qe6[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  FROM sub CROSS JOIN cb),
+        |a2 AS (SELECT vec_id, s, j,
+        |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn FROM d),
+        |adc AS (SELECT a2.vec_id, CAST(sum(lut.d2) AS BIGINT) AS adc_e12
+        |  FROM a2 JOIN lut ON a2.s = lut.s AND a2.j = lut.j WHERE a2.rn = 1 GROUP BY a2.vec_id)
+        |SELECT adc.vec_id AS vec_id, asg.bucket AS bucket, adc.adc_e12 AS adc_e12
+        |FROM adc JOIN assign asg ON adc.vec_id = asg.vec_id
+        |ORDER BY adc_e12 ASC, vec_id ASC LIMIT 20""".stripMargin,
     // q98: the q91 gate verbatim, then q24's survivor election, q54's
     // buckets, q55's packing — per split
     "q98_pretrain_export" ->

@@ -346,6 +346,49 @@ object VectorOps {
   }
 
   /**
+   * IVF+PQ search — the two index structures composed the way a
+   * billion-scale deployment actually runs them (FAISS `IVFx,PQy`; Jégou
+   * et al. 2011 §V): the IVF layer prunes the corpus to the 4 probed
+   * inverted lists (partition pruning — the 100 TB lever, q75's layout),
+   * and the PQ layer scores ONLY those lists through the 8×16 integer LUT
+   * (memory-bandwidth compression — q95's lever). Assignment is the
+   * broadcast arg-min, ADC is the let-bound map-side fold, probe selection
+   * is driver arithmetic over the memoized index: the whole search is one
+   * action with a TakeOrderedAndProject top-20, touching ~nprobe/16 of the
+   * corpus and reading one int32 code per touched vector at scale.
+   *
+   * Deterministic end-to-end (systematic centroids double as the PQ
+   * codebook; integer distances; (adc, vec_id) total order), so DuckDB
+   * reproduces probes, codes, LUT, and ranking exactly.
+   */
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = ivfIndex(spark, dir)
+    require(idx.centroids.length == 16,
+      s"PQ codebook needs 16 systematic codewords, got ${idx.centroids.length}")
+    val probeIds = idx.centroids.map { case (cid, c) =>
+      (cid, c.zip(idx.queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (cid, d2) => (d2, cid) }.take(4).map(_._1).toSeq
+    val centsDF = idx.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+    val cbq = idx.centroids.sortBy(_._1).map(_._2.map(e6))
+    val q = idx.queryVec.map(e6)
+    val lut = Array.tabulate(8, 16) { (s, j) =>
+      (0 until 8).map { i => val d = q(s * 8 + i) - cbq(j)(s * 8 + i); d * d }.sum
+    }
+    val lutLit = lut.map(_.map(_.toString + "L").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val e = embeddings(spark, dir).filter(col("vec_id") =!= 0).select("vec_id", "emb")
+    AnnIndex.ivfAssign(e, "emb", centsDF)
+      .filter(col("bucket").isin(probeIds: _*))
+      .select(col("vec_id"), col("bucket"), col("emb").as("embedding"))
+      .select(col("vec_id"), col("bucket"), expr(letPq(pqCodebookLit(idx),
+        s"aggregate(transform(sequence(0, 7), s -> element_at(element_at($lutLit, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)")).as("adc_e12"))
+      .orderBy(col("adc_e12").asc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  /**
    * Batched exact KNN: top-5 cosine neighbors for EACH of the first 20
    * vectors in one pass over the corpus — the bulk-retrieval shape
    * (embed-and-retrieve pipelines score queries in batches, not one at a

@@ -869,6 +869,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("ivfPqSearch: probed buckets only, ADC consistent with standalone PQ") {
+    val rows = VectorOps.ivfPqSearch(spark, dir).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getInt(1)).distinct.length <= 4) // at most the 4 probed lists
+    val adc = rows.map(_.getLong(2))
+    assert(adc.sorted.toSeq == adc.toSeq && adc.forall(_ >= 0L))
+    // every IVF+PQ hit that the GLOBAL ADC search also returns must carry
+    // the identical ADC distance (same codes, same LUT)
+    val global = VectorOps.pqAdcSearch(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      global.get(r.getLong(0)).foreach(d => assert(d == r.getLong(2)))
+    }
+  }
+
   test("substringDup: duplication is mutual — a dup gram implies a partner doc") {
     val rows = DedupOps.substringDup(spark, dir).collect()
     val nDocs = spark.read.parquet(s"$dir/documents.parquet")

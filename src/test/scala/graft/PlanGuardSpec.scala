@@ -47,7 +47,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q88 runs the same IVF assignment as q75 before its pair join
     "q88_semantic_dedup",
     // q94 broadcasts the 20-row query batch onto the corpus scan
-    "q94_knn_batch")
+    "q94_knn_batch",
+    // q99 runs the same IVF assignment as q75/q88 before its ADC scoring
+    "q99_ivfpq_search")
 
   // Merge joins whose BOTH sides are aggregate outputs already
   // hash-partitioned on the join key (stage frontiers, per-cell thresholds,
