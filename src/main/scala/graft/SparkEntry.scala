@@ -148,6 +148,8 @@ object SparkEntry {
     "q98_pretrain_export" -> (SamplingOps.pretrainExport(_, _)),
     // IVF+PQ composed: probe 4 inverted lists, ADC-score only within them
     "q99_ivfpq_search" -> (VectorOps.ivfPqSearch(_, _)),
+    // PQ shortlist + exact refine: ADC top-100, true-cosine top-20 within
+    "q100_pq_refine" -> (VectorOps.pqRefineSearch(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -721,6 +723,35 @@ object SparkEntry {
         |CAST(sum(j * CAST(pow(16, s) AS BIGINT)) AS BIGINT) AS pq_code,
         |CAST(sum(d2) AS BIGINT) AS pq_err_e12
         |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // q100: q95's ADC CTEs cut at 100, then exact cosine over the shortlist
+    "q100_pq_refine" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
+        |cb AS (SELECT CAST(vec_id // step AS INT) AS j, qe AS cw FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
+        |qv AS (SELECT qe AS q FROM e WHERE vec_id = 0),
+        |lut AS (SELECT s, j,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (q[s * 8 + i] - cw[s * 8 + i]) * (q[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  FROM (SELECT unnest(range(0, 8)) AS s) CROSS JOIN cb CROSS JOIN qv),
+        |sub AS (SELECT vec_id, qe, unnest(range(0, 8)) AS s FROM e WHERE vec_id <> 0),
+        |d AS (SELECT sub.vec_id AS vec_id, sub.s AS s, cb.j AS j,
+        |  list_sum(list_transform(range(1, 9), i ->
+        |    (qe[s * 8 + i] - cw[s * 8 + i]) * (qe[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  FROM sub CROSS JOIN cb),
+        |a AS (SELECT vec_id, s, j,
+        |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn FROM d),
+        |adc AS (SELECT a.vec_id, CAST(sum(lut.d2) AS BIGINT) AS adc_e12
+        |  FROM a JOIN lut ON a.s = lut.s AND a.j = lut.j
+        |  WHERE a.rn = 1 GROUP BY a.vec_id ORDER BY adc_e12 ASC, vec_id ASC LIMIT 100),
+        |ed AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |qd AS (SELECT emb AS qq FROM ed WHERE vec_id = 0)
+        |SELECT adc.vec_id AS vec_id,
+        |round(list_inner_product(ed.emb, qd.qq)
+        |  / (sqrt(list_inner_product(ed.emb, ed.emb)) * sqrt(list_inner_product(qd.qq, qd.qq))), 6) AS cos
+        |FROM adc JOIN ed ON adc.vec_id = ed.vec_id CROSS JOIN qd
+        |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
     // q99: q75's probe/assignment CTEs composed with q95's codes + LUT,
     // ADC restricted to the probed inverted lists
     "q99_ivfpq_search" ->

@@ -330,17 +330,10 @@ object VectorOps {
     val idx = ivfIndex(spark, dir)
     require(idx.centroids.length == 16,
       s"PQ codebook needs 16 systematic codewords, got ${idx.centroids.length}")
-    val cbq = idx.centroids.sortBy(_._1).map(_._2.map(e6))
-    val q = idx.queryVec.map(e6)
-    val lut = Array.tabulate(8, 16) { (s, j) =>
-      (0 until 8).map { i => val d = q(s * 8 + i) - cbq(j)(s * 8 + i); d * d }.sum
-    }
-    val lutLit = lut.map(_.map(_.toString + "L").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
     t(spark, dir, "embeddings")
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), expr(letPq(pqCodebookLit(idx),
-        s"aggregate(transform(sequence(0, 7), s -> element_at(element_at($lutLit, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)")).as("adc_e12"))
+        s"aggregate(transform(sequence(0, 7), s -> element_at(element_at(${pqLutLit(idx)}, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)")).as("adc_e12"))
       .orderBy(col("adc_e12").asc, col("vec_id").asc)
       .limit(20)
   }
@@ -371,21 +364,53 @@ object VectorOps {
     }.sortBy { case (cid, d2) => (d2, cid) }.take(4).map(_._1).toSeq
     val centsDF = idx.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("centroid_id", "centroid")
-    val cbq = idx.centroids.sortBy(_._1).map(_._2.map(e6))
-    val q = idx.queryVec.map(e6)
-    val lut = Array.tabulate(8, 16) { (s, j) =>
-      (0 until 8).map { i => val d = q(s * 8 + i) - cbq(j)(s * 8 + i); d * d }.sum
-    }
-    val lutLit = lut.map(_.map(_.toString + "L").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
     val e = embeddings(spark, dir).filter(col("vec_id") =!= 0).select("vec_id", "emb")
     AnnIndex.ivfAssign(e, "emb", centsDF)
       .filter(col("bucket").isin(probeIds: _*))
       .select(col("vec_id"), col("bucket"), col("emb").as("embedding"))
       .select(col("vec_id"), col("bucket"), expr(letPq(pqCodebookLit(idx),
-        s"aggregate(transform(sequence(0, 7), s -> element_at(element_at($lutLit, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)")).as("adc_e12"))
+        s"aggregate(transform(sequence(0, 7), s -> element_at(element_at(${pqLutLit(idx)}, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)")).as("adc_e12"))
       .orderBy(col("adc_e12").asc, col("vec_id").asc)
       .limit(20)
+  }
+
+  /**
+   * PQ shortlist + exact refine — the serving pipeline production ANN
+   * actually runs (FAISS `IndexRefineFlat`; Jégou et al. 2011 §VII): the
+   * cheap ADC scan ranks a 100-candidate SHORTLIST (reading only 4-byte
+   * codes at scale), and the exact kernel re-ranks just those 100 with true
+   * cosine — recovering the recall a coarse untrained codebook gives up
+   * (BENCH_NOTES recall2: raw ADC@20 ≈ 0.3–0.5 on this corpus's
+   * weak-neighbor regime; the refined list is measured there too). Both
+   * stages are deterministic ((adc, vec_id) shortlist cut, (cos, vec_id)
+   * final order), so the composition stays oracle-checkable end-to-end.
+   */
+  def pqRefineSearch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    require(idx.centroids.length == 16,
+      s"PQ codebook needs 16 systematic codewords, got ${idx.centroids.length}")
+    val qLit = idx.queryVec.map(x => s"${x}D").mkString("array(", ",", ")")
+    val cand = t(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), expr(letPq(pqCodebookLit(idx),
+        s"aggregate(transform(sequence(0, 7), s -> element_at(element_at(${pqLutLit(idx)}, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)")).as("adc_e12"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .orderBy(col("adc_e12").asc, col("vec_id").asc)
+      .limit(100)
+    cand
+      .select(col("vec_id"),
+        round(expr(s"dot_d(emb, $qLit) / (sqrt(dot_d(emb, emb)) * sqrt(dot_d($qLit, $qLit)))"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  /** The 8×16 ADC lookup table for the memoized index, as a literal. */
+  private def pqLutLit(idx: IvfIndex): String = {
+    val cbq = idx.centroids.sortBy(_._1).map(_._2.map(e6))
+    val q = idx.queryVec.map(e6)
+    Array.tabulate(8, 16) { (s, j) =>
+      (0 until 8).map { i => val d = q(s * 8 + i) - cbq(j)(s * 8 + i); d * d }.sum
+    }.map(_.map(_.toString + "L").mkString("array(", ",", ")")).mkString("array(", ",", ")")
   }
 
   /**

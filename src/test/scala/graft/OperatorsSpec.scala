@@ -884,6 +884,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pqRefineSearch: refined list strictly improves on raw ADC recall") {
+    val exact = VectorOps.knnBruteForce(spark, dir).collect().map(_.getLong(0)).toSet
+    val adc = VectorOps.pqAdcSearch(spark, dir).collect().map(_.getLong(0)).toSet
+    val rows = VectorOps.pqRefineSearch(spark, dir).collect()
+    assert(rows.length == 20)
+    val cos = rows.map(_.getDouble(1))
+    assert(cos.sorted.reverse.toSeq == cos.toSeq) // true-cosine order
+    val refined = rows.map(_.getLong(0)).toSet
+    assert(exact.intersect(refined).size >= exact.intersect(adc).size)
+  }
+
   test("substringDup: duplication is mutual — a dup gram implies a partner doc") {
     val rows = DedupOps.substringDup(spark, dir).collect()
     val nDocs = spark.read.parquet(s"$dir/documents.parquet")
