@@ -640,7 +640,8 @@ object SparkEntry {
       """WITH x AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
         |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
         |mm AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY pos),
-        |c AS (SELECT vec_id, CAST(round((v - mn) * 255 / (mx - mn)) AS BIGINT) AS code
+        |c AS (SELECT vec_id, CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(round((v - mn) * 255 / (mx - mn)) AS BIGINT) END AS code
         |  FROM x JOIN mm ON x.pos = mm.pos)
         |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
         |CAST(min(code) AS INT) AS code_min, CAST(max(code) AS INT) AS code_max
@@ -811,20 +812,21 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM c GROUP BY split, seq_id ORDER BY split, seq_id""".stripMargin,
-    // q97: md5-substrate winnowing — t = h*2^16 + (2^16-1-p) makes the
+    // q97: md5-substrate winnowing — t = h*2^31 + (2^31-1-p) makes the
     // bounded-frame window MIN implement rightmost-minimum selection
+    // (31-bit position field: t <= 2^63-1, no underflow below 2^31-1 grams)
     "q97_winnow_portable" ->
       """WITH doc AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
         |g AS (SELECT doc_id, i AS p, md5(substr(text, i, 8)) AS mh
         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i FROM doc)),
         |h AS (SELECT doc_id, p,
         |  (CAST((strpos('0123456789abcdef', mh[1])-1)*4096 + (strpos('0123456789abcdef', mh[2])-1)*256 + (strpos('0123456789abcdef', mh[3])-1)*16 + strpos('0123456789abcdef', mh[4])-1 AS BIGINT) * 65536
-        |   + ((strpos('0123456789abcdef', mh[5])-1)*4096 + (strpos('0123456789abcdef', mh[6])-1)*256 + (strpos('0123456789abcdef', mh[7])-1)*16 + strpos('0123456789abcdef', mh[8])-1)) * 65536
-        |  + (65535 - p) AS t FROM g),
+        |   + ((strpos('0123456789abcdef', mh[5])-1)*4096 + (strpos('0123456789abcdef', mh[6])-1)*256 + (strpos('0123456789abcdef', mh[7])-1)*16 + strpos('0123456789abcdef', mh[8])-1)) * 2147483648
+        |  + (2147483647 - p) AS t FROM g),
         |sel AS (SELECT doc_id, p,
         |  min(t) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS s,
         |  max(p) OVER (PARTITION BY doc_id) AS pmax FROM h),
-        |fp AS (SELECT DISTINCT doc_id, s // 65536 AS fp FROM sel WHERE p <= pmax - 15),
+        |fp AS (SELECT DISTINCT doc_id, s // 2147483648 AS fp FROM sel WHERE p <= pmax - 15),
         |pr AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fp) t WHERE df <= 50),
         |pares AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
         |  FROM pr x JOIN pr y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)

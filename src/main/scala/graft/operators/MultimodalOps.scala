@@ -65,7 +65,7 @@ object MultimodalOps {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
       require(img != null, s"asset ${a.id}: payload is not a decodable image")
       Decoded(a.id, a.modality, img.getWidth, img.getHeight, 1,
-        a.bytes.length.toLong, img.getRGB(0, 0) & 0xff)
+        a.bytes.length.toLong, (img.getRGB(0, 0) >> 16) & 0xff)
     }
   }
 
@@ -299,8 +299,13 @@ object MultimodalOps {
    * production the payloads live in storage and the decode stage reads
    * them; synthesizing 60k+ PNG frames is fixture setup, not the pipeline
    * stage under test, so it must not ride inside the timed query (same
-   * memoization rationale as [[VectorOps]]'s IVF index). */
+   * memoization rationale as [[VectorOps]]'s IVF index). Same staleness
+   * hazard too: keyed by `dir` with no mtime check — a harness that
+   * rewrites documents parquet in-place within one JVM must call
+   * [[invalidateVideoAssetCache]] or the stage replays stale frames. */
   private val videoAssetCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def invalidateVideoAssetCache(dir: String): Unit = videoAssetCache.remove(dir)
 
   def videoAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._

@@ -74,6 +74,15 @@ object VectorOps {
   private final case class IvfIndex(step: Long, centroids: Array[(Int, Array[Double])], queryVec: Array[Double])
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
+  /** STALENESS HAZARD: the memoized index is keyed by `dir` only, with no
+   * file-mtime check — if the embeddings parquet under a dir is REWRITTEN
+   * within the same JVM, q75/q88/q92/q95/q99/q100 would silently search
+   * with stale centroids and a stale query vector. That is the intended
+   * trade (an ANN index is built once and amortized; rebuilding per query
+   * would dominate the search), but any harness that mutates a dir in-place
+   * must call [[invalidateIndexCache]] after the rewrite. */
+  def invalidateIndexCache(dir: String): Unit = ivfCache.remove(dir)
+
   private def ivfIndex(spark: SparkSession, dir: String): IvfIndex =
     ivfCache.computeIfAbsent(dir, _ => {
       val e = embeddings(spark, dir)
@@ -138,7 +147,11 @@ object VectorOps {
    * partial-agg (<= dims rows out per task), broadcast back (64-row build
    * side), quantization itself map-side. Exactly oracle-checkable: min/max
    * are order-independent, and the affine map + half-up round are the same
-   * IEEE double ops in Spark and DuckDB.
+   * IEEE double ops in Spark and DuckDB. A dimension that is CONSTANT across
+   * the corpus (mx = mn) is pinned to code 0 explicitly — the unguarded
+   * affine map would be 0/0 = NaN, which Spark casts to 0 silently while
+   * DuckDB errors, so the guard keeps degenerate corpora deterministic on
+   * both engines.
    *
    * Output: per-vector code summary (sum/min/max of the 64 int8 codes) —
    * the oracle-stable digest of the quantized representation.
@@ -150,7 +163,7 @@ object VectorOps {
     val mm = x.groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
     x.join(broadcast(mm), Seq("pos"))
       .select(col("vec_id"),
-        expr("cast(round((v - mn) * 255 / (mx - mn)) as bigint)").as("code"))
+        expr("if(mx = mn, 0L, cast(round((v - mn) * 255 / (mx - mn)) as bigint))").as("code"))
       .groupBy("vec_id")
       .agg(sum("code").as("code_sum"),
         min("code").cast("int").as("code_min"),

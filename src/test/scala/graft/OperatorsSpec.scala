@@ -823,9 +823,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (text.length < 8) return Set.empty
       val ts = (1 to text.length - 7).map { p =>
         val h = java.lang.Long.parseLong(md5hex(text.substring(p - 1, p + 7)).substring(0, 8), 16)
-        h * 65536L + (65535L - p)
+        h * 2147483648L + (2147483647L - p)
       }
-      (0 to ts.length - 16).map(i => ts.slice(i, i + 16).min / 65536L).toSet
+      (0 to ts.length - 16).map(i => ts.slice(i, i + 16).min / 2147483648L).toSet
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()

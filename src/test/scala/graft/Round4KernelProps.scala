@@ -50,9 +50,9 @@ object Round4KernelProps extends Properties("Round4Kernels") {
         else {
           val ts = (1 to s.length - Md5Winnow.K + 1).map { p =>
             val h = java.lang.Long.parseLong(md5hex(s.substring(p - 1, p - 1 + Md5Winnow.K)).substring(0, 8), 16)
-            h * 65536L + (65535L - p)
+            h * 2147483648L + (2147483647L - p)
           }
-          (0 to ts.length - Md5Winnow.W).map(i => ts.slice(i, i + Md5Winnow.W).min / 65536L)
+          (0 to ts.length - Md5Winnow.W).map(i => ts.slice(i, i + Md5Winnow.W).min / 2147483648L)
             .distinct.sorted
         }
       got == want
