@@ -42,7 +42,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q93_substring_dup,q26_... : time a subset with the
+    // same warm + spaced-pass protocol (local iteration; driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     def dropState(): Unit = {
       spark.catalog.clearCache() // intra-query caches must not tax the next run
       // localCheckpoint blocks (sequencePack's partition-identity pin) are

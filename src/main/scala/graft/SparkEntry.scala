@@ -891,10 +891,18 @@ object SparkEntry {
         |  FROM a JOIN lut ON a.s = lut.s AND a.j = lut.j
         |  WHERE a.rn = 1 GROUP BY a.vec_id)
         |SELECT vec_id, adc_e12 FROM adc ORDER BY adc_e12 ASC, vec_id ASC LIMIT 20""".stripMargin,
+    // q93: grams are counted by their 60-bit md5-prefix hash (top 15 hex
+    // digits), digit-for-digit the gram_hash20 kernel's value — the hash,
+    // not the raw gram, is the join/count key on both engines
     "q93_substring_dup" ->
-      """WITH g AS (SELECT DISTINCT doc_id,
-        |  unnest(list_transform(range(1, length(text) - 18), i -> substr(text, i, 20))) AS g
+      """WITH g0 AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, length(text) - 18), i -> substr(text, i, 20))) AS gs
         |  FROM documents WHERE length(text) >= 20),
+        |g AS (SELECT DISTINCT doc_id,
+        |  CAST(list_sum(list_transform(range(1, 16), j ->
+        |    (strpos('0123456789abcdef', substr(md5(gs), CAST(j AS INT), 1)) - 1)
+        |      * CAST(pow(16, 15 - j) AS BIGINT))) AS BIGINT) AS g
+        |  FROM g0),
         |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
         |den AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
         |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM g JOIN dup USING (g) GROUP BY doc_id)

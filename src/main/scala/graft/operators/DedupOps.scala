@@ -571,20 +571,27 @@ object DedupOps {
    * of its distinct grams that are corpus-duplicated (ppm, exact integer) —
    * the per-doc signal an ExactSubstr-style trimming pass consumes.
    *
-   * Scale shape: per-doc gram DISTINCTing happens inside the row (an
-   * `array_distinct` over the transform — no DISTINCT shuffle); the gram
-   * incidence count is one partial-aggregated shuffle keyed on the gram
-   * (20-byte keys, combiner-reduced), and only (doc_id, count) pairs flow
-   * after that. Nothing is ever all-pairs; memory per task is bounded by
-   * the gram-partition size, which AQE splits on skew.
+   * Scale shape: per-doc gram extraction, hashing, and DISTINCTing all
+   * happen inside the row via the `gram_hash20` codegen kernel
+   * ([[graft.functions.Md5GramHash]] — one ThreadLocal-MD5 loop per
+   * document, no gram relation ever materializes as strings); the gram
+   * incidence count is one partial-aggregated shuffle keyed on the 60-bit
+   * gram hash (8-BYTE LONG keys, combiner-reduced — ~60% less wire payload
+   * than shuffling the raw 20-char grams), and only (doc_id, count) pairs
+   * flow after that. The per-doc denominator is `size()` of the kernel
+   * output — map-side, no shuffle at all. Nothing is ever all-pairs; memory
+   * per task is bounded by the gram-partition size, which AQE splits on
+   * skew. The hash is engine-portable (top 15 hex digits of md5), so the
+   * oracle reproduces every count — including any collision — exactly.
    */
   def substringDup(spark: SparkSession, dir: String): DataFrame = {
-    val g = t(spark, dir, "documents")
+    graft.functions.VectorFunctions.register(spark)
+    val arr = t(spark, dir, "documents")
       .filter(length(col("text")) >= 20)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, length(text) - 19), i -> substring(text, i, 20)))")).as("g"))
+      .select(col("doc_id"), expr("gram_hash20(text)").as("hs"))
+    val g = arr.select(col("doc_id"), explode(col("hs")).as("g"))
     val dup = g.groupBy("g").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
-    val perDoc = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val perDoc = arr.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"))
     val hit = g.join(dup.select("g"), "g").groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     perDoc.join(hit, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_dup"))
