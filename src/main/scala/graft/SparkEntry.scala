@@ -160,6 +160,46 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared oracle CTE block replaying [[graft.operators.VectorOps]]'s PQ
+   * codebook training in DuckDB: systematic 64-codeword seed, then four
+   * unrolled integer-Lloyd rounds per 2-dim subspace (32 of them) over the
+   * bounded systematic training sample (`vec_id % sstep = 0`,
+   * sstep = n/4096) — exact e6-long arithmetic, truncating `//` division,
+   * (d2, j)-ordered argmin — landing on the bit-identical trained codebook.
+   * Emits `cb(j, cw)` with cw a 64-list ordered (s, d), the shape the
+   * q92/q95/q99/q100 consumers index as `cw[s * 2 + i]`. All names are
+   * `pt`-prefixed to avoid CTE collisions with the per-query SQL this block
+   * is spliced into. */
+  private def pqTrainCtes: String = {
+    val init =
+      """pte AS (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe FROM embeddings),
+        |pts AS (SELECT greatest(count(*) // 64, 1) AS stepk, greatest(count(*) // 4096, 1) AS sstep FROM pte),
+        |ptcb0 AS (SELECT CAST(vec_id // stepk AS INT) AS j, qe AS cw FROM pte, pts
+        |  WHERE vec_id % stepk = 0 AND vec_id // stepk < 64),
+        |ptsd AS (SELECT s, d FROM (SELECT unnest(range(0, 32)) AS s) CROSS JOIN (SELECT unnest(range(1, 3)) AS d)),
+        |ptc0 AS (SELECT ptsd.s AS s, ptcb0.j AS j, ptsd.d AS d, ptcb0.cw[ptsd.s * 2 + ptsd.d] AS c
+        |  FROM ptcb0 CROSS JOIN ptsd),
+        |pttx AS (SELECT pte.vec_id AS vec_id, ptsd.s AS s, ptsd.d AS d, pte.qe[ptsd.s * 2 + ptsd.d] AS x
+        |  FROM pte CROSS JOIN pts CROSS JOIN ptsd WHERE pte.vec_id % pts.sstep = 0)""".stripMargin
+    val rounds = (1 to 4).map { t =>
+      s"""ptdt$t AS (SELECT pttx.vec_id AS vec_id, pttx.s AS s, pc.j AS j,
+         |  sum((pttx.x - pc.c) * (pttx.x - pc.c)) AS d2
+         |  FROM pttx JOIN ptc${t - 1} pc ON pttx.s = pc.s AND pttx.d = pc.d
+         |  GROUP BY pttx.vec_id, pttx.s, pc.j),
+         |ptat$t AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+         |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn FROM ptdt$t)
+         |  WHERE rn = 1),
+         |ptmt$t AS (SELECT pa.s AS s, pa.j AS j, tx.d AS d, CAST(sum(tx.x) // count(*) AS BIGINT) AS c
+         |  FROM ptat$t pa JOIN pttx tx ON tx.vec_id = pa.vec_id AND tx.s = pa.s
+         |  GROUP BY pa.s, pa.j, tx.d),
+         |ptc$t AS (SELECT pc.s AS s, pc.j AS j, pc.d AS d, coalesce(pm.c, pc.c) AS c
+         |  FROM ptc${t - 1} pc LEFT JOIN ptmt$t pm ON pm.s = pc.s AND pm.j = pc.j AND pm.d = pc.d)""".stripMargin
+    }.mkString(",\n")
+    val fin = "cb AS (SELECT j, array_agg(c ORDER BY s, d) AS cw FROM ptc4 GROUP BY j)"
+    init + ",\n" + rounds + ",\n" + fin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q03_filter_project" ->
       """SELECT event_id, user_id, value FROM events
@@ -707,39 +747,39 @@ object SparkEntry {
         |FROM z ORDER BY doc_id""".stripMargin,
     // q92: e6-integer PQ — same systematic codebook as the IVF oracle,
     // exact integer subspace distances, (d2, j) argmin per (vec, subspace)
+    // q92/q95/q99/q100: the codebook is TRAINED — pqTrainCtes replays the
+    // four integer-Lloyd rounds and its final `cb` slots in where the
+    // systematic codebook used to be
     "q92_pq_quantize" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH $pqTrainCtes,
+        |e AS (SELECT vec_id,
         |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe FROM embeddings),
-        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
-        |cb AS (SELECT CAST(vec_id // step AS INT) AS j, qe AS cw FROM e, st
-        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
-        |sub AS (SELECT vec_id, qe, unnest(range(0, 8)) AS s FROM e),
+        |sub AS (SELECT vec_id, qe, unnest(range(0, 32)) AS s FROM e),
         |d AS (SELECT sub.vec_id AS vec_id, sub.s AS s, cb.j AS j,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (qe[s * 8 + i] - cw[s * 8 + i]) * (qe[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  list_sum(list_transform(range(1, 3), i ->
+        |    (qe[s * 2 + i] - cw[s * 2 + i]) * (qe[s * 2 + i] - cw[s * 2 + i]))) AS d2
         |  FROM sub CROSS JOIN cb),
         |a AS (SELECT vec_id, s, j, d2,
         |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn FROM d)
         |SELECT vec_id,
-        |CAST(sum(j * CAST(pow(16, s) AS BIGINT)) AS BIGINT) AS pq_code,
+        |CAST(sum(CAST(j AS BIGINT) * (s + 1)) AS BIGINT) AS code_sum,
+        |CAST(min(j) AS INT) AS code_min, CAST(max(j) AS INT) AS code_max,
         |CAST(sum(d2) AS BIGINT) AS pq_err_e12
         |FROM a WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // q100: q95's ADC CTEs cut at 100, then exact cosine over the shortlist
     "q100_pq_refine" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH $pqTrainCtes,
+        |e AS (SELECT vec_id,
         |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe FROM embeddings),
-        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
-        |cb AS (SELECT CAST(vec_id // step AS INT) AS j, qe AS cw FROM e, st
-        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
         |qv AS (SELECT qe AS q FROM e WHERE vec_id = 0),
         |lut AS (SELECT s, j,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (q[s * 8 + i] - cw[s * 8 + i]) * (q[s * 8 + i] - cw[s * 8 + i]))) AS d2
-        |  FROM (SELECT unnest(range(0, 8)) AS s) CROSS JOIN cb CROSS JOIN qv),
-        |sub AS (SELECT vec_id, qe, unnest(range(0, 8)) AS s FROM e WHERE vec_id <> 0),
+        |  list_sum(list_transform(range(1, 3), i ->
+        |    (q[s * 2 + i] - cw[s * 2 + i]) * (q[s * 2 + i] - cw[s * 2 + i]))) AS d2
+        |  FROM (SELECT unnest(range(0, 32)) AS s) CROSS JOIN cb CROSS JOIN qv),
+        |sub AS (SELECT vec_id, qe, unnest(range(0, 32)) AS s FROM e WHERE vec_id <> 0),
         |d AS (SELECT sub.vec_id AS vec_id, sub.s AS s, cb.j AS j,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (qe[s * 8 + i] - cw[s * 8 + i]) * (qe[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  list_sum(list_transform(range(1, 3), i ->
+        |    (qe[s * 2 + i] - cw[s * 2 + i]) * (qe[s * 2 + i] - cw[s * 2 + i]))) AS d2
         |  FROM sub CROSS JOIN cb),
         |a AS (SELECT vec_id, s, j,
         |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn FROM d),
@@ -756,7 +796,8 @@ object SparkEntry {
     // q99: q75's probe/assignment CTEs composed with q95's codes + LUT,
     // ADC restricted to the probed inverted lists
     "q99_ivfpq_search" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""WITH $pqTrainCtes,
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
         |c AS (SELECT CAST(vec_id // step AS INT) AS cid, emb AS cent FROM e, st
         |  WHERE vec_id % step = 0 AND vec_id // step < 16),
@@ -767,19 +808,17 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cent) ASC, c.cid ASC) AS rn
         |  FROM e CROSS JOIN c) t WHERE rn = 1),
         |e6 AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS qe6 FROM e),
-        |cb AS (SELECT CAST(vec_id // step AS INT) AS j, qe6 AS cw FROM e6, st
-        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
         |qv AS (SELECT qe6 AS qq FROM e6 WHERE vec_id = 0),
         |lut AS (SELECT s, j,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (qq[s * 8 + i] - cw[s * 8 + i]) * (qq[s * 8 + i] - cw[s * 8 + i]))) AS d2
-        |  FROM (SELECT unnest(range(0, 8)) AS s) CROSS JOIN cb CROSS JOIN qv),
-        |sub AS (SELECT e6.vec_id AS vec_id, qe6, unnest(range(0, 8)) AS s FROM e6
+        |  list_sum(list_transform(range(1, 3), i ->
+        |    (qq[s * 2 + i] - cw[s * 2 + i]) * (qq[s * 2 + i] - cw[s * 2 + i]))) AS d2
+        |  FROM (SELECT unnest(range(0, 32)) AS s) CROSS JOIN cb CROSS JOIN qv),
+        |sub AS (SELECT e6.vec_id AS vec_id, qe6, unnest(range(0, 32)) AS s FROM e6
         |  JOIN assign a ON e6.vec_id = a.vec_id
         |  WHERE e6.vec_id <> 0 AND a.bucket IN (SELECT cid FROM probes)),
         |d AS (SELECT sub.vec_id AS vec_id, sub.s AS s, cb.j AS j,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (qe6[s * 8 + i] - cw[s * 8 + i]) * (qe6[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  list_sum(list_transform(range(1, 3), i ->
+        |    (qe6[s * 2 + i] - cw[s * 2 + i]) * (qe6[s * 2 + i] - cw[s * 2 + i]))) AS d2
         |  FROM sub CROSS JOIN cb),
         |a2 AS (SELECT vec_id, s, j,
         |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn FROM d),
@@ -870,20 +909,18 @@ object SparkEntry {
         |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
     // q95: q92's code CTEs + a query-side LUT; adc = sum of 8 LUT lookups
     "q95_pq_adc_search" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH $pqTrainCtes,
+        |e AS (SELECT vec_id,
         |  list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS qe FROM embeddings),
-        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
-        |cb AS (SELECT CAST(vec_id // step AS INT) AS j, qe AS cw FROM e, st
-        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
         |qv AS (SELECT qe AS q FROM e WHERE vec_id = 0),
         |lut AS (SELECT s, j,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (q[s * 8 + i] - cw[s * 8 + i]) * (q[s * 8 + i] - cw[s * 8 + i]))) AS d2
-        |  FROM (SELECT unnest(range(0, 8)) AS s) CROSS JOIN cb CROSS JOIN qv),
-        |sub AS (SELECT vec_id, qe, unnest(range(0, 8)) AS s FROM e WHERE vec_id <> 0),
+        |  list_sum(list_transform(range(1, 3), i ->
+        |    (q[s * 2 + i] - cw[s * 2 + i]) * (q[s * 2 + i] - cw[s * 2 + i]))) AS d2
+        |  FROM (SELECT unnest(range(0, 32)) AS s) CROSS JOIN cb CROSS JOIN qv),
+        |sub AS (SELECT vec_id, qe, unnest(range(0, 32)) AS s FROM e WHERE vec_id <> 0),
         |d AS (SELECT sub.vec_id AS vec_id, sub.s AS s, cb.j AS j,
-        |  list_sum(list_transform(range(1, 9), i ->
-        |    (qe[s * 8 + i] - cw[s * 8 + i]) * (qe[s * 8 + i] - cw[s * 8 + i]))) AS d2
+        |  list_sum(list_transform(range(1, 3), i ->
+        |    (qe[s * 2 + i] - cw[s * 2 + i]) * (qe[s * 2 + i] - cw[s * 2 + i]))) AS d2
         |  FROM sub CROSS JOIN cb),
         |a AS (SELECT vec_id, s, j,
         |  row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn FROM d),

@@ -71,7 +71,14 @@ object VectorOps {
    * run-to-run variance source in the suite). The build itself is one
    * aggregate job (corpus size + query vector in the same pass) plus one
    * 16-row centroid collect. */
-  private final case class IvfIndex(step: Long, centroids: Array[(Int, Array[Double])], queryVec: Array[Double])
+  /** `pqCodebook(s)(j)(d)`: trained e6-integer PQ codebook — subspace s,
+   * codeword j, dim d — or null when the corpus cannot seed 16 systematic
+   * codewords. */
+  private final case class IvfIndex(
+      step: Long,
+      centroids: Array[(Int, Array[Double])],
+      queryVec: Array[Double],
+      pqCodebook: Array[Array[Array[Long]]])
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
   /** STALENESS HAZARD: the memoized index is keyed by `dir` only, with no
@@ -95,8 +102,81 @@ object VectorOps {
       val cents = AnnIndex.ivfCentroids(e, "emb", "vec_id", 16, n).collect()
         .map(row => (row.getAs[Int]("centroid_id"), row.getAs[scala.collection.Seq[Double]]("centroid").toArray))
         .sortBy(_._1)
-      IvfIndex(math.max(n / 16, 1L), cents, qv)
+      val seeds = AnnIndex.ivfCentroids(e, "emb", "vec_id", PQ_K, n).collect()
+        .map(row => (row.getAs[Int]("centroid_id"), row.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+        .sortBy(_._1)
+      val codebook =
+        if (cents.length != 16 || seeds.length != PQ_K) null
+        else {
+          // Bounded FAISS-style training sample: every sstep-th vector by id
+          // (<= 8191 vectors however large the corpus — the collect is
+          // O(sample), never O(n)). e6-quantized through the same SQL round()
+          // both engines share, so training is exact-integer end to end.
+          val sstep = math.max(n / 4096, 1L)
+          val sample = e.filter(col("vec_id") % sstep === 0)
+            .select(expr("transform(emb, x -> cast(round(x * 1000000) as bigint))").as("q"))
+            .collect().map(_.getSeq[Long](0).toArray)
+          trainPqCodebook(seeds.map(_._2.map(e6)), sample, PQ_ITERS)
+        }
+      IvfIndex(math.max(n / 16, 1L), cents, qv, codebook)
     })
+
+  /** PQ geometry: 32 subspaces × 2 dims × 64 codewords (6-bit codes,
+   * 32·6 = 192 bits ≈ 24 bytes per vector — 21× smaller than the 512-byte
+   * float64 row). Chosen by measurement: this corpus's neighbor margins are
+   * weak (the exact top-20 sits at ~0.72× the MEDIAN corpus distance), and
+   * the classical 8×16 geometry — trained or not — caps raw ADC recall@20
+   * at 0.2–0.4; narrowing subspaces to 2 dims with 64 trained codewords
+   * lifts it to 0.75–0.85 at both sf0.01 and sf0.1 (BENCH_NOTES round-5
+   * recall table) while keeping the oracle's unrolled-Lloyd replay
+   * tractable. */
+  private final val PQ_M = 32 // subspaces
+  private final val PQ_DS = 2 // dims per subspace
+  private final val PQ_K = 64 // codewords per subspace
+  private final val PQ_ITERS = 4 // Lloyd rounds (deterministic, unrolled in the oracle)
+
+  /**
+   * Deterministic per-subspace Lloyd refinement of the PQ codebook (the
+   * quality lever FAISS's `ProductQuantizer::train` applies): `iters`
+   * rounds of assign-to-nearest / integer-mean update on each of the PQ_M
+   * subspaces independently, seeded from the systematic PQ_K-vector sample.
+   * Everything is exact 64-bit integer arithmetic on e6-quantized values —
+   * truncating division (Scala `/` = DuckDB `//` toward zero), strict-<
+   * argmin with lowest-j tie-break, empty clusters keep their previous
+   * codeword — so the DuckDB oracle replays training round-for-round and
+   * lands on the BIT-IDENTICAL codebook (the q92/q95/q99/q100 oracles
+   * unroll the same four iterations as chained CTEs). Raw ADC recall@20
+   * moves from the untrained systematic codebook's 0.2–0.4 to 0.75–0.85
+   * (recall_check2; BENCH_NOTES round-5 recall table).
+   */
+  private[graft] def trainPqCodebook(
+      init: Array[Array[Long]],
+      sample: Array[Array[Long]],
+      iters: Int): Array[Array[Array[Long]]] = {
+    val cb = Array.tabulate(PQ_M, PQ_K, PQ_DS)((s, j, d) => init(j)(s * PQ_DS + d))
+    for (_ <- 1 to iters) {
+      val sums = Array.ofDim[Long](PQ_M, PQ_K, PQ_DS)
+      val cnts = Array.ofDim[Long](PQ_M, PQ_K)
+      for (v <- sample; s <- 0 until PQ_M) {
+        var best = 0
+        var bestD = Long.MaxValue
+        var j = 0
+        while (j < PQ_K) {
+          var d2 = 0L
+          var d = 0
+          while (d < PQ_DS) { val df = v(s * PQ_DS + d) - cb(s)(j)(d); d2 += df * df; d += 1 }
+          if (d2 < bestD) { bestD = d2; best = j }
+          j += 1
+        }
+        cnts(s)(best) += 1
+        var d = 0
+        while (d < PQ_DS) { sums(s)(best)(d) += v(s * PQ_DS + d); d += 1 }
+      }
+      for (s <- 0 until PQ_M; j <- 0 until PQ_K; if cnts(s)(j) > 0; d <- 0 until PQ_DS)
+        cb(s)(j)(d) = sums(s)(j)(d) / cnts(s)(j)
+    }
+    cb
+  }
 
   /**
    * End-to-end IVF ANN search as a benchable query: assign each vector to
@@ -234,21 +314,25 @@ object VectorOps {
 
   /**
    * Product quantization (Jégou et al., "Product Quantization for Nearest
-   * Neighbor Search", PAMI 2011): split each 64-dim embedding into 8
-   * subvectors of 8 dims and encode each against a 16-codeword codebook →
-   * 8 × 4 bits = one 32-bit code per vector (64× smaller than float64,
-   * the compression regime billion-scale ANN shelves actually use, vs
-   * q87's 4× scalar quantization). Codebooks are the SAME deterministic
-   * systematic sample the IVF index uses (subvector s of codeword j =
-   * dims [8s, 8s+8) of the vector at id j·step), so the whole encoding is
-   * exactly reproducible — and all arithmetic happens on e6-quantized
-   * integers, so squared distances are exact and order-independent.
+   * Neighbor Search", PAMI 2011): split each 64-dim embedding into PQ_M=32
+   * subvectors of 2 dims and encode each against a trained 64-codeword
+   * codebook → 32 × 6 bits = 24 bytes per vector (21× smaller than
+   * float64, the compression regime billion-scale ANN shelves actually
+   * use, vs q87's 4× scalar quantization). Codebooks are TRAINED: a
+   * systematic 64-vector seed refined by four deterministic integer-Lloyd
+   * rounds per subspace ([[trainPqCodebook]]), so the whole pipeline —
+   * seed, training, encoding — is exactly reproducible, and all arithmetic
+   * happens on e6-quantized integers, so squared distances are exact and
+   * order-independent. The oracle replays training as unrolled SQL CTEs
+   * and reaches the identical codebook.
    *
-   * Shape at 100 TB: the codebook is a 16×64 LITERAL folded into the
+   * Shape at 100 TB: the codebook is a 64×64 LITERAL folded into the
    * expression tree — encoding is a pure map-side fold per row (argmin
-   * fold over 16 codewords × 8-dim integer L2), no join, no shuffle, no
+   * fold over 64 codewords × 2-dim integer L2), no join, no shuffle, no
    * driver action; the only exchange in the query is the final presentation
-   * sort. Output: packed code (Σ code_s·16^s) + total quantization error.
+   * sort. Output: per-vector code digest (positionally-weighted sum +
+   * min/max of the 32 codes — 192-bit codes don't fit one BIGINT) + total
+   * quantization error.
    */
   /** HALF_UP e6 quantization via BigDecimal, matching SQL round() in Spark
    * AND DuckDB (Scala's math.round is half-toward-+inf: wrong for negative
@@ -257,68 +341,45 @@ object VectorOps {
     java.math.BigDecimal.valueOf(x * 1e6)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
-  /** The 16 codewords × 64 dims, e6-quantized, as a nested array literal.
-   * Fails loudly on a short codebook (sparse id spaces starve the
-   * systematic sample; the argmin fold would otherwise silently encode
-   * against whatever subset exists). */
-  private def pqCodebookLit(idx: IvfIndex): String = {
-    require(idx.centroids.length == 16,
-      s"PQ codebook needs 16 systematic codewords, got ${idx.centroids.length} — " +
-        "vec_id space too sparse for systematic sampling; densify ids or sample by hash")
-    idx.centroids.sortBy(_._1).map { case (_, c) =>
-      c.map(x => e6(x).toString + "L").mkString("array(", ",", ")")
-    }.mkString("array(", ",", ")")
+  /** The 32×64 ADC lookup table: query residual vs the trained codebook,
+   * per (subspace, codeword), in exact e6 integers — pure driver
+   * arithmetic over the memoized index. */
+  private def pqLutArray(idx: IvfIndex): Array[Array[Long]] = {
+    val q = idx.queryVec.map(e6)
+    Array.tabulate(PQ_M, PQ_K) { (s, j) =>
+      (0 until PQ_DS).map { i => val d = q(s * PQ_DS + i) - idx.pqCodebook(s)(j)(i); d * d }.sum
+    }
   }
 
-  /** SQL expression encoding column `qe` (e6-long array) against codebook
-   * literal `cb`: an array of 8 (j, d) structs — per subspace, the argmin
-   * codeword index and its exact integer squared distance. A pure per-row
-   * fold: no join, no shuffle, whatever consumes it stays map-side.
-   * Strict `<` keeps the first (lowest-index) codeword on ties.
-   *
-   * MUST be evaluated inside a binding where `qe` is a LAMBDA VARIABLE
-   * (see [[letQe]]), not a projected column: Catalyst's CollapseProject
-   * inlines column definitions textually into every reference, so an
-   * `element_at(qe, …)` against a plain column re-evaluates the full
-   * 64-element quantization transform PER ACCESS — measured 75× slower on
-   * the ADC search. A 1-element `transform(array(expr), qe -> body)` is
-   * the SQL "let": the argument evaluates once per row and the body sees
-   * the bound value. */
-  private def pqCodesExpr(cb: String): String =
-    s"""transform(sequence(0, 7), s ->
-       |  aggregate(sequence(0, 15),
-       |    named_struct('j', -1, 'd', 9223372036854775807L),
-       |    (acc, jj) ->
-       |      if(aggregate(transform(sequence(1, 8), i ->
-       |             element_at(qe, s * 8 + i) - element_at(element_at($cb, jj + 1), s * 8 + i)),
-       |           0L, (a, x) -> a + x * x) < acc.d,
-       |         named_struct('j', jj,
-       |           'd', aggregate(transform(sequence(1, 8), i ->
-       |                    element_at(qe, s * 8 + i) - element_at(element_at($cb, jj + 1), s * 8 + i)),
-       |                  0L, (a, x) -> a + x * x)),
-       |         acc)))""".stripMargin
-
-  /** SQL let-binding: evaluate the e6 quantization ONCE per row and run
-   * `body` with `qe` bound as a lambda variable. */
-  private def letQe(body: String): String =
-    s"element_at(transform(array($QE6), qe -> $body), 1)"
-
-  /** Second-level let: bind the codes array as `pq` over a bound `qe`. */
-  private def letPq(cb: String, body: String): String =
-    letQe(s"element_at(transform(array(${pqCodesExpr(cb)}), pq -> $body), 1)")
-
-  private val QE6 = "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+  /** Bind the dir-specific PQ kernels ([[graft.functions.PqAdcDist]] /
+   * [[graft.functions.PqEncodeDigest]]) — the codebook and LUT ride as
+   * expression fields, so encoding runs as a tight JVM loop inside
+   * whole-stage codegen instead of an interpreted HOF fold (measured
+   * 2.2 s → <0.5 s on the sf0.1 ADC search). `createOrReplaceTempFunction`
+   * re-binds on every query build, so multi-dir sessions always encode
+   * against the index of the dir being queried. Fails loudly on a short
+   * seed (sparse id spaces starve the systematic sample; the kernel would
+   * otherwise silently encode against whatever subset exists). */
+  private def registerPqKernels(spark: SparkSession, idx: IvfIndex): Unit = {
+    require(idx.pqCodebook != null,
+      s"PQ needs $PQ_K systematic seed vectors — " +
+        "vec_id space too sparse for systematic sampling; densify ids or sample by hash")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_adc",
+      exprs => graft.functions.PqAdcDist(exprs.head, idx.pqCodebook, pqLutArray(idx)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_digest",
+      exprs => graft.functions.PqEncodeDigest(exprs.head, idx.pqCodebook), "scala_udf")
+  }
 
   def pqQuantize(spark: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndex(spark, dir)
-    // code + error computed inside ONE let-bound expression (qe and pq each
-    // evaluate once per row), emitted as a struct and unpacked after
-    val body = "named_struct(" +
-      "'pq_code', aggregate(transform(sequence(0, 7), s -> element_at(pq, s + 1).j * cast(pow(16, s) as bigint)), 0L, (a, x) -> a + x), " +
-      "'pq_err_e12', aggregate(pq, 0L, (a, x) -> a + x.d))"
+    registerPqKernels(spark, idx)
     t(spark, dir, "embeddings")
-      .select(col("vec_id"), expr(letPq(pqCodebookLit(idx), body)).as("r"))
-      .select(col("vec_id"), col("r.pq_code").as("pq_code"), col("r.pq_err_e12").as("pq_err_e12"))
+      .select(col("vec_id"), expr("pq_digest(embedding)").as("r"))
+      .select(col("vec_id"), col("r.code_sum").as("code_sum"),
+        col("r.code_min").as("code_min"), col("r.code_max").as("code_max"),
+        col("r.pq_err_e12").as("pq_err_e12"))
       .orderBy("vec_id")
   }
 
@@ -326,13 +387,13 @@ object VectorOps {
    * PQ asymmetric-distance search (ADC, Jégou et al. 2011 §IV) — the query
    * half of the [[pqQuantize]] storage path, completing the FAISS-style
    * IVF (q75) / SQ8 (q87) / PQ (q92) triad: precompute, DRIVER-side from
-   * the memoized index (pure arithmetic, no Spark action), the 8×16 lookup
+   * the memoized index (pure arithmetic, no Spark action), the 32×64 lookup
    * table `LUT[s][j] = ‖query_s − codeword_{s,j}‖²` in exact e6 integers;
-   * then each corpus vector's approximate distance is just 8 table lookups
+   * then each corpus vector's approximate distance is just 32 table lookups
    * summed — the memory-bandwidth-bound inner loop that makes PQ search
-   * fast at billion scale. Encode + lookup run as ONE map-side codegen
-   * fold (both the codebook and the LUT are literals in the expression
-   * tree); the only non-map work is the global top-20, which plans as
+   * fast at billion scale. Encode + lookup run as ONE codegen kernel call
+   * per row ([[graft.functions.PqAdcDist]]; codebook and LUT are expression
+   * fields); the only non-map work is the global top-20, which plans as
    * TakeOrderedAndProject (no sort shuffle).
    *
    * Exactly oracle-checkable: codes and LUT entries are deterministic
@@ -341,12 +402,10 @@ object VectorOps {
    */
   def pqAdcSearch(spark: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndex(spark, dir)
-    require(idx.centroids.length == 16,
-      s"PQ codebook needs 16 systematic codewords, got ${idx.centroids.length}")
+    registerPqKernels(spark, idx)
     t(spark, dir, "embeddings")
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), expr(letPq(pqCodebookLit(idx),
-        s"aggregate(transform(sequence(0, 7), s -> element_at(element_at(${pqLutLit(idx)}, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)")).as("adc_e12"))
+      .select(col("vec_id"), expr("pq_adc(embedding)").as("adc_e12"))
       .orderBy(col("adc_e12").asc, col("vec_id").asc)
       .limit(20)
   }
@@ -356,12 +415,12 @@ object VectorOps {
    * billion-scale deployment actually runs them (FAISS `IVFx,PQy`; Jégou
    * et al. 2011 §V): the IVF layer prunes the corpus to the 4 probed
    * inverted lists (partition pruning — the 100 TB lever, q75's layout),
-   * and the PQ layer scores ONLY those lists through the 8×16 integer LUT
+   * and the PQ layer scores ONLY those lists through the 32×64 integer LUT
    * (memory-bandwidth compression — q95's lever). Assignment is the
    * broadcast arg-min, ADC is the let-bound map-side fold, probe selection
    * is driver arithmetic over the memoized index: the whole search is one
    * action with a TakeOrderedAndProject top-20, touching ~nprobe/16 of the
-   * corpus and reading one int32 code per touched vector at scale.
+   * corpus and reading one 24-byte code per touched vector at scale.
    *
    * Deterministic end-to-end (systematic centroids double as the PQ
    * codebook; integer distances; (adc, vec_id) total order), so DuckDB
@@ -371,7 +430,8 @@ object VectorOps {
     import spark.implicits._
     val idx = ivfIndex(spark, dir)
     require(idx.centroids.length == 16,
-      s"PQ codebook needs 16 systematic codewords, got ${idx.centroids.length}")
+      s"IVF probe selection needs 16 coarse centroids, got ${idx.centroids.length}")
+    registerPqKernels(spark, idx)
     val probeIds = idx.centroids.map { case (cid, c) =>
       (cid, c.zip(idx.queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
     }.sortBy { case (cid, d2) => (d2, cid) }.take(4).map(_._1).toSeq
@@ -381,8 +441,7 @@ object VectorOps {
     AnnIndex.ivfAssign(e, "emb", centsDF)
       .filter(col("bucket").isin(probeIds: _*))
       .select(col("vec_id"), col("bucket"), col("emb").as("embedding"))
-      .select(col("vec_id"), col("bucket"), expr(letPq(pqCodebookLit(idx),
-        s"aggregate(transform(sequence(0, 7), s -> element_at(element_at(${pqLutLit(idx)}, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)")).as("adc_e12"))
+      .select(col("vec_id"), col("bucket"), expr("pq_adc(embedding)").as("adc_e12"))
       .orderBy(col("adc_e12").asc, col("vec_id").asc)
       .limit(20)
   }
@@ -390,23 +449,22 @@ object VectorOps {
   /**
    * PQ shortlist + exact refine — the serving pipeline production ANN
    * actually runs (FAISS `IndexRefineFlat`; Jégou et al. 2011 §VII): the
-   * cheap ADC scan ranks a 100-candidate SHORTLIST (reading only 4-byte
+   * cheap ADC scan ranks a 100-candidate SHORTLIST (reading only 24-byte
    * codes at scale), and the exact kernel re-ranks just those 100 with true
    * cosine — recovering the recall a coarse untrained codebook gives up
-   * (BENCH_NOTES recall2: raw ADC@20 ≈ 0.3–0.5 on this corpus's
-   * weak-neighbor regime; the refined list is measured there too). Both
+   * (BENCH_NOTES recall tables: the trained 32×2×64 geometry already
+   * reaches raw ADC@20 ≈ 0.75–0.85 on this corpus's weak-neighbor
+   * regime; refine still tops it up and absorbs quantization ties). Both
    * stages are deterministic ((adc, vec_id) shortlist cut, (cos, vec_id)
    * final order), so the composition stays oracle-checkable end-to-end.
    */
   def pqRefineSearch(spark: SparkSession, dir: String): DataFrame = {
     val idx = ivfIndex(spark, dir)
-    require(idx.centroids.length == 16,
-      s"PQ codebook needs 16 systematic codewords, got ${idx.centroids.length}")
+    registerPqKernels(spark, idx)
     val qLit = idx.queryVec.map(x => s"${x}D").mkString("array(", ",", ")")
     val cand = t(spark, dir, "embeddings")
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), expr(letPq(pqCodebookLit(idx),
-        s"aggregate(transform(sequence(0, 7), s -> element_at(element_at(${pqLutLit(idx)}, s + 1), element_at(pq, s + 1).j + 1)), 0L, (a, x) -> a + x)")).as("adc_e12"),
+      .select(col("vec_id"), expr("pq_adc(embedding)").as("adc_e12"),
         expr("transform(embedding, x -> cast(x as double))").as("emb"))
       .orderBy(col("adc_e12").asc, col("vec_id").asc)
       .limit(100)
@@ -415,15 +473,6 @@ object VectorOps {
         round(expr(s"dot_d(emb, $qLit) / (sqrt(dot_d(emb, emb)) * sqrt(dot_d($qLit, $qLit)))"), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(20)
-  }
-
-  /** The 8×16 ADC lookup table for the memoized index, as a literal. */
-  private def pqLutLit(idx: IvfIndex): String = {
-    val cbq = idx.centroids.sortBy(_._1).map(_._2.map(e6))
-    val q = idx.queryVec.map(e6)
-    Array.tabulate(8, 16) { (s, j) =>
-      (0 until 8).map { i => val d = q(s * 8 + i) - cbq(j)(s * 8 + i); d * d }.sum
-    }.map(_.map(_.toString + "L").mkString("array(", ",", ")")).mkString("array(", ",", ")")
   }
 
   /**

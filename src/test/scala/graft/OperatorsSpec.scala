@@ -729,22 +729,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => if (r.getBoolean(3)) r.getLong(2) >= 0L else r.getLong(2) <= 0L))
   }
 
-  test("pqQuantize: codes in range and codebook vectors encode with zero error") {
+  test("pqQuantize: digest ranges and trained codebook beats the systematic seed") {
     val rows = VectorOps.pqQuantize(spark, dir).collect()
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     assert(rows.length == n)
-    assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 4294967296L)) // 16^8
-    assert(rows.forall(_.getLong(2) >= 0L))
-    // the 16 sampled codewords must reconstruct themselves exactly:
-    // codeword j encodes as code j in every subspace with d2 = 0
-    val step = math.max(n / 16, 1L)
-    val unit = (0 until 8).map(s => math.pow(16, s).toLong).sum // sum 16^s
-    (0 until 16).foreach { j =>
-      rows.find(_.getLong(0) == j * step).foreach { r =>
-        assert(r.getLong(2) == 0L, s"codeword $j nonzero error")
-        assert(r.getLong(1) == j * unit, s"codeword $j wrong code")
-      }
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 63L * 528L) // sum j_s*(s+1), j < 64
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= r.getInt(3) && r.getInt(3) < 64)
+      assert(r.getLong(4) >= 0L)
     }
+    // independent reimplementation: e6-quantize, seed, train, and check the
+    // reported total quantization error is exactly the trained distortion —
+    // and that training never worsened the seed's (Lloyd monotonicity holds
+    // on the full-corpus training sample this sf uses)
+    val eq = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val stepK = math.max(n / 64, 1L)
+    val seeds = (0L until 64L).map(j => eq(j * stepK)).toArray
+    def distortion(cb: Array[Array[Array[Long]]]): Long =
+      eq.values.map { v =>
+        (0 until 32).map { s =>
+          (0 until 64).map { j =>
+            (0 until 2).map { d => val x = v(s * 2 + d) - cb(s)(j)(d); x * x }.sum
+          }.min
+        }.sum
+      }.sum
+    val sample = eq.toSeq.sortBy(_._1).map(_._2).toArray // sstep = 1 at this sf
+    val seedCb = VectorOps.trainPqCodebook(seeds, sample, 0)
+    val trained = VectorOps.trainPqCodebook(seeds, sample, 4)
+    assert(distortion(trained) <= distortion(seedCb))
+    assert(rows.map(_.getLong(4)).sum == distortion(trained))
   }
 
   test("batchKnn: TopKAgg result equals the window-function top-k exactly") {
