@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 100-query suite x 4 runs each generates far more whole-stage-codegen
+  // classes than the JVM's 240 MB default code cache holds; once it fills,
+  // silent cold-method flushing (and eventually JIT shutdown) inflates every
+  // later query 1.4-2x — the within-pass drift measured in BENCH_NOTES
+  // round 5. Spark's generated-class cache (default 100 entries) thrashes
+  // the same way at this query count.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-Dspark.sql.codegen.cache.maxEntries=2000",
 )

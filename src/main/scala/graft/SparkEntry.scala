@@ -208,6 +208,34 @@ object SparkEntry {
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
         |strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket
         |FROM events ORDER BY event_id""".stripMargin,
+    // q33/q69: DuckDB cannot read .wsp, but the fixtures are CLOSED-FORM
+    // (WhisperWriter ArchiveSpec constants), so the oracle regenerates the
+    // expected point set from the spec — slot k of an archive has
+    // ts = last - (filled-1-k)*spp and value = sin(((rot+k) % pts)/10)*100
+    // — and aggregates it exactly like the Spark query does. What the
+    // compare checks is the whole whisper decode pipeline (header parse,
+    // ring rotation, BE point decode, timestamp reconstruction).
+    "q33_whisper_pipeline" ->
+      """WITH pt AS (SELECT 1599999960 - (23000 - 1 - k) * 60 AS ts,
+        |  sin(CAST((100 + k) % 43200 AS DOUBLE) / 10) * 100 AS value
+        |  FROM generate_series(0, 22999) t(k)),
+        |b AS (SELECT ts - ts % 3600 AS bts, value FROM pt WHERE ts >= 1599000000)
+        |SELECT CAST(1 AS INT) AS archive,
+        |strftime(make_timestamp(bts * 1000000), '%Y-%m-%d %H:00') AS hour_bucket,
+        |round(avg(value), 4) AS avg_value, CAST(count(*) AS BIGINT) AS n_points
+        |FROM b GROUP BY bts ORDER BY hour_bucket""".stripMargin,
+    "q69_whisper_ref_scale" ->
+      """WITH spec(archive, spp, pts, filled, last_ts, rot) AS (
+        |  VALUES (0, 10, 1555200, 1555200, 1700000000, 123457),
+        |         (1, 60, 5256000, 2331015, 1699999980, 987654),
+        |         (2, 3600, 87601, 38855, 1699999200, 7701)),
+        |k AS (SELECT archive, spp, pts, filled, last_ts, rot, unnest(range(0, filled)) AS k FROM spec),
+        |pt AS (SELECT archive, last_ts - (filled - 1 - k) * spp AS ts,
+        |  sin(CAST((rot + k) % pts AS DOUBLE) / 10) * 100 AS value FROM k)
+        |SELECT CAST(archive AS INT) AS archive, CAST(count(*) AS BIGINT) AS n_points,
+        |CAST(min(ts) AS BIGINT) AS ts_min, CAST(max(ts) AS BIGINT) AS ts_max,
+        |round(avg(value), 4) AS avg_value
+        |FROM pt GROUP BY archive ORDER BY archive""".stripMargin,
     "q05_sort_topk" ->
       "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
     "q06_union_tag" ->

@@ -278,18 +278,39 @@ object VectorOps {
     semanticDedupOn(spark, embeddings(spark, dir).select("vec_id", "emb"), centsDF)
   }
 
+  /** SemDeDup's scale knob in ONE place: the target AVERAGE CLUSTER SIZE.
+   * Within-cluster pairing is quadratic in cluster size, so the cluster
+   * count must grow with the corpus — k = ceil(n / target) (SemDeDup's own
+   * configuration, k ∝ n; scale_check4 lesson 2 measured fixed k=16 going
+   * quadratic at 10× rows while k ∝ n stayed flat). 125 pins the derived k
+   * to the fixed path's 16 on the 2,000-vector bench corpus, so
+   * [[semanticDedup]] and the auto-k path agree there (specced). */
+  final val SemDedupTargetCluster = 125L
+
+  def semanticDedupDerivedK(n: Long): Int =
+    math.max((n + SemDedupTargetCluster - 1) / SemDedupTargetCluster, 1L).toInt
+
   /**
    * [[semanticDedup]] with a caller-supplied cluster count — THE scale
    * knob: within-cluster pairing is quadratic in cluster size, so k must
    * grow with the corpus to hold clusters at a constant target size
-   * (SemDeDup's own configuration: k ∝ n). scale_check4 measures exactly
-   * this — fixed k=16 goes quadratic at 10× rows while k=16·scale stays
-   * flat. The centroid relation stays a DataFrame end-to-end (systematic
-   * sample by id — no collect, broadcast into the assignment).
+   * ([[SemDedupTargetCluster]]; omit `nCentroids` to derive it). The
+   * centroid relation stays a DataFrame end-to-end (systematic sample by
+   * id — no collect, broadcast into the assignment).
    */
   def semanticDedupScaled(spark: SparkSession, dir: String, nCentroids: Int): DataFrame = {
     val e = embeddings(spark, dir).select("vec_id", "emb")
     val cents = AnnIndex.ivfCentroids(e, "emb", "vec_id", nCentroids, e.count())
+    semanticDedupOn(spark, e, cents)
+  }
+
+  /** [[semanticDedupScaled]] with k derived from the corpus count — the
+   * default a pipeline should use so the blocking keeps scaling without a
+   * hand-tuned knob. */
+  def semanticDedupScaled(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select("vec_id", "emb")
+    val n = e.count()
+    val cents = AnnIndex.ivfCentroids(e, "emb", "vec_id", semanticDedupDerivedK(n), n)
     semanticDedupOn(spark, e, cents)
   }
 

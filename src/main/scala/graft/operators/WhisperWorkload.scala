@@ -66,19 +66,26 @@ object WhisperWorkload {
     p
   }
 
-  /** Reference-scale head-to-head as a first-class query (rows-only: DuckDB
-   * cannot read .wsp): full decode of all 3,925,070 filled points of the
-   * reference-shape file — the same work `whisper_pandas.to_frame()` does
-   * eagerly for all three archives — rolled up per archive. Tracked per
-   * round in BENCH alongside the `whisper_ref_scan_sec` side metric. */
+  /** Reference-scale head-to-head as a first-class query: full decode of
+   * all 3,925,070 filled points of the reference-shape file — the same work
+   * `whisper_pandas.to_frame()` does eagerly for all three archives —
+   * rolled up per archive. Tracked per round in BENCH alongside the
+   * `whisper_ref_scan_sec` side metric. DuckDB cannot read .wsp, but the
+   * fixture is CLOSED-FORM ([[writeRefScale]]'s ArchiveSpecs), so the
+   * oracle regenerates the expected point set from the spec constants with
+   * `unnest(range(filled))` + `sin()` and hash-compares like any other
+   * query — what it checks is the whole decode pipeline (header parse,
+   * ring rotation, BE point decode, timestamp reconstruction) against the
+   * spec. Timestamps roll up as epoch seconds so the compare stays on
+   * exact integers. */
   def refScale(spark: SparkSession, dir: String): DataFrame = {
     val wsp = refScaleFixture()
     spark.read.format("whisper").load(wsp.toString)
       .groupBy(col("archive"))
       .agg(
         count(lit(1)).as("n_points"),
-        min(col("timestamp")).as("ts_min"),
-        max(col("timestamp")).as("ts_max"),
+        unix_timestamp(min(col("timestamp"))).as("ts_min"),
+        unix_timestamp(max(col("timestamp"))).as("ts_max"),
         round(avg(col("value")), 4).as("avg_value")
       )
       .orderBy("archive")

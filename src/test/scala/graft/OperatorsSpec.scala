@@ -729,6 +729,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => if (r.getBoolean(3)) r.getLong(2) >= 0L else r.getLong(2) <= 0L))
   }
 
+  test("semanticDedup: scaled path with matching k equals the fixed path; default k grows with n") {
+    val fixed = VectorOps.semanticDedup(spark, dir).collect().toSeq
+    val scaled = VectorOps.semanticDedupScaled(spark, dir, 16).collect().toSeq
+    assert(fixed == scaled)
+    // the derived default reproduces the fixed path's k on the bench corpus
+    // and scales linearly beyond it
+    assert(VectorOps.semanticDedupDerivedK(2000) == 16)
+    assert(VectorOps.semanticDedupDerivedK(20000) == 160)
+    assert(VectorOps.semanticDedupDerivedK(1) == 1)
+  }
+
   test("pqQuantize: digest ranges and trained codebook beats the systematic seed") {
     val rows = VectorOps.pqQuantize(spark, dir).collect()
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
