@@ -29,6 +29,24 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally super.afterAll()
   }
 
+  test("bench sessions run with AQE skew-split armed for the gram-keyed shuffles") {
+    // Bench.scala enables spark.sql.adaptive.enabled; skew-join splitting
+    // must then resolve ON so a hot gram/shingle partition in the q93 hit
+    // join (or any SMJ the optimizer picks for the dedup pair joins at
+    // scale) gets divided instead of stalling one task. scale_check5
+    // measures the injected-skew behavior; this pins the config so a
+    // future conf change cannot silently disarm it.
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   /** Queries whose plan legitimately contains a broadcast-nested-loop join —
    * all are keyless crosses whose broadcast side is provably tiny:
    * q27 broadcasts a literal 1-row query vector; q19/q45 cross an hourly
