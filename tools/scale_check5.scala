@@ -85,6 +85,27 @@ for (tag <- Seq(false, true)) {
   }
 }
 
+// ---------- B2: force the SMJ path and PROVE AQE skew-split engages ----------
+// Locally the dup-gram side is tiny, so the hot-key join resolves to a
+// broadcast (no skew exposure). At 100 TB it is an SMJ; emulate that by
+// disabling broadcast and lowering the skew thresholds to local data sizes,
+// then read the final AQE plan for the skew marker.
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+val dirHot = "/tmp/graft_scl5_skew_true"
+val dfSmj = graft.operators.DedupOps.substringDup(spark, dirHot)
+val (tSmj, nSmj) = timeIt(dfSmj.count())
+val planSmj = dfSmj.queryExecution.executedPlan.toString
+val skewEngaged = planSmj.toLowerCase.contains("skew")
+println(f"[skew-smj] forced-SMJ hot-gram run: rows=$nSmj wall=$tSmj%.2f s skew_split_engaged=$skewEngaged")
+spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+spark.catalog.clearCache()
+
 // ---------- C: whisper at 10x ref-scale ----------
 val multiDir = java.nio.file.Paths.get("/tmp/graft_ref10")
 java.nio.file.Files.createDirectories(multiDir)
