@@ -509,16 +509,47 @@ object RelationalOps {
       )
       .orderBy("oyear", "pri")
 
-  /** Rank bucketing: ntile deciles of order value. A global ntile needs a
-   * total order (one range exchange + per-partition window); at 100 TB
-   * prefer approx_percentile bucket edges + a broadcast bucket join — this
-   * query demonstrates the exact-operator semantics. */
+  /** Rank bucketing: EXACT ntile deciles of order value, computed scalably.
+   * `ntile(10).over(Window.orderBy(...))` funnels every row through ONE
+   * task (WindowExec warns "moving all data to a single partition" — the
+   * lone scale-killer plan the round-4 census carried); instead this runs
+   * [[graft.operators.SamplingOps.sequencePack]]'s two-pass discipline:
+   * range-repartition on the sort key (total order ACROSS partitions),
+   * per-partition `row_number` (fully parallel window keyed by partition
+   * id), per-partition counts collected driver-side (O(partitions), never
+   * O(rows)) as rank offsets, then SQL-standard ntile arithmetic on the
+   * global rank — the first N mod k tiles take ceil(N/k) rows — in exact
+   * integer math. Bit-identical to the window ntile (same total order,
+   * same tile-size rule, both engines agree), with no single-partition
+   * stage anywhere. */
   def decileHistogram(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey")) // unique key: deterministic tiles
-    t(spark, dir, "orders")
-      .withColumn("decile", ntile(10).over(w))
-      .groupBy(col("decile").cast("int").as("decile"))
+    // localCheckpoint pins partition identity between the offsets job and
+    // the main job (sequencePack's correctness note: range boundaries are
+    // sampled, so a recompute may re-draw pids).
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(col("o_totalprice"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = orders.groupBy("pid").agg(count(lit(1)).as("pc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val localW = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    val tq = n / 10
+    val tr = n % 10
+    // rank rn (1-based) -> tile: first tr tiles hold tq+1 rows each
+    val decExpr =
+      if (tq == 0L) "cast(rn as int)"
+      else s"cast(if(rn <= ${(tq + 1) * tr}, (rn - 1) div ${tq + 1} + 1, " +
+        s"$tr + (rn - ${(tq + 1) * tr} - 1) div $tq + 1) as int)"
+    orders
+      .join(broadcast(offsetsDf), "pid")
+      .withColumn("rn", col("offset") + row_number().over(localW))
+      .withColumn("decile", expr(decExpr))
+      .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n"),
         min(col("o_totalprice")).as("lo"),

@@ -729,6 +729,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => if (r.getBoolean(3)) r.getLong(2) >= 0L else r.getLong(2) <= 0L))
   }
 
+  test("decileHistogram: two-pass distributed ntile equals the window-function ntile exactly") {
+    import org.apache.spark.sql.expressions.Window
+    def digest(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val got = digest(RelationalOps.decileHistogram(spark, dir).collect())
+    // the single-partition formulation this operator scalably replaces
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val want = digest(spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile").cast("int").as("decile"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy("decile").collect())
+    assert(got == want)
+  }
+
   test("semanticDedup: scaled path with matching k equals the fixed path; default k grows with n") {
     val fixed = VectorOps.semanticDedup(spark, dir).collect().toSeq
     val scaled = VectorOps.semanticDedupScaled(spark, dir, 16).collect().toSeq
