@@ -200,6 +200,99 @@ object SparkEntry {
     init + ",\n" + rounds + ",\n" + fin
   }
 
+  /** DuckDB-SQL replay of Spark's XXH64 (`xxhash64`, seed 42) over token
+   * bytes — closing VERDICT r5 gap #1 (q29/q44 were rows-only because "the
+   * xxhash64-family kernels have no DuckDB replay"; now they do). Built from
+   * the published xxHash64 spec as implemented by
+   * `org.apache.spark.sql.catalyst.expressions.XXH64`: the 4-lane 32-byte
+   * stripe loop for inputs ≥ 32 B, then the 8-byte word loop, the 4-byte
+   * tail, the 1-byte tail, and the final avalanche. All mod-2^64 arithmetic
+   * rides in DuckDB HUGEINTs; `a·b mod 2^64` splits `a` into 32-bit halves
+   * so no intermediate exceeds 2^127 (HUGEINT max), rotations are two
+   * disjoint shifted halves summed, and `xor` is DuckDB's native HUGEINT
+   * xor. The 4 stripe lanes are INDEPENDENT reductions over stride-4 word
+   * sublists, so each is one `list_reduce` with its lane seed prepended —
+   * no mutable 4-tuple state needed. Byte extraction is `ord(substr(..))`,
+   * exact because the driver-generated documents corpus is pure ASCII at
+   * every sf (octet_length(encode(text)) = length(text) on all rows —
+   * checked 2026-08-13); a non-ASCII corpus would need blob slicing.
+   * Validated token-for-token against `xxhash64()` in Spark 4.1.2 across
+   * lengths 0..65 including stripe-path inputs. */
+  private object DuckXxh64 {
+    val M = "18446744073709551616" // 2^64
+    val P1 = "11400714785074694791"
+    val P2 = "14029467366897019727"
+    val P3 = "1609587929392839161"
+    val P4 = "9650029242287828579"
+    val P5 = "2870177450012600261"
+
+    /** (a*b) mod 2^64 without exceeding HUGEINT range. */
+    def mul(a: String, b: String): String =
+      s"((((($a)>>32)*($b))%4294967296)*4294967296+(($a)&4294967295)*($b))%$M"
+    def rotl(x: String, r: Int): String =
+      s"((($x)<<$r)%$M+(($x)>>${64 - r}))"
+    def xor(a: String, b: String): String = s"xor($a,$b)"
+
+    /** One stripe-lane round: acc = rotl31(acc + w·P2)·P1. */
+    def stripeStep: String = mul(rotl(s"((a)+${mul("w", P2)})%$M", 31), P1)
+    /** Word-loop round: acc = rotl27(acc ⊕ rotl31(w·P2)·P1)·P1 + P4. */
+    def wordStep: String =
+      s"(${mul(rotl(xor("a", mul(rotl(mul("w", P2), 31), P1)), 27), P1)}+$P4)%$M"
+    /** Byte-tail round: acc = rotl11(acc ⊕ b·P5)·P1. */
+    def byteStep: String = mul(rotl(xor("a", s"((b)*$P5)%$M"), 11), P1)
+    /** Stripe-merge fold of one lane into the running hash. */
+    def mergeRound(h: String, v: String): String =
+      s"(${mul(xor(h, mul(rotl(mul(v, P2), 31), P1)), P1)}+$P4)%$M"
+
+    /** CTE chain hashing relation `tk(…, tok)` → `xh(…, uh)` with `uh` the
+     * unsigned-64 xxhash64(tok, 42) as HUGEINT. Splice as `",$xxhCtes,"`. */
+    def xxhCtes: String = {
+      def word(base: String) =
+        (0 until 8).map(j => s"bs[$base+${j + 1}]*${1L << (8 * j)}").mkString("+")
+      val word4 = (0 until 4).map(j => s"bs[8*nw+${j + 1}]*${1L << (8 * j)}").mkString("+")
+      def lane(i: Int, seed: String) =
+        s"""CASE WHEN ns = 0 THEN NULL ELSE
+           |    list_reduce(list_prepend(CAST($seed AS HUGEINT), list_transform(range(0, ns), k -> ws[4*CAST(k AS INT)+$i])), (a,w) -> $stripeStep) END AS v$i""".stripMargin
+      s"""xb AS (SELECT *, length(tok) AS len,
+         |  list_transform(range(1, length(tok)+1), i -> CAST(ord(substr(tok,CAST(i AS INT),1)) AS HUGEINT)) AS bs
+         |  FROM tk),
+         |xw AS (SELECT *, len//8 AS nw, len//32 AS ns,
+         |  list_transform(range(0, len//8), w -> ${word("8*CAST(w AS INT)")}) AS ws
+         |  FROM xb),
+         |xv AS (SELECT *, ${lane(1, s"(42+$P1+$P2)%$M")},
+         |  ${lane(2, s"(42+$P2)%$M")},
+         |  ${lane(3, "42")},
+         |  ${lane(4, s"($M+42-$P1)%$M")}
+         |  FROM xw),
+         |xm AS (SELECT *, CASE WHEN ns = 0 THEN CAST((42+$P5) AS HUGEINT) ELSE
+         |    (${rotl("v1", 1)}+${rotl("v2", 7)}+${rotl("v3", 12)}+${rotl("v4", 18)})%$M END AS h0 FROM xv),
+         |xm1 AS (SELECT *, CASE WHEN ns = 0 THEN h0 ELSE ${mergeRound("h0", "v1")} END AS h1 FROM xm),
+         |xm2 AS (SELECT *, CASE WHEN ns = 0 THEN h1 ELSE ${mergeRound("h1", "v2")} END AS h2 FROM xm1),
+         |xm3 AS (SELECT *, CASE WHEN ns = 0 THEN h2 ELSE ${mergeRound("h2", "v3")} END AS h3 FROM xm2),
+         |xm4 AS (SELECT *, (CASE WHEN ns = 0 THEN h3 ELSE ${mergeRound("h3", "v4")} END + len)%$M AS h4 FROM xm3),
+         |xwl AS (SELECT *, list_reduce(list_prepend(h4, ws[4*ns+1:nw]), (a,w) -> $wordStep) AS h5 FROM xm4),
+         |x4 AS (SELECT *, CASE WHEN len%8 >= 4 THEN
+         |    (${mul(rotl(xor("h5", mul(word4, P1)), 23), P2)}+$P3)%$M ELSE h5 END AS h6,
+         |  CASE WHEN len%8 >= 4 THEN 8*nw+4 ELSE 8*nw END AS bo FROM xwl),
+         |xbl AS (SELECT *, list_reduce(list_prepend(h6, bs[bo+1:len]), (a,b) -> $byteStep) AS h7 FROM x4),
+         |xf1 AS (SELECT *, ${mul(xor("h7", "(h7)>>33"), P2)} AS h8 FROM xbl),
+         |xf2 AS (SELECT *, ${mul(xor("h8", "(h8)>>29"), P3)} AS h9 FROM xf1),
+         |xh AS (SELECT *, xor(h9, (h9)>>32) AS uh FROM xf2)""".stripMargin
+    }
+  }
+
+  /** q44's oracle hash: the `winnow` kernel's Rabin-Karp 8-gram hash needs
+   * no rolling state in SQL — position p's hash is the closed-form 8-term
+   * polynomial Σ byte(p+j)·B^(7−j) mod 2^64 (B = 1000000007), so each term
+   * is ≤ 2^72 and the 8-term HUGEINT sum stays far inside range with one
+   * final mod. Constants are B^j mod 2^64, rendered unsigned. */
+  private def winnowGramHash: String = {
+    val cs = Iterator.iterate(1L)(_ * 1000000007L).take(8).toArray
+    (0 until 8).map { j =>
+      s"CAST(ord(substr(text, CAST(p+$j AS INT), 1)) AS HUGEINT)*${java.lang.Long.toUnsignedString(cs(7 - j))}"
+    }.mkString("+")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q03_filter_project" ->
       """SELECT event_id, user_id, value FROM events
@@ -879,6 +972,49 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM c GROUP BY split, seq_id ORDER BY split, seq_id""".stripMargin,
+    // q44: the raw winnowing kernel, REALLY replayed — position p's
+    // Rabin-Karp hash is closed-form ([[winnowGramHash]]), selection is the
+    // same bounded-frame window MIN as q97 but with the hash field widened
+    // to the full unsigned 64 bits (t = uh·2^31 + (2^31−1−p) as HUGEINT;
+    // min(t) = min UNSIGNED hash with rightmost tie-break, matching the
+    // kernel's compareUnsigned `<=` scan), and — unlike the md5 twin — a
+    // document with fewer than W hashes still emits one whole-document
+    // window (`p <= greatest(pmax-15, 1)`), mirroring
+    // RollingFingerprint.winnow's `lastStart = max(nHashes-W, 0)`.
+    "q44_dedup_winnow" ->
+      s"""WITH doc AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+         |g AS (SELECT doc_id, p, ($winnowGramHash)%${DuckXxh64.M} AS uh
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS p FROM doc)),
+         |h AS (SELECT doc_id, p, uh * 2147483648 + (2147483647 - p) AS t FROM g),
+         |sel AS (SELECT doc_id, p,
+         |  min(t) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS s,
+         |  max(p) OVER (PARTITION BY doc_id) AS pmax FROM h),
+         |fp AS (SELECT DISTINCT doc_id,
+         |  CAST(CASE WHEN s // 2147483648 >= 9223372036854775808 THEN s // 2147483648 - ${DuckXxh64.M} ELSE s // 2147483648 END AS BIGINT) AS fp
+         |  FROM sel WHERE p <= greatest(pmax - 15, 1)),
+         |pr AS (SELECT doc_id, fp FROM (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fp) t WHERE df <= 50),
+         |pares AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+         |  FROM pr x JOIN pr y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id)
+         |SELECT a, b, shared FROM pares WHERE shared >= 10 ORDER BY a, b""".stripMargin,
+    // q29: REAL xxhash64 replay ([[DuckXxh64]]) → 64-bit occurrence votes →
+    // signed fingerprint + 4×16-bit chunk LSH with the bucket cap → exact
+    // Hamming — the exact Spark pipeline, hash-exact at sf0.001/0.01/0.1.
+    "q29_dedup_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |${DuckXxh64.xxhCtes},
+         |agg AS (SELECT doc_id, list(uh) AS hs FROM xh GROUP BY doc_id),
+         |fpu AS (SELECT doc_id, list_sum(list_transform(range(0,64), b ->
+         |    CASE WHEN 2*CAST(list_sum(list_transform(hs, x -> CAST((x >> CAST(b AS INT)) & 1 AS BIGINT))) AS BIGINT) >= len(hs)
+         |    THEN (CAST(1 AS HUGEINT) << CAST(b AS INT)) ELSE CAST(0 AS HUGEINT) END)) AS ufp FROM agg),
+         |fp AS (SELECT doc_id,
+         |  CAST(CASE WHEN ufp >= 9223372036854775808 THEN ufp - ${DuckXxh64.M} ELSE ufp END AS BIGINT) AS simhash, ufp FROM fpu),
+         |ck AS (SELECT doc_id, simhash, CAST(c AS BIGINT) AS c, CAST((ufp >> CAST(16*c AS INT)) & 65535 AS BIGINT) AS v
+         |  FROM fp, (SELECT unnest(range(0,4)) AS c)),
+         |pr AS (SELECT * FROM (SELECT ck.*, count(*) OVER (PARTITION BY c, v) AS bsz FROM ck) t WHERE bsz <= 50),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |  FROM pr x JOIN pr y ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id)
+         |SELECT a, b, hamming FROM p WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
     // q97: md5-substrate winnowing — t = h*2^31 + (2^31-1-p) makes the
     // bounded-frame window MIN implement rightmost-minimum selection
     // (31-bit position field: t <= 2^63-1, no underflow below 2^31-1 grams)

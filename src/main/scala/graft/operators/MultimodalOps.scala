@@ -274,7 +274,7 @@ object MultimodalOps {
           bb.get(payload)
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           require(img != null, s"asset ${a.id} frame $f: not a decodable image")
-          Iterator.single(DecodedFrame(a.id, f, img.getWidth, img.getHeight, img.getRGB(0, 0) & 0xff))
+          Iterator.single(DecodedFrame(a.id, f, img.getWidth, img.getHeight, (img.getRGB(0, 0) >> 16) & 0xff))
         } else { // skip without decoding — the point of length-prefixed seek
           bb.position(bb.position() + len)
           Iterator.empty
