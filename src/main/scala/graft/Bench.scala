@@ -117,6 +117,32 @@ object Bench {
         s""","whisper_ref_scan_sec":${f3(whisperOk.min)},"whisper_ref_rows":${WhisperWorkload.RefScaleRows}"""
       else ""
 
+    // Per-query Spark-vs-DuckDB time ratios (VERDICT r5 item 1: make the
+    // 2x-of-baseline bar auditable per query). ORACLE_BENCH.json is written
+    // by tools/oracle_bench.py — driver-side DuckDB timing of every oracle
+    // SQL — and committed; ratios are emitted only when that record's sf
+    // matches this run's sfDir, so the comparison is like-for-like. The
+    // parse is a regex over a file this repo generates, not a JSON library.
+    val oracleBench: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_ORACLE_BENCH", "/root/repo/ORACLE_BENCH.json"))), "UTF-8")
+      val sfOk = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+      if (!sfOk) Map.empty
+      else """"(q[0-9]+[a-z0-9_]*)":\s*(-?[0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val ratioPairs = official.collect {
+      case (k, v) if v >= 0 && oracleBench.getOrElse(k, -1.0) > 0 => (k, v, oracleBench(k))
+    }
+    val ratioJson = if (ratioPairs.isEmpty) "" else {
+      val ds = ratioPairs.map { case (k, _, d) => "\"" + k + "\":" + f3(d) }.mkString("{", ",", "}")
+      val rs = ratioPairs.map { case (k, s, d) => "\"" + k + "\":" + f3(s / d) }.mkString("{", ",", "}")
+      s""","duckdb_s":$ds,"spark_over_duckdb":$rs"""
+    }
+    val ratioDigest =
+      if (ratioPairs.isEmpty) ""
+      else s""","ratio_n":${ratioPairs.size},"ratio_ge2_n":${ratioPairs.count(p => p._2 / p._3 >= 2.0)}"""
+
     val qs = official.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val perPass = samples.zipWithIndex.map { case (m, i) =>
       "\"pass" + (i + 1) + "\":" + m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
@@ -125,7 +151,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,
          |"pass_totals":[${passTotals.map(f3).mkString(",")}],
          |"queries":$qs,
-         |"errors":$errs$whisperJson,
+         |"errors":$errs$whisperJson$ratioJson,
          |"whisper_ref_samples":[${whisperSamples.map(f3).mkString(",")}],
          |$perPass,
          |"sf":"$sfDir"}""".stripMargin
@@ -141,7 +167,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${official.size},""" +
       s""""pass_totals":[${passTotals.map(f3).mkString(",")}],"worst5":$worst5,""" +
-      s""""errors":$errs$whisperJson,"bench_file":"${outFile}","sf":"$sfDir"}""")
+      s""""errors":$errs$whisperJson$ratioDigest,"bench_file":"${outFile}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,19 @@ object Verify {
       // cached plans (Bench clears between queries for the same reason)
       spark.catalog.clearCache()
     }
+    // Trained PQ codebook (j, cw) for the q95/q99/q100 oracles: they read
+    // it via the __GRAFT_VERIFY_OUT__ substitution below instead of each
+    // replaying 4 Lloyd rounds in DuckDB SQL (q92's oracle still trains
+    // from scratch, keeping the codebook independently verified). Written
+    // to a SIBLING of outDir, not inside it: the driver treats every
+    // outDir subdirectory as a query output, and a phantom rows-only
+    // "pq_codebook" entry would pollute the correctness record.
+    val auxDir = new java.io.File(outDir).getAbsolutePath + "_aux"
+    try graft.operators.VectorOps.pqCodebookDf(spark, sfDir).foreach(
+      _.coalesce(1).write.mode("overwrite").parquet(s"$auxDir/pq_codebook"))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] pq_codebook failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -49,8 +62,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracle SQL may reference Verify-written parquet (the PQ codebook) by
+    // absolute path — substituted here because only Verify knows outDir.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_VERIFY_OUT__", auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

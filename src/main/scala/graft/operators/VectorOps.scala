@@ -178,6 +178,24 @@ object VectorOps {
     cb
   }
 
+  /** The trained PQ codebook as a 64-row DataFrame `(j, cw)` — cw the
+   * 64-element e6-integer list ordered (s, d), exactly the shape of the
+   * oracle CTE `cb` that q92's training replay produces. [[graft.Verify]]
+   * writes this next to the query outputs so the q95/q99/q100 oracles can
+   * READ the trained codebook instead of each replaying four Lloyd rounds
+   * in SQL; the codebook itself stays independently verified because q92's
+   * oracle still trains from scratch in DuckDB and its comparison covers
+   * every codeword (VERDICT r5 item 8: oracle-side cost hygiene). None when
+   * the corpus is too small to seed 64 systematic codewords. */
+  def pqCodebookDf(spark: SparkSession, dir: String): Option[DataFrame] = {
+    import spark.implicits._
+    Option(ivfIndex(spark, dir).pqCodebook).map { cb =>
+      (0 until PQ_K).map { j =>
+        (j, (0 until PQ_M).flatMap(s => (0 until PQ_DS).map(d => cb(s)(j)(d))))
+      }.toDF("j", "cw")
+    }
+  }
+
   /**
    * End-to-end IVF ANN search as a benchable query: assign each vector to
    * its nearest cached centroid (broadcast arg-min, no driver action) and
