@@ -40,3 +40,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=1g",
   "-Dspark.sql.codegen.cache.maxEntries=2000",
 )
+// ANSI gate (VERDICT r5 item 2): SPARK_GRAFT_ANSI=true runs every forked
+// JVM — tests, Verify, Bench — with spark.sql.ansi.enabled=true (the
+// system property seeds SparkConf, which seeds every session's SQLConf).
+// The suite must be green under BOTH modes: ANSI on proves no query relies
+// on silent overflow/implicit casts/soft array indexing; default off stays
+// the bench configuration.
+javaOptions ++= (
+  if (sys.env.get("SPARK_GRAFT_ANSI").contains("true"))
+    Seq("-Dspark.sql.ansi.enabled=true")
+  else Seq.empty)

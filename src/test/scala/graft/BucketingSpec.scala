@@ -18,7 +18,7 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val warehouse = Files.createTempDirectory("graft-warehouse").toString
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4,2]")
     .appName("bucketing-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.warehouse.dir", warehouse)

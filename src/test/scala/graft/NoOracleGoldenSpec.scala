@@ -16,7 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class NoOracleGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4,2]")
     .appName("no-oracle-golden-spec")
     .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")

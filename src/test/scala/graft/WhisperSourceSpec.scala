@@ -26,7 +26,7 @@ import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOpt
 class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4,2]")
     .appName("whisper-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
@@ -301,7 +301,7 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkSession.clearActiveSession()
     try {
       val s2 = SparkSession.builder()
-        .master("local[4]")
+        .master("local[4,2]")
         .appName("sort-elide-spec")
         .withExtensions(new graft.GraftExtensions)
         .getOrCreate() // shares the JVM's SparkContext, not the sessionState
