@@ -1,9 +1,9 @@
 // q60 CC round-count bench (VERDICT r5 item 7): adversarial LONG-CHAIN
-// graphs — the worst case for min-label propagation (rounds = diameter) and
+// graphs -- the worst case for min-label propagation (rounds = diameter) and
 // the case large-star/small-star exists for (O(log^2 n) rounds on any
 // graph). Chains of length 10k/30k/100k (1x/3x/10x), rounds counted via a
-// SparkListener (the loop runs EXACTLY ONE action per round — the lazy
-// localCheckpoint + signature job — so rounds = jobs observed during the
+// SparkListener (the loop runs EXACTLY ONE action per round -- the lazy
+// localCheckpoint + signature job -- so rounds = jobs observed during the
 // call minus the initial edge-canonicalization signature job).
 //
 // Run: /opt/spark/bin/spark-shell --master 'local[32]' \
