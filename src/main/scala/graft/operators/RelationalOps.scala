@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default (PARQUET_TYPE_ILLEGAL). Read it as a nanos long and normalize
-      // to a microsecond TimestampType so downstream code sees a timestamp.
-      // The legacy flag is needed only while the relation's schema resolves
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+      // generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others.
+      // Normalize both to a microsecond TimestampType (session TZ is pinned
+      // to UTC in every entry point, so NTZ wall-clock == LTZ instant) so
+      // downstream code always sees one type. For the NANOS generation the
+      // legacy flag is needed only while the relation's schema resolves
       // (spark.read.parquet is eager about footers), so scope it: flip,
       // build the DataFrame, restore — other TIMESTAMP(NANOS) reads in the
       // session keep their configured behavior. The critical section is
@@ -23,10 +25,16 @@ object Tables {
         val key = "spark.sql.legacy.parquet.nanosAsLong"
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "true")
-        try
-          spark.read.parquet(s"$dir/$name.parquet")
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        finally prev match {
+        try {
+          val raw = spark.read.parquet(s"$dir/$name.parquet")
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => // nanos-as-long generation
+              raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              raw.withColumn("ts", col("ts").cast("timestamp"))
+            case _ => raw // already TimestampType
+          }
+        } finally prev match {
           case Some(v) => spark.conf.set(key, v)
           case None    => spark.conf.unset(key)
         }
