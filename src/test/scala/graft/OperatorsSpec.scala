@@ -950,4 +950,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val withDup = rows.filter(_.getLong(2) > 0L)
     assert(withDup.isEmpty || withDup.length >= 2)
   }
+
+  test("Tables.t normalizes both events.ts testdata generations to TimestampType") {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    import spark.implicits._
+    // The driver has shipped events.ts as parquet TIMESTAMP(NANOS) (reads as
+    // LongType nanos under the scoped legacy flag) and as TIMESTAMP_NTZ
+    // micros. Synthesize one fixture per generation and pin: same loader,
+    // same resulting dtype, same instants.
+    val base = java.nio.file.Files.createTempDirectory("graft-events-gen")
+    val wall = java.sql.Timestamp.valueOf("2024-01-05 06:07:08.123456")
+    val micros = wall.getTime / 1000 * 1000000 + wall.getNanos / 1000
+    // generation A: nanos stored as a plain BIGINT column (what the legacy
+    // nanosAsLong flag yields for TIMESTAMP(NANOS) files)
+    val dirA = s"$base/genA"
+    Seq((1L, micros * 1000L, 7L, "purchase", 99.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirA/events.parquet")
+    // generation B: true TIMESTAMP_NTZ micros
+    val dirB = s"$base/genB"
+    Seq((1L, wall.toLocalDateTime, 7L, "purchase", 99.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirB/events.parquet")
+    assert(spark.read.parquet(s"$dirB/events.parquet").schema("ts").dataType == TimestampNTZType)
+    val a = Tables.t(spark, dirA, "events")
+    val b = Tables.t(spark, dirB, "events")
+    assert(a.schema("ts").dataType == TimestampType)
+    assert(b.schema("ts").dataType == TimestampType)
+    val ua = a.select(unix_micros(col("ts"))).as[Long].head()
+    val ub = b.select(unix_micros(col("ts"))).as[Long].head()
+    assert(ua == micros && ub == micros) // identical instants (session TZ = UTC)
+  }
 }

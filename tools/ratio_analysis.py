@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Scale-slope analysis of the per-query Spark-vs-DuckDB ratios (NOT library code).
+
+The small-sf wall-clock ratio penalizes Spark's fixed per-job cost (scheduler,
+codegen lookup, AQE re-planning: ~0.1-0.3 s per query in local mode) that is
+invariant in data size, while DuckDB's floor on 600k rows is single-digit ms.
+The quantity that predicts the 100 TB comparison is the MARGINAL cost: how much
+each engine's wall grows per unit of data. This script computes, per query,
+
+    slope_ratio = (spark(sf_hi) - spark(sf_lo)) / (duckdb(sf_hi) - duckdb(sf_lo))
+
+from two Bench records and two oracle_bench records, and classifies every
+query whose naive sf_hi ratio is >= 2:
+
+  OVERHEAD   naive >= 2 but slope_ratio < 2 (or both engine deltas are < 50 ms,
+             i.e. the query never leaves the fixed-cost regime at these scales)
+  ALGORITHMIC slope_ratio >= 2 with a material delta on both engines -> a real
+             per-row gap that scale will NOT amortize; optimize or justify
+  SPARK_WINS naive < 2 (printed only in the summary counts)
+
+Usage:
+  python3 tools/ratio_analysis.py BENCH_hi.json ORACLE_hi.json \
+                                  BENCH_lo.json ORACLE_lo.json
+"""
+import json
+import sys
+
+MATERIAL_S = 0.05  # below this delta an engine never left its fixed-cost floor
+
+
+def load(bench_path, oracle_path):
+    b = json.load(open(bench_path))
+    o = json.load(open(oracle_path))
+    return b["queries"], o["queries"]
+
+
+def main():
+    sb_hi, db_hi = load(sys.argv[1], sys.argv[2])
+    sb_lo, db_lo = load(sys.argv[3], sys.argv[4])
+    rows = []
+    for q in sorted(sb_hi):
+        s_hi, d_hi = sb_hi.get(q, -1), db_hi.get(q, -1)
+        s_lo, d_lo = sb_lo.get(q, -1), db_lo.get(q, -1)
+        if min(s_hi, d_hi, s_lo, d_lo) < 0:
+            continue
+        naive = s_hi / d_hi if d_hi > 0 else float("inf")
+        ds, dd = s_hi - s_lo, d_hi - d_lo
+        if naive < 2:
+            cls = "SPARK_WINS" if naive < 1 else "OK"
+        elif max(ds, 0) < MATERIAL_S and dd < MATERIAL_S:
+            cls = "OVERHEAD(floor)"  # neither engine's wall moved with 10x data
+        elif dd <= 0:
+            cls = "OVERHEAD(duckdb-floor)"  # duckdb flat: slope undefined, spark delta is all overhead-side noise or real; report
+        else:
+            slope = ds / dd
+            cls = "OVERHEAD(slope=%.1f)" % slope if slope < 2 else "ALGORITHMIC(slope=%.1f)" % slope
+        rows.append((q, s_hi, d_hi, naive, ds, dd, cls))
+
+    print(f"{'query':32s} {'spark':>7s} {'duckdb':>8s} {'naive':>6s} {'d_spark':>8s} {'d_duck':>7s}  class")
+    for q, s, d, n, ds, dd, cls in rows:
+        print(f"{q:32s} {s:7.3f} {d:8.3f} {n:6.1f} {ds:8.3f} {dd:7.3f}  {cls}")
+    from collections import Counter
+    c = Counter(r[6].split("(")[0] for r in rows)
+    print("\nsummary:", dict(c), f"n={len(rows)}")
+    alg = [r[0] for r in rows if r[6].startswith("ALGORITHMIC")]
+    print("algorithmic gaps to fix/justify:", alg or "none")
+
+
+if __name__ == "__main__":
+    main()
