@@ -233,14 +233,27 @@ object RelationalOps {
       .orderBy(col("revenue_h").desc, col("o_orderkey"))
       .limit(10)
 
-  /** Window: rank within group (top-3 orders by price per priority). */
+  /** Window: rank within group (top-3 orders by price per priority).
+   *
+   * NOT a row_number window: partitioned by a 5-value key, that plan
+   * serializes into at most 5 sort tasks no matter the cluster size and
+   * shuffles every row. TopKAgg partial-reduces each map task's slice to
+   * <=3 (price, key) pairs before the shuffle, so the exchange carries
+   * O(tasks x 3) rows and every executor contributes — the per-group
+   * top-k shape that survives 100 TB. Order inside the aggregator is
+   * (price DESC, key ASC), identical to the window spec, so rn == the
+   * row_number the oracle computes. */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val topk = udaf(new graft.functions.TopKAgg(3))
     t(spark, dir, "orders")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(
+        col("o_orderpriority"),
+        col("col._2").as("o_orderkey"),
+        col("col._1").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
@@ -598,13 +611,16 @@ object RelationalOps {
    * join's extra predicate (no second pass over lineitem). */
   def existsLateShip(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
-    val l = t(spark, dir, "lineitem")
-    o.join(
-      l,
-      col("l_orderkey") === col("o_orderkey") &&
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
-      "left_semi"
-    )
+    // EXISTS(l: l_orderkey = o_orderkey AND l_shipdate > o_orderdate + 60d)
+    // <=> max(l_shipdate) per order > o_orderdate + 60d, because o_orderdate
+    // is constant per order. Pre-aggregating lineitem turns the semi join
+    // with a residual non-equi conjunct (which must evaluate per matching
+    // row) into a partial-agg (map-side combine, ~4x fewer shuffled rows)
+    // plus a pure equi join and a scalar filter.
+    val maxShip = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("max_ship"))
+    o.join(maxShip, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_late"))
       .orderBy("o_orderpriority")
