@@ -418,7 +418,15 @@ object DedupOps {
    * Returns (node, component-min) pairs for every non-isolated node of
    * `edges` — the same contract the propagation loop's label table has.
    */
-  def connectedComponentsStar(edges: DataFrame): DataFrame = {
+  def connectedComponentsStar(edges: DataFrame): DataFrame =
+    connectedComponentsStarWithRounds(edges)._1
+
+  /** [[connectedComponentsStar]] plus the number of large-star/small-star
+   * rounds the fixpoint took — the O(log^2 n) claim made measurable. A
+   * SparkListener job count CANNOT stand in for this: under AQE one action
+   * spawns a job per materialized exchange stage, so jobs/round is a plan
+   * property (5-8 here), not 1. */
+  def connectedComponentsStarWithRounds(edges: DataFrame): (DataFrame, Int) = {
     // adjacency both ways once up front; loop state is the DIRECTED edge
     // list (u -> v, u > v invariant restored by small-star).
     // localCheckpoint (NOT persist) each generation: every round embeds the
@@ -445,7 +453,9 @@ object DedupOps {
     }
     var eSig = sig(e)
     var stable = false
+    var rounds = 0
     while (!stable) {
+      rounds += 1
       // large-star: for each u, m = min(neighbors ∪ self); hook every
       // STRICTLY LARGER neighbor onto m
       val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -476,7 +486,7 @@ object DedupOps {
       e = next
     }
     // after convergence every edge points at its component min
-    e.select(col("u").as("doc_id"), col("v").as("lbl"))
+    (e.select(col("u").as("doc_id"), col("v").as("lbl")), rounds)
   }
 
   /**
