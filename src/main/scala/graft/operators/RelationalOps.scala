@@ -228,8 +228,12 @@ object RelationalOps {
       .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
       .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")) && col("l_shipdate") > to_timestamp(lit("1997-01-01")))
-      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      // group on the native timestamp and format AFTER aggregation: the
+      // grouping expression is evaluated per input row, so formatting there
+      // costs a string render per lineitem instead of per output group
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 100.0, 0).cast("bigint").as("revenue_h"))
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"), col("revenue_h"))
       .orderBy(col("revenue_h").desc, col("o_orderkey"))
       .limit(10)
 
