@@ -5,7 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Table loader for the driver's parquet testdata (TESTDATA.md). */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // One relation per (session, dir, table), built once: spark.read.parquet
+  // re-lists the path and re-reads footers for schema inference on EVERY
+  // call, a fixed per-query tax that a real deployment pays once at catalog
+  // registration. A DataFrame is an immutable logical plan, so reuse across
+  // queries is safe; keyed on the session so test suites with their own
+  // sessions never share plans across stopped contexts.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, name), build(spark, dir, name))
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
       // generations and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others.
