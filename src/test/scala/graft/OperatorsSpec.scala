@@ -951,6 +951,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withDup.isEmpty || withDup.length >= 2)
   }
 
+  test("windowRank partial top-k == row_number window formulation") {
+    // q13 was rewritten from a row_number window (5 sort tasks max at any
+    // cluster size) to a TopKAgg partial aggregation; this pins the
+    // equivalence the rewrite claimed, ties included.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val naive = Tables.t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_orderpriority", "o_orderkey")
+      .collect().map(_.toString).toSeq
+    val got = RelationalOps.windowRank(spark, dir).collect().map(_.toString).toSeq
+    assert(got == naive)
+  }
+
+  test("existsLateShip pre-aggregated join == left-semi with non-equi residual") {
+    val o = Tables.t(spark, dir, "orders")
+    val l = Tables.t(spark, dir, "lineitem")
+    val naive = o.join(
+        l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toString).toSeq
+    val got = RelationalOps.existsLateShip(spark, dir).collect().map(_.toString).toSeq
+    assert(got == naive)
+  }
+
   test("Tables.t normalizes both events.ts testdata generations to TimestampType") {
     import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
     import spark.implicits._
