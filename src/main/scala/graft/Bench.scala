@@ -139,9 +139,42 @@ object Bench {
       val rs = ratioPairs.map { case (k, s, d) => "\"" + k + "\":" + f3(s / d) }.mkString("{", ",", "}")
       s""","duckdb_s":$ds,"spark_over_duckdb":$rs"""
     }
+    // Scale-slope classification (BENCH_NOTES round 7): a naive small-sf
+    // wall ratio charges Spark's fixed per-job floor against DuckDB's ms
+    // floor — the quantity that extrapolates to cluster scale is the
+    // MARGINAL cost, each engine's wall growth from sf0.01 to sf0.1. The
+    // lo-sf records (BENCH_SF001/ORACLE_SF001.json, refreshed per round by
+    // the same tools) make the digest carry that classification:
+    //   overhead    naive>=2 but both deltas under 50 ms or slope<2
+    //   algorithmic slope>=2 with a material Spark delta — a real per-row gap
+    //   spark_wins  naive<1
+    def loadQ(path: String): Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"(q[0-9]+[a-z0-9_]*)":\s*(-?[0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val sparkLo = loadQ(sys.env.getOrElse("SPARK_GRAFT_BENCH_LO", "/root/repo/BENCH_SF001.json"))
+    val duckLo = loadQ(sys.env.getOrElse("SPARK_GRAFT_ORACLE_LO", "/root/repo/ORACLE_SF001.json"))
+    val slopeDigest = if (sparkLo.isEmpty || duckLo.isEmpty || ratioPairs.isEmpty) "" else {
+      val material = 0.05 // below this delta an engine never left its fixed-cost floor
+      val classes = ratioPairs.flatMap { case (k, s, d) =>
+        for (sLo <- sparkLo.get(k).filter(_ >= 0); dLo <- duckLo.get(k).filter(_ >= 0)) yield {
+          val naive = s / d; val ds = s - sLo; val dd = d - dLo
+          if (naive < 1) "spark_wins"
+          else if (naive < 2) "ok"
+          else if ((ds.max(0) < material && dd < material) || dd <= 0 || ds / dd < 2) "overhead"
+          else "algorithmic"
+        }
+      }
+      val c = classes.groupBy(identity).view.mapValues(_.size).toMap
+      s""","slope_overhead_n":${c.getOrElse("overhead", 0)}""" +
+        s""","slope_algorithmic_n":${c.getOrElse("algorithmic", 0)}""" +
+        s""","spark_wins_n":${c.getOrElse("spark_wins", 0)}"""
+    }
     val ratioDigest =
       if (ratioPairs.isEmpty) ""
-      else s""","ratio_n":${ratioPairs.size},"ratio_ge2_n":${ratioPairs.count(p => p._2 / p._3 >= 2.0)}"""
+      else s""","ratio_n":${ratioPairs.size},"ratio_ge2_n":${ratioPairs.count(p => p._2 / p._3 >= 2.0)}$slopeDigest"""
 
     val qs = official.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val perPass = samples.zipWithIndex.map { case (m, i) =>
