@@ -290,14 +290,21 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         "transform(slice(toks, 1, size(toks) - 1), (x, i) -> named_struct('w1', x, 'w2', element_at(toks, i + 2)))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // ONE corpus pass: per-doc bigram multiplicities. Both count tables
+    // derive from it (c2 = sum m over docs; c1 = sum c2 over w2), so the
+    // tokenize+explode lineage never re-executes, and the rarity joins move
+    // DISTINCT doc-bigrams instead of every occurrence. Multiplicity
+    // weighting keeps the per-occurrence semantics bit-exact: sum(rarity
+    // over occurrences) == sum(m * rarity), count == sum(m).
+    val docBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    val c2 = docBg.groupBy("w1", "w2").agg(sum("m").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    docBg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .withColumn("rarity", expr("c1 * 1000000 div c2"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        expr("sum(rarity) div count(1)").as("mean_rarity_ppm"),
+        sum("m").as("n_bigrams"),
+        expr("sum(m * rarity) div sum(m)").as("mean_rarity_ppm"),
         max("rarity").as("max_rarity_ppm"))
       .orderBy("doc_id")
   }
