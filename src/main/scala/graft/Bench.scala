@@ -156,22 +156,32 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
     val sparkLo = loadQ(sys.env.getOrElse("SPARK_GRAFT_BENCH_LO", "/root/repo/BENCH_SF001.json"))
     val duckLo = loadQ(sys.env.getOrElse("SPARK_GRAFT_ORACLE_LO", "/root/repo/ORACLE_SF001.json"))
-    val slopeDigest = if (sparkLo.isEmpty || duckLo.isEmpty || ratioPairs.isEmpty) "" else {
-      val material = 0.05 // below this delta an engine never left its fixed-cost floor
-      val classes = ratioPairs.flatMap { case (k, s, d) =>
-        for (sLo <- sparkLo.get(k).filter(_ >= 0); dLo <- duckLo.get(k).filter(_ >= 0)) yield {
-          val naive = s / d; val ds = s - sLo; val dd = d - dLo
-          if (naive < 1) "spark_wins"
-          else if (naive < 2) "ok"
-          else if ((ds.max(0) < material && dd < material) || dd <= 0 || ds / dd < 2) "overhead"
-          else "algorithmic"
+    val slopeClasses: Seq[(String, String)] =
+      if (sparkLo.isEmpty || duckLo.isEmpty) Seq.empty
+      else {
+        val material = 0.05 // below this delta an engine never left its fixed-cost floor
+        ratioPairs.flatMap { case (k, s, d) =>
+          for (sLo <- sparkLo.get(k).filter(_ >= 0); dLo <- duckLo.get(k).filter(_ >= 0)) yield {
+            val naive = s / d; val ds = s - sLo; val dd = d - dLo
+            val cls =
+              if (naive < 1) "spark_wins"
+              else if (naive < 2) "ok"
+              else if ((ds.max(0) < material && dd < material) || dd <= 0 || ds / dd < 2) "overhead"
+              else "algorithmic"
+            k -> cls
+          }
         }
       }
-      val c = classes.groupBy(identity).view.mapValues(_.size).toMap
+    val slopeDigest = if (slopeClasses.isEmpty) "" else {
+      val c = slopeClasses.groupBy(_._2).view.mapValues(_.size).toMap
       s""","slope_overhead_n":${c.getOrElse("overhead", 0)}""" +
         s""","slope_algorithmic_n":${c.getOrElse("algorithmic", 0)}""" +
         s""","spark_wins_n":${c.getOrElse("spark_wins", 0)}"""
     }
+    // per-query class goes into the committed full record for auditability
+    val slopeJson = if (slopeClasses.isEmpty) "" else
+      slopeClasses.map { case (k, c) => "\"" + k + "\":\"" + c + "\"" }
+        .mkString(""","slope_class":{""", ",", "}")
     val ratioDigest =
       if (ratioPairs.isEmpty) ""
       else s""","ratio_n":${ratioPairs.size},"ratio_ge2_n":${ratioPairs.count(p => p._2 / p._3 >= 2.0)}$slopeDigest"""
@@ -184,7 +194,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,
          |"pass_totals":[${passTotals.map(f3).mkString(",")}],
          |"queries":$qs,
-         |"errors":$errs$whisperJson$ratioJson,
+         |"errors":$errs$whisperJson$ratioJson$slopeJson,
          |"whisper_ref_samples":[${whisperSamples.map(f3).mkString(",")}],
          |$perPass,
          |"sf":"$sfDir"}""".stripMargin
