@@ -121,16 +121,41 @@ object Bench {
     // 2x-of-baseline bar auditable per query). ORACLE_BENCH.json is written
     // by tools/oracle_bench.py — driver-side DuckDB timing of every oracle
     // SQL — and committed; ratios are emitted only when that record's sf
-    // matches this run's sfDir, so the comparison is like-for-like. The
-    // parse is a regex over a file this repo generates, not a JSON library.
-    val oracleBench: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_ORACLE_BENCH", "/root/repo/ORACLE_BENCH.json"))), "UTF-8")
-      val sfOk = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
-      if (!sfOk) Map.empty
-      else """"(q[0-9]+[a-z0-9_]*)":\s*(-?[0-9.]+)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+    // matches this run's sfDir, so the comparison is like-for-like.
+    //
+    // Record parser: extracts the record's "sf" tag and ONLY the numbers
+    // inside its "queries":{...} object (brace-matched). Bench records
+    // repeat every query key in duckdb_s / spark_over_duckdb / pass1..passN;
+    // an unscoped regex + toMap keeps the LAST occurrence, silently
+    // substituting pass-3 walls (or ratio values) for the official
+    // min-of-passes (ADVICE r7). Still a regex over repo-generated files for
+    // the values themselves, but scoped to the one object that holds them.
+    def loadQ(path: String): (String, Map[String, Double]) = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val sf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val i = txt.indexOf("\"queries\"")
+      val qTxt = if (i < 0) "" else {
+        val start = txt.indexOf('{', i)
+        var depth = 0; var j = start; var end = -1
+        while (start >= 0 && j < txt.length && end < 0) {
+          txt.charAt(j) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) end = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (end < 0) "" else txt.substring(start, end + 1)
+      }
+      (sf, """"(q[0-9]+[a-z0-9_]*)":\s*(-?[0-9.]+)""".r.findAllMatchIn(qTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    } catch { case _: Throwable => ("", Map.empty) }
+    val oracleBench: Map[String, Double] = {
+      val (obSf, obQ) = loadQ(
+        sys.env.getOrElse("SPARK_GRAFT_ORACLE_BENCH", "/root/repo/ORACLE_BENCH.json"))
+      if (obSf == sfDir) obQ else Map.empty
+    }
     val ratioPairs = official.collect {
       case (k, v) if v >= 0 && oracleBench.getOrElse(k, -1.0) > 0 => (k, v, oracleBench(k))
     }
@@ -145,19 +170,29 @@ object Bench {
     // MARGINAL cost, each engine's wall growth from sf0.01 to sf0.1. The
     // lo-sf records (BENCH_SF001/ORACLE_SF001.json, refreshed per round by
     // the same tools) make the digest carry that classification:
-    //   overhead    naive>=2 but both deltas under 50 ms or slope<2
-    //   algorithmic slope>=2 with a material Spark delta — a real per-row gap
-    //   spark_wins  naive<1
-    def loadQ(path: String): Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      """"(q[0-9]+[a-z0-9_]*)":\s*(-?[0-9.]+)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
-    val sparkLo = loadQ(sys.env.getOrElse("SPARK_GRAFT_BENCH_LO", "/root/repo/BENCH_SF001.json"))
-    val duckLo = loadQ(sys.env.getOrElse("SPARK_GRAFT_ORACLE_LO", "/root/repo/ORACLE_SF001.json"))
+    //   overhead     naive>=2 but both deltas under 50 ms or slope<2
+    //   duckdb_floor naive>=2 and Spark's delta material, but DuckDB's delta
+    //                below the 50 ms materiality floor — the slope DENOMINATOR
+    //                is timing noise, so no slope is claimable either way; the
+    //                Spark growth stays VISIBLE (not filed under amortizable
+    //                fixed cost) and the class demands a ratio_reason entry
+    //                (ADVICE r7 + VERDICT r7 adjudication of q40/q49/q64:
+    //                their DuckDB deltas are 12-31 ms over 10x data — the
+    //                "algorithmic" slopes 6.2/4.1/2.7 divided by that noise)
+    //   algorithmic  slope>=2 with material deltas on BOTH engines — a real
+    //                per-row gap scale will not amortize
+    //   spark_wins   naive<1
+    val (sparkLoSf, sparkLo) =
+      loadQ(sys.env.getOrElse("SPARK_GRAFT_BENCH_LO", "/root/repo/BENCH_SF001.json"))
+    val (duckLoSf, duckLo) =
+      loadQ(sys.env.getOrElse("SPARK_GRAFT_ORACLE_LO", "/root/repo/ORACLE_SF001.json"))
+    // sf guard (ADVICE r7): regenerating the lo records (Bench run AT sf0.01)
+    // would otherwise compare lo against lo — every delta ~0, every naive>=2
+    // query classed "overhead" — and commit those meaningless classes.
+    val loUsable = sparkLo.nonEmpty && duckLo.nonEmpty &&
+      sparkLoSf != sfDir && duckLoSf != sfDir
     val slopeClasses: Seq[(String, String)] =
-      if (sparkLo.isEmpty || duckLo.isEmpty) Seq.empty
+      if (!loUsable) Seq.empty
       else {
         val material = 0.05 // below this delta an engine never left its fixed-cost floor
         ratioPairs.flatMap { case (k, s, d) =>
@@ -166,7 +201,9 @@ object Bench {
             val cls =
               if (naive < 1) "spark_wins"
               else if (naive < 2) "ok"
-              else if ((ds.max(0) < material && dd < material) || dd <= 0 || ds / dd < 2) "overhead"
+              else if (ds.max(0) < material && dd < material) "overhead"
+              else if (dd < material) "duckdb_floor" // ds material, denominator noise
+              else if (ds / dd < 2) "overhead"
               else "algorithmic"
             k -> cls
           }
@@ -175,6 +212,7 @@ object Bench {
     val slopeDigest = if (slopeClasses.isEmpty) "" else {
       val c = slopeClasses.groupBy(_._2).view.mapValues(_.size).toMap
       s""","slope_overhead_n":${c.getOrElse("overhead", 0)}""" +
+        s""","slope_duckdb_floor_n":${c.getOrElse("duckdb_floor", 0)}""" +
         s""","slope_algorithmic_n":${c.getOrElse("algorithmic", 0)}""" +
         s""","spark_wins_n":${c.getOrElse("spark_wins", 0)}"""
     }
@@ -182,6 +220,38 @@ object Bench {
     val slopeJson = if (slopeClasses.isEmpty) "" else
       slopeClasses.map { case (k, c) => "\"" + k + "\":\"" + c + "\"" }
         .mkString(""","slope_class":{""", ",", "}")
+    // Adjudication record (VERDICT r7 #2/#5): every query whose class is
+    // algorithmic or duckdb_floor carries a named structural reason IN the
+    // committed record; any flag without one is self-reported under
+    // "slope_unadjudicated" so it can never ship silently. Reasons are
+    // structural facts about the plan/oracle, not measurements (the
+    // measurements live in the slope_class inputs themselves).
+    val ratioReasons: Map[String, String] = Map(
+      "q40_json_extract" -> ("duckdb_floor: DuckDB delta under the 50ms materiality floor at these sfs; " +
+        "Spark plan is one codegen pass (built-in get_json_object + partial agg), no per-row deficit to rewrite"),
+      "q48_ntile_decile" -> ("deliberate: two-pass distributed ntile (per-partition counts + offset join) replacing " +
+        "the single-partition global-sort scale-killer; the second pass costs one fixed extra job that 100TB amortizes"),
+      "q49_lag_deltas" -> ("duckdb_floor: DuckDB delta under the 50ms floor; Spark plan is the minimal " +
+        "single-shuffle window lag + partial agg"),
+      "q64_unpivot" -> ("aggregate-first rewrite (r8): 16 aggregates in one partial-agg pass, stack runs on the " +
+        "1-row result; no generator over input rows"),
+      "q84_mm_png_decode" -> ("oracle asymmetry: Spark decodes 500 real PNGs (ImageIO, batched mapPartitions); " +
+        "the DuckDB oracle replays closed-form synthesis constants and never touches a codec"),
+      "q86_video_frame_decode" -> ("oracle asymmetry: Spark decodes real video frames; the DuckDB oracle replays " +
+        "synthesis constants without decoding")
+    )
+    val flagged = slopeClasses.collect { case (k, c) if c == "algorithmic" || c == "duckdb_floor" => k }
+    val reasonJson = {
+      val withReason = flagged.filter(ratioReasons.contains)
+      if (withReason.isEmpty) "" else
+        withReason.map(k => "\"" + k + "\":\"" + ratioReasons(k) + "\"")
+          .mkString(""","ratio_reason":{""", ",", "}")
+    }
+    val unadjJson = {
+      val missing = flagged.filterNot(ratioReasons.contains)
+      if (missing.isEmpty) "" else
+        missing.map("\"" + _ + "\"").mkString(""","slope_unadjudicated":[""", ",", "]")
+    }
     val ratioDigest =
       if (ratioPairs.isEmpty) ""
       else s""","ratio_n":${ratioPairs.size},"ratio_ge2_n":${ratioPairs.count(p => p._2 / p._3 >= 2.0)}$slopeDigest"""
@@ -194,7 +264,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,
          |"pass_totals":[${passTotals.map(f3).mkString(",")}],
          |"queries":$qs,
-         |"errors":$errs$whisperJson$ratioJson$slopeJson,
+         |"errors":$errs$whisperJson$ratioJson$slopeJson$reasonJson$unadjJson,
          |"whisper_ref_samples":[${whisperSamples.map(f3).mkString(",")}],
          |$perPass,
          |"sf":"$sfDir"}""".stripMargin

@@ -49,8 +49,13 @@ def main():
             cls = "SPARK_WINS" if naive < 1 else "OK"
         elif max(ds, 0) < MATERIAL_S and dd < MATERIAL_S:
             cls = "OVERHEAD(floor)"  # neither engine's wall moved with 10x data
-        elif dd <= 0:
-            cls = "OVERHEAD(duckdb-floor)"  # duckdb flat: slope undefined, spark delta is all overhead-side noise or real; report
+        elif dd < MATERIAL_S:
+            # DuckDB never left its ms floor: the slope DENOMINATOR is timing
+            # noise (12-31 ms deltas produced the r7 "algorithmic" flags on
+            # q40/q49/q64), so no slope is claimable; the material Spark delta
+            # stays visible under its own class and requires a ratio_reason
+            # in the committed record (see Bench.scala ratioReasons).
+            cls = "DUCKDB_FLOOR(d_spark=%.3fs)" % ds
         else:
             slope = ds / dd
             cls = "OVERHEAD(slope=%.1f)" % slope if slope < 2 else "ALGORITHMIC(slope=%.1f)" % slope
