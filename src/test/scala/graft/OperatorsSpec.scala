@@ -22,8 +22,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   val dir = "/root/testdata/sf0.001"
 
   override def afterAll(): Unit = {
-    try spark.stop()
-    finally super.afterAll()
+    // Stop any still-registered streaming query BEFORE the session: a query
+    // alive at teardown races session shutdown and logs a benign-but-scary
+    // "MicroBatchExecution ... planning failed with an internal error" into
+    // every CI log (VERDICT r7). AvailableNow queries normally self-stop;
+    // this sweeps the timeout path too.
+    try spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    finally {
+      try spark.stop()
+      finally super.afterAll()
+    }
   }
 
   test("asofJoin matches per-row scan oracle") {
@@ -222,7 +230,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = graft.streaming.StreamingOps.windowedCounts(streamDf)
       .writeStream.outputMode("append").format("memory").queryName("wc")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not self-terminate"); q.stop()
     // append mode only emits windows below the watermark; compare those
     val streamed = spark.sql("SELECT event_type, sum(n) FROM wc GROUP BY 1").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -246,7 +254,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .dedupWithinWatermark(streamDf, Seq("event_id"), watermark = "10 days")
       .writeStream.outputMode("append").format("memory").queryName("dd")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not self-terminate"); q.stop()
     val out = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dd").head()
     assert(out.getLong(0) == out.getLong(1), "emitted duplicates")
     assert(out.getLong(0) == batchDf.count())
@@ -267,7 +275,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = graft.streaming.StreamingOps.intervalJoin(sp, se, watermark = "3650 days")
       .writeStream.outputMode("append").format("memory").queryName("ij")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not self-terminate"); q.stop()
     val streamed = spark.sql("SELECT count(*) FROM ij").head().getLong(0)
     val batch = graft.streaming.StreamingOps.intervalJoin(purchases, errors).count()
     assert(streamed == batch, s"stream $streamed != batch $batch")
@@ -283,7 +291,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = graft.streaming.StreamingOps.sessionize(spark, streamDf)
       .writeStream.outputMode("update").format("memory").queryName("sess")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    // mapGroupsWithState(ProcessingTimeTimeout) keeps scheduling empty
+    // micro-batches to honor the pending 30-min idle timeouts, so
+    // AvailableNow does NOT self-terminate once the files are drained (the
+    // pre-r8 unchecked awaitTermination timed out silently and left the
+    // query alive into session teardown — the INTERNAL_ERROR log source).
+    // Deterministic instead: await the sink absorbing the full input, then
+    // stop the query explicitly.
+    def sinkSum(): Long =
+      spark.sql("SELECT coalesce(sum(n_events), 0) FROM sess").head().getLong(0)
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (sinkSum() != 200L && System.nanoTime() < deadline) Thread.sleep(250)
+    q.stop()
+    assert(q.awaitTermination(30000), "query did not stop")
     val out = spark.sql("SELECT count(*), sum(n_events) FROM sess").head()
     assert(out.getLong(0) > 0)
     assert(out.getLong(1) == 200L)
