@@ -150,6 +150,11 @@ object SparkEntry {
     "q99_ivfpq_search" -> (VectorOps.ivfPqSearch(_, _)),
     // PQ shortlist + exact refine: ADC top-100, true-cosine top-20 within
     "q100_pq_refine" -> (VectorOps.pqRefineSearch(_, _)),
+    // -- streaming tier through the REAL micro-batch engine (StreamReplay):
+    // readStream -> watermark/state -> memory sink, then oracle-compared —
+    // the streaming semantics get CORRECTNESS rows, not just ScalaTest
+    "q101_stream_windowed_counts" -> (graft.streaming.StreamReplay.windowedCountsReplay(_, _)),
+    "q102_stream_sessionize" -> (graft.streaming.StreamReplay.sessionizeReplay(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -722,6 +727,25 @@ object SparkEntry {
         |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
         |min(sec) AS start_sec, max(sec) AS end_sec
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    // Streaming duals (StreamReplay): the Spark side runs the REAL
+    // micro-batch engine; the oracle replays the batch-equivalent SQL.
+    // q101 keeps only windows STRICTLY inside the final watermark
+    // (window_end < max(ts) - 2h) on BOTH sides, so the append-mode
+    // emission boundary (< vs <= the watermark) cannot flip the compare.
+    "q101_stream_windowed_counts" ->
+      """WITH wm AS (SELECT max(ts) AS mx FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM events, wm
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR < mx - INTERVAL 2 HOUR
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q102: mapGroupsWithState never times out within the bounded replay
+    // (idle timeout 30 min of PROCESSING time), so the final per-user state
+    // is the plain per-user total
+    "q102_stream_sessionize" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q51_dedup_levenshtein" ->
       """WITH d AS (SELECT doc_id, lang, text, length(text) AS len
         |  FROM documents WHERE strlen(text) = length(text))

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Stream-replay bridge: runs the [[StreamingOps]] transforms as REAL
+ * Structured Streaming queries (readStream → watermark/state → memory sink,
+ * `Trigger.AvailableNow`) over the bounded testdata, awaits completion, and
+ * returns the sink as a DataFrame — which gives the streaming tier
+ * CORRECTNESS rows against the DuckDB oracle (VERDICT r7 #3) instead of
+ * ScalaTest-only coverage. The oracle replays the batch dual in SQL; the
+ * Spark side exercises the actual micro-batch engine, watermark eviction,
+ * and state store.
+ *
+ * Determinism notes:
+ *  - The whole events file arrives in micro-batch 0 (FileStreamSource, no
+ *    maxFilesPerTrigger cap), so the final watermark is max(ts) - delay.
+ *  - Append mode emits a window when the watermark passes its END; whether
+ *    the boundary is < or <= is engine detail, so both the returned frame
+ *    and the oracle keep only windows STRICTLY inside the watermark
+ *    (window_end < max_ts - delay) — unambiguous under either inequality.
+ *  - Update-mode sinks receive one row per (key, batch-with-changes); the
+ *    final state per key is selected by max(n_events) (monotone across
+ *    updates), making the result independent of how the engine happened to
+ *    split batches.
+ */
+object StreamReplay {
+  // memory-sink names must be unique per run: Bench re-executes each query
+  // 4x per process and a duplicate queryName is a start() error
+  private val runId = new AtomicLong(0L)
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.operators.Tables.t(spark, dir, "events").schema
+    // events.parquet is a FILE; FileStreamSource requires a directory
+    // basePath, so glob the filename — basePath then resolves to $dir
+    spark.readStream.schema(schema).parquet(s"$dir/events*")
+  }
+
+  /** Runs `q` to a memory sink and returns the sink table. AvailableNow
+   * self-terminates for pure event-time pipelines; `done` (sink-complete
+   * predicate) covers processing-time-timeout state machines, which keep
+   * scheduling empty batches for pending timeouts and must be stopped by
+   * the caller side (OperatorsSpec r8 finding). */
+  private def runToSink(
+      spark: SparkSession,
+      q: DataFrame,
+      mode: String,
+      done: Option[String => Boolean] = None): DataFrame = {
+    val name = s"stream_replay_${runId.incrementAndGet()}"
+    val sq = q.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    done match {
+      case None =>
+        // event-time only: the query stops itself once the files are drained
+        if (!sq.awaitTermination(300000L)) { sq.stop(); sys.error(s"$name did not terminate") }
+      case Some(pred) =>
+        val deadline = System.nanoTime() + 300L * 1000000000L
+        // also break if the query died: polling a failed stream to the
+        // deadline would turn a fast failure into a 5-minute hang
+        while (sq.isActive && !pred(name) && System.nanoTime() < deadline) Thread.sleep(100)
+        sq.stop()
+        sq.awaitTermination(60000L)
+        sq.exception.foreach(e => throw e)
+        if (!pred(name)) sys.error(s"$name: sink incomplete at deadline")
+    }
+    spark.table(name)
+  }
+
+  /** q101: event-time windowed counts with watermark eviction, run through
+   * the micro-batch engine in append mode. */
+  def windowedCountsReplay(spark: SparkSession, dir: String): DataFrame = {
+    // bounded driver pull: ONE row (the global max timestamp) — needed to
+    // apply the strict-inside-watermark cut on both engines identically
+    val maxTs = graft.operators.Tables.t(spark, dir, "events")
+      .agg(max("ts")).head().getTimestamp(0)
+    val sink = runToSink(spark, StreamingOps.windowedCounts(eventsStream(spark, dir)), "append")
+    sink
+      .where(col("window_start") + expr("INTERVAL 1 HOUR") < lit(maxTs) - expr("INTERVAL 2 HOURS"))
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** q102: per-user mapGroupsWithState session state, run through the
+   * micro-batch engine in update mode; final state per user reconstructed
+   * from the update log by max(n_events). */
+  def sessionizeReplay(spark: SparkSession, dir: String): DataFrame = {
+    val totalRows = graft.operators.Tables.t(spark, dir, "events").count()
+    val sessionized = StreamingOps.sessionize(spark, eventsStream(spark, dir))
+    val sink = runToSink(spark, sessionized, "update", done = Some { name =>
+      // complete when every input row is reflected in some user's state
+      // (per-user n_events is monotone; the max over updates is the total)
+      spark.sql(
+        s"SELECT coalesce(sum(n), 0) FROM (SELECT max(n_events) AS n FROM $name GROUP BY user_id)"
+      ).head().getLong(0) == totalRows
+    })
+    sink
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+      .select(
+        col("user_id"),
+        col("s.n_events").as("n_events"),
+        round(col("s.total_value"), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+}
