@@ -89,6 +89,24 @@ object Bench {
           .groupBy("archive").count().collect().map(_.getLong(1)).sum
         (System.nanoTime() - t0) / 1e9
     }
+    // gz twin (VERDICT r7 #4): same decode through the gzip path — one
+    // stream, so one task; completes the baseline envelope next to the
+    // reference's published 21.7 MB example.wsp.gz fact
+    val whisperGzPath =
+      try {
+        val p = graft.operators.WhisperWorkload.refScaleGzFixture()
+        def scanRows() = spark.read.format("whisper").load(p.toString)
+          .groupBy("archive").count().collect().map(_.getLong(1)).sum
+        if (scanRows() == WhisperWorkload.RefScaleRows) Some(p) else None
+      } catch { case _: Throwable => None }
+    def timeWhisperGz(): Double = whisperGzPath match {
+      case None => -1.0
+      case Some(p) =>
+        val t0 = System.nanoTime()
+        spark.read.format("whisper").load(p.toString)
+          .groupBy("archive").count().collect().map(_.getLong(1)).sum
+        (System.nanoTime() - t0) / 1e9
+    }
 
     // Pass 0: warm (codegen compile + footer caches), untimed.
     names.foreach { n =>
@@ -99,9 +117,11 @@ object Bench {
     // Timed passes: full suite per pass, ref-scan appended to each pass.
     val samples = Array.fill(passes)(collection.mutable.LinkedHashMap.empty[String, Double])
     val whisperSamples = collection.mutable.ArrayBuffer.empty[Double]
+    val whisperGzSamples = collection.mutable.ArrayBuffer.empty[Double]
     for (p <- 0 until passes) {
       names.foreach(n => samples(p)(n) = timeOne(n))
       whisperSamples += timeWhisper()
+      whisperGzSamples += timeWhisperGz()
     }
 
     val official: Seq[(String, Double)] = names.map { n =>
@@ -112,10 +132,16 @@ object Bench {
     val total = official.map(_._2).filter(_ >= 0).sum
     val passTotals = samples.map(_.values.filter(_ >= 0).sum)
     val whisperOk = whisperSamples.filter(_ >= 0)
+    val whisperGzOk = whisperGzSamples.filter(_ >= 0)
     val whisperJson =
-      if (whisperOk.nonEmpty)
+      (if (whisperOk.nonEmpty)
         s""","whisper_ref_scan_sec":${f3(whisperOk.min)},"whisper_ref_rows":${WhisperWorkload.RefScaleRows}"""
-      else ""
+      else "") +
+      (whisperGzPath match {
+        case Some(p) if whisperGzOk.nonEmpty =>
+          s""","whisper_ref_gz_sec":${f3(whisperGzOk.min)},"whisper_ref_gz_bytes":${java.nio.file.Files.size(p)}"""
+        case _ => ""
+      })
 
     // Per-query Spark-vs-DuckDB time ratios (VERDICT r5 item 1: make the
     // 2x-of-baseline bar auditable per query). ORACLE_BENCH.json is written
@@ -266,6 +292,7 @@ object Bench {
          |"queries":$qs,
          |"errors":$errs$whisperJson$ratioJson$slopeJson$reasonJson$unadjJson,
          |"whisper_ref_samples":[${whisperSamples.map(f3).mkString(",")}],
+         |"whisper_ref_gz_samples":[${whisperGzSamples.map(f3).mkString(",")}],
          |$perPass,
          |"sf":"$sfDir"}""".stripMargin
     val outFile = java.nio.file.Paths.get(
