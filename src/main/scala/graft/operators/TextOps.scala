@@ -107,11 +107,19 @@ object TextOps {
    */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = t(spark, dir, "documents")
+    // One tokenize pass (see the persist note in [[bigramSurprisal]]): both
+    // count tables derive from the persisted per-doc term multiplicities.
+    // tf = sum of m over docs; df = row count per tok, which equals
+    // countDistinct(doc_id) because (doc_id, tok) is unique in docTok and
+    // lang is functionally dependent on doc_id. nDocs stays a separate scan:
+    // it reads zero text bytes (count-only, column-pruned).
+    val docTok = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = t(spark, dir, "documents").agg(count(col("text")).as("nd"))
-    val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val tf = docTok.groupBy("lang", "tok").agg(sum("m").as("tf"))
+    val df = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))
     tf.join(df, "tok")
       .crossJoin(nDocs)
@@ -227,17 +235,26 @@ object TextOps {
    * partial-aggregated map-side.
    */
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val tok = t(spark, dir, "documents")
+    // Same one-corpus-pass shape as [[bigramSurprisal]] (see the persist
+    // note there): per-doc token multiplicities are aggregated once and
+    // persisted; tf, nt, and the rarity join all derive from that relation,
+    // so the tokenize+explode lineage runs exactly once instead of three
+    // concurrent times. Multiplicity weighting keeps per-occurrence
+    // semantics bit-exact: sum(rarity over occurrences) == sum(m * rarity),
+    // count(1) == sum(m), max unchanged.
+    val docTok = t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = docTok.groupBy("tok").agg(sum("m").as("tf"))
     val nt = tf.agg(sum("tf").as("nt"))
-    tok.join(tf, "tok")
+    docTok.join(tf, "tok")
       .crossJoin(nt)
       .withColumn("rarity", expr("nt * 1000000 div tf"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        expr("sum(rarity) div count(1)").as("mean_rarity_ppm"),
+        sum("m").as("n_tokens"),
+        expr("sum(m * rarity) div sum(m)").as("mean_rarity_ppm"),
         max("rarity").as("max_rarity_ppm")
       )
       .orderBy("doc_id")
@@ -296,7 +313,19 @@ object TextOps {
     // DISTINCT doc-bigrams instead of every occurrence. Multiplicity
     // weighting keeps the per-occurrence semantics bit-exact: sum(rarity
     // over occurrences) == sum(m * rarity), count == sum(m).
+    //
+    // persist() is what makes "one corpus pass" TRUE, not just intended:
+    // without it the docBg / c2 / c1 join branches each recompile the full
+    // tokenize+explode lineage, and under AQE the two broadcast-side
+    // branches run as concurrent stage futures — 3 corpus scans racing on
+    // the same cores (measured at 100x sf0.1: 3 concurrent 500k-doc explode
+    // stages, 25–141 s wall variance from the oversubscription; one shared
+    // pass: stable ~12 s). ReuseExchange does not collapse them because the
+    // broadcast branches canonicalize differently. The persisted relation
+    // is the corpus's distinct (doc, bigram) table — O(tokens) worst case,
+    // columnar-compressed, MEMORY_AND_DISK so it spills instead of OOMing.
     val docBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = docBg.groupBy("w1", "w2").agg(sum("m").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     docBg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))

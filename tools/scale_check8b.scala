@@ -1,0 +1,143 @@
+// Round-8 scaling check, part B: the document-corpus shapes re-run at
+// 1x/10x/30x/100x under a LENGTH-PRESERVING replica perturbation.
+//
+// Part A (scale_check8.scala) suffixed every word with "~r"; that grows
+// word counts unevenly across a near-dup pair, so q26's n_chars +-10
+// blocking band (a correctness feature: Jaccard >= 0.6 bounds relative
+// length difference) rejected the replicated pairs -- output stayed at the
+// k=1 count and the probe measured a pipeline whose pair stage had nothing
+// to verify. Part B replaces the suffix with a PER-REPLICA SUBSTITUTION
+// CIPHER: replica r maps lowercase, uppercase, and digit alphabets through
+// permutations seeded by r (scala.util.Random(seed+r).shuffle), applied
+// with translate(). Properties:
+//  - length EXACTLY preserved -> n_chars bands, length buckets, filled
+//    ratios all see the base distribution;
+//  - within a replica the gram/shingle/word space is mapped bijectively ->
+//    every base near-dup pair exists in every replica with IDENTICAL
+//    Jaccard / signature overlap; df histograms replicate exactly;
+//  - across replicas two independent permutations agree on a given char
+//    with p=1/26, on a 4-gram with ~(1/26)^4 -> cross-replica similarity
+//    ~0 and the true pair count is exactly k * base (linear law; 26! >> k
+//    so no two replicas share a cipher, unlike a Caesar rotation).
+//
+// Expected outputs under the law: q26 pairs = 132k at sf0.1 base 132*k;
+// q60 non-isolated nodes = 477*k; q89/q93 rows = 5000*k.
+//
+// Run (AFTER sbt package):
+//   /opt/spark/bin/spark-shell --master 'local[32]' --driver-memory 48g \
+//     --jars target/scala-2.13/whisperpandasspark_2.13-0.1.0.jar \
+//     --conf spark.ui.enabled=false \
+//     --conf spark.sql.session.timeZone=UTC \
+//     --conf spark.sql.shuffle.partitions=32 \
+//     -i tools/scale_check8b.scala 2>/dev/null | grep -o '\[s8b\].*'
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+spark.conf.set("spark.sql.adaptive.enabled", "true")
+spark.sparkContext.setLogLevel("ERROR")
+
+object Shuf {
+  @volatile var total = 0L
+  @volatile var peak = 0L
+  def reset(): Unit = { total = 0L; peak = 0L }
+}
+spark.sparkContext.addSparkListener(new SparkListener {
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+    val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    Shuf.total += w
+    if (w > Shuf.peak) Shuf.peak = w
+  }
+})
+
+val dc0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").cache()
+dc0.count()
+
+val lower = "abcdefghijklmnopqrstuvwxyz"
+val upper = lower.toUpperCase
+val digit = "0123456789"
+val src = lower + upper + digit
+def cipher(r: Int): String = {
+  def perm(s: String, seed: Int): String =
+    new scala.util.Random(seed).shuffle(s.toList).mkString
+  if (r == 0) src
+  else perm(lower, 1000 + r) + perm(upper, 3000 + r) + perm(digit, 5000 + r)
+}
+
+def mkDir(k: Int): String = {
+  val dir = s"/tmp/scale8c/k$k"
+  if (!new java.io.File(s"$dir/_DONE").exists) {
+    (0 until k).foreach { r =>
+      dc0.select(
+          (col("doc_id") * k + lit(r)).as("doc_id"),
+          translate(col("text"), src, cipher(r)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .coalesce(4)
+        .write.mode(if (r == 0) "overwrite" else "append")
+        .parquet(s"$dir/documents.parquet")
+    }
+    new java.io.File(s"$dir/_DONE").createNewFile()
+  }
+  dir
+}
+
+val shapes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+  ("q26_ngram_jaccard", graft.operators.DedupOps.ngramJaccard _),
+  ("q60_dedup_clusters", graft.operators.DedupOps.dedupClusters _),
+  ("q89_bigram_surprisal", graft.operators.TextOps.bigramSurprisal _),
+  ("q93_substring_dup", graft.operators.DedupOps.substringDup _))
+
+def gb(b: Long): Double = b / 1e9
+
+for (k <- Seq(1, 10, 30, 100)) {
+  val dir = mkDir(k)
+  val ndc = spark.read.parquet(s"$dir/documents.parquet").count()
+  println(f"[s8b] ==== k=$k%3d docs=$ndc%7d ====")
+  for ((name, f) <- shapes) {
+    Shuf.reset()
+    val t0 = System.nanoTime()
+    val warmRows = f(spark, dir).count()
+    val warm = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(700)
+    val (sTot, sPeak) = (Shuf.total, Shuf.peak)
+    val best = (1 to 2).map { _ =>
+      val t = System.nanoTime(); f(spark, dir).count(); (System.nanoTime() - t) / 1e9
+    }.min
+    println(f"[s8b] k=$k%3d $name%-22s rows=$warmRows%9d warm=$warm%8.2f s best=$best%8.2f s " +
+      f"shuffle_total=${gb(sTot)}%7.3f GB peak_stage=${gb(sPeak)}%7.3f GB")
+    spark.catalog.clearCache()
+    dc0.cache(); dc0.count() // clearCache dropped the generator's cache too
+  }
+}
+
+// q93 skew variant under the same law, at 30x and 100x: one hot 20-gram
+// (cipher-exempt literal, so it is globally identical) planted in 30% of
+// documents.
+for (k <- Seq(30, 100)) {
+  val dir = s"/tmp/scale8c/skew$k"
+  if (!new java.io.File(s"$dir/_DONE").exists) {
+    spark.read.parquet(s"/tmp/scale8c/k$k/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") % 10 < 3,
+          concat(col("text"), lit(" ZZHOTGRAMZZHOTGRAMZZHOTGRAMZZHOTGRAMZZ")))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    new java.io.File(s"$dir/_DONE").createNewFile()
+  }
+  Shuf.reset()
+  val t0 = System.nanoTime()
+  val rows = graft.operators.DedupOps.substringDup(spark, dir).count()
+  val warm = (System.nanoTime() - t0) / 1e9
+  Thread.sleep(700)
+  val (sTot, sPeak) = (Shuf.total, Shuf.peak)
+  val best = (1 to 2).map { _ =>
+    val t = System.nanoTime()
+    graft.operators.DedupOps.substringDup(spark, dir).count()
+    (System.nanoTime() - t) / 1e9
+  }.min
+  println(f"[s8b] k=$k%3d q93_substring_SKEW30     rows=$rows%9d warm=$warm%8.2f s best=$best%8.2f s " +
+    f"shuffle_total=${gb(sTot)}%7.3f GB peak_stage=${gb(sPeak)}%7.3f GB")
+  spark.catalog.clearCache()
+}
+sys.exit(0)
