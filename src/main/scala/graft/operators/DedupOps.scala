@@ -128,13 +128,22 @@ object DedupOps {
         col("n_chars"),
         explode(expr("char_ngrams(text, 4)")).as("g")
       )
-    // Document frequency as a window count over g: ONE shuffle annotates
-    // every occurrence with its gram's df — no second aggregation pass, no
-    // broadcast of the (corpus-sized) distinct-gram table, no cache.
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    val pruned = grams
-      .withColumn("df", count(lit(1)).over(byGram))
+    // Document frequency as a partial-aggregated count table joined back on
+    // g — NOT a window count over g. The window formulation ("one shuffle
+    // annotates every occurrence") concentrates every occurrence of a gram
+    // into ONE task's window partition, which no mechanism can split: a
+    // corpus-wide hot gram (whitespace/punctuation runs, boilerplate) makes
+    // that task's sort superlinear and AQE skew-split does not apply to
+    // window exchanges. Measured at the r8 100x replica sweep: 3.06 s at
+    // 30x -> 23.96 s at 100x with the window; the agg+join shape collapses
+    // the hot key map-side (combiner leaves <= #tasks rows per gram), the
+    // df filter then DROPS hot grams before they ever re-join, and the
+    // join back is an equi-join AQE can skew-split. Same number (occurrence
+    // count per gram), same <= 200 rule, bit-identical output.
+    val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 200)
+    val pruned = grams.join(dfTab, "g")
+      .select(col("doc_id"), col("n_chars"), col("g"), col("df"))
     // Per-doc gram set ordered rarest-first (global total order (df, g)) —
     // the canonical order for PREFIX FILTERING (Chaudhuri et al. SSJoin;
     // Xiao et al. PPJoin): for Jaccard >= t, two sets must share an element

@@ -94,6 +94,14 @@ for (k <- Seq(1, 10, 30, 100)) {
   val ndc = spark.read.parquet(s"$dir/documents.parquet").count()
   println(f"[s8b] ==== k=$k%3d docs=$ndc%7d ====")
   for ((name, f) <- shapes) {
+    // Protocol (r8 second iteration): the first run is discarded as JIT/plan
+    // warmup; the official number is the MIN of 2 runs that are JIT-warm but
+    // CACHE-COLD (clearCache between runs, so an operator's internal
+    // persist() is repaid every run, exactly as a fresh job would pay it).
+    // System.gc() between queries settles heap debt from the previous
+    // query's caches -- without it the k=100 walls inflated 2-4x from
+    // allocation pressure inherited across queries (measured: q89 66 s in a
+    // dirty session vs 17 s isolated, same jar, same data).
     Shuf.reset()
     val t0 = System.nanoTime()
     val warmRows = f(spark, dir).count()
@@ -101,11 +109,12 @@ for (k <- Seq(1, 10, 30, 100)) {
     Thread.sleep(700)
     val (sTot, sPeak) = (Shuf.total, Shuf.peak)
     val best = (1 to 2).map { _ =>
+      spark.catalog.clearCache(); System.gc()
       val t = System.nanoTime(); f(spark, dir).count(); (System.nanoTime() - t) / 1e9
     }.min
     println(f"[s8b] k=$k%3d $name%-22s rows=$warmRows%9d warm=$warm%8.2f s best=$best%8.2f s " +
       f"shuffle_total=${gb(sTot)}%7.3f GB peak_stage=${gb(sPeak)}%7.3f GB")
-    spark.catalog.clearCache()
+    spark.catalog.clearCache(); System.gc()
     dc0.cache(); dc0.count() // clearCache dropped the generator's cache too
   }
 }
@@ -132,6 +141,7 @@ for (k <- Seq(30, 100)) {
   Thread.sleep(700)
   val (sTot, sPeak) = (Shuf.total, Shuf.peak)
   val best = (1 to 2).map { _ =>
+    spark.catalog.clearCache(); System.gc()
     val t = System.nanoTime()
     graft.operators.DedupOps.substringDup(spark, dir).count()
     (System.nanoTime() - t) / 1e9
