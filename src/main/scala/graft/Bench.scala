@@ -45,8 +45,16 @@ object Bench {
     // SPARK_GRAFT_ONLY=q93_substring_dup,q26_... : time a subset with the
     // same warm + spaced-pass protocol (local iteration; driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Streaming replays (q101+) run real micro-batch executions whose wall
+    // is trigger/state-store overhead, not batch query cost; timing them
+    // inside the batch passes both muddies the cross-round batch total
+    // (r1-r7 records predate them) and leaks stream-side session state into
+    // the neighboring samples. They are timed in their own section below
+    // and reported under "streaming_queries"; the batch "total" stays
+    // apples-to-apples across rounds.
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    val (streamNames, names) = allNames.partition(_.contains("_stream_"))
     def dropState(): Unit = {
       spark.catalog.clearCache() // intra-query caches must not tax the next run
       // localCheckpoint blocks (sequencePack's partition-identity pin) are
@@ -122,6 +130,16 @@ object Bench {
       names.foreach(n => samples(p)(n) = timeOne(n))
       whisperSamples += timeWhisper()
       whisperGzSamples += timeWhisperGz()
+    }
+
+    // Streaming replays, timed AFTER the batch passes (see the partition
+    // note at `names`): warm run, then min-of-2 with state dropped between
+    // runs. Their wall is micro-batch trigger + state-store cost by design.
+    val streamOfficial: Seq[(String, Double)] = streamNames.map { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => }
+      dropState()
+      val xs = (1 to 2).map { _ => val v = timeOne(n); dropState(); v }
+      (n, if (xs.exists(_ < 0)) -1.0 else xs.min)
     }
 
     val official: Seq[(String, Double)] = names.map { n =>
@@ -261,6 +279,13 @@ object Bench {
         "single-shuffle window lag + partial agg"),
       "q64_unpivot" -> ("aggregate-first rewrite (r8): 16 aggregates in one partial-agg pass, stack runs on the " +
         "1-row result; no generator over input rows"),
+      "q53_tfidf_topterms" -> ("one-corpus-pass persist (r8): the per-doc term table is persisted so tf/df/join " +
+        "derive from one tokenize pass instead of three concurrent scans; the cache build is a fixed small-sf cost " +
+        "repaid per bench pass (clearCache policy), bought back 2 full-corpus scans at scale (BENCH_NOTES r8)"),
+      "q83_unigram_surprisal" -> ("one-corpus-pass persist (r8): same structure as q53; scale sweep 1.5 s at 1x " +
+        "-> 3.9 s at 100x data after the fix"),
+      "q89_bigram_surprisal" -> ("one-corpus-pass persist (r8): same structure as q53; pre-fix three concurrent " +
+        "corpus scans gave 25-141 s wall variance at 100x, post-fix 11-17 s stable (BENCH_NOTES r8)"),
       "q84_mm_png_decode" -> ("oracle asymmetry: Spark decodes 500 real PNGs (ImageIO, batched mapPartitions); " +
         "the DuckDB oracle replays closed-form synthesis constants and never touches a codec"),
       "q86_video_frame_decode" -> ("oracle asymmetry: Spark decodes real video frames; the DuckDB oracle replays " +
@@ -283,6 +308,10 @@ object Bench {
       else s""","ratio_n":${ratioPairs.size},"ratio_ge2_n":${ratioPairs.count(p => p._2 / p._3 >= 2.0)}$slopeDigest"""
 
     val qs = official.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val streamJson =
+      if (streamOfficial.isEmpty) ""
+      else streamOfficial.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString(""","streaming_queries":{""", ",", "}")
     val perPass = samples.zipWithIndex.map { case (m, i) =>
       "\"pass" + (i + 1) + "\":" + m.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     }.mkString(",")
@@ -290,7 +319,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,
          |"pass_totals":[${passTotals.map(f3).mkString(",")}],
          |"queries":$qs,
-         |"errors":$errs$whisperJson$ratioJson$slopeJson$reasonJson$unadjJson,
+         |"errors":$errs$streamJson$whisperJson$ratioJson$slopeJson$reasonJson$unadjJson,
          |"whisper_ref_samples":[${whisperSamples.map(f3).mkString(",")}],
          |"whisper_ref_gz_samples":[${whisperGzSamples.map(f3).mkString(",")}],
          |$perPass,
