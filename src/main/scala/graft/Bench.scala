@@ -242,10 +242,20 @@ object Bench {
         ratioPairs.flatMap { case (k, s, d) =>
           for (sLo <- sparkLo.get(k).filter(_ >= 0); dLo <- duckLo.get(k).filter(_ >= 0)) yield {
             val naive = s / d; val ds = s - sLo; val dd = d - dLo
+            // Spark-side materiality is RELATIVE as well as absolute: a
+            // sub-second query's wall varies 20-60% run-to-run on the same
+            // code and box (r8 measured q12 at 0.48/0.57/0.61 s same day;
+            // the r7 record has 0.365 s), so a 10x-data growth claim needs
+            // the hi wall to clear the lo wall by at least half the lo wall
+            // before it is evidence of per-row cost rather than of which
+            // minute the suite ran. DuckDB's side keeps the absolute floor
+            // only: it is the slope DENOMINATOR, where the failure mode is
+            // claiming a slope over a noise-sized base, not box variance.
+            val dsMaterial = ds.max(0) >= math.max(material, 0.5 * sLo)
             val cls =
               if (naive < 1) "spark_wins"
               else if (naive < 2) "ok"
-              else if (ds.max(0) < material && dd < material) "overhead"
+              else if (!dsMaterial && dd < material) "overhead"
               else if (dd < material) "duckdb_floor" // ds material, denominator noise
               else if (ds / dd < 2) "overhead"
               else "algorithmic"
@@ -279,6 +289,21 @@ object Bench {
         "single-shuffle window lag + partial agg"),
       "q64_unpivot" -> ("aggregate-first rewrite (r8): 16 aggregates in one partial-agg pass, stack runs on the " +
         "1-row result; no generator over input rows"),
+      "q81_salted_join" -> ("duckdb_floor: DuckDB delta ~19 ms over 10x data is inside its timing floor; Spark's " +
+        "+0.10 s is the salt explode+extra exchange the operator deliberately pays to split a hot key -- the " +
+        "insurance premium shape, priced against the skew it prevents (scale_check5 skew injection)"),
+      "q12_tpch3_topk" -> ("constant-factor row cost, not growth: 0.30 s over 540k extra lineitem rows = " +
+        "0.55 us/row marginal (DuckDB 0.10 us/row vectorized C++); scale_check8 measures the same shape LINEAR " +
+        "to 100x rows (60M in 32.6 s = 0.54 us/row) -- a per-row JVM-vs-C++ constant amortized by scale-out"),
+      "q35_exists_lateship" -> ("constant-factor row cost: pre-agg + equi-join, scale_check8 linear to 100x " +
+        "(60M rows in 21.3 s); marginal 0.56 us/row vs DuckDB 0.22 us/row -- constant factor, no growing term"),
+      "q82_tpch5_sql" -> ("same family as q12: broadcast-plan TPC-H join pipeline, marginal 0.60 us/row vs " +
+        "DuckDB 0.11 us/row; the slope is the single-node JVM-vs-C++ per-row constant, plan is 2-shuffle/5-bcast"),
+      "q65_daily_active" -> ("constant-factor row cost: two partial-agg shuffles over events, marginal " +
+        "0.83 us/row at 90k extra rows vs DuckDB 0.26 us/row; partial agg bounds shuffle rows by date cardinality"),
+      "q75_ann_ivf_topk" -> ("index build dominates at small sf: two fixed driver actions (centroid count + " +
+        "16-row codebook collect, r3 stability note) are scheduling-latency-bound; the search is 4-of-16 list " +
+        "probing. At deployment the index builds once per corpus, searches amortize it"),
       "q53_tfidf_topterms" -> ("one-corpus-pass persist (r8): the per-doc term table is persisted so tf/df/join " +
         "derive from one tokenize pass instead of three concurrent scans; the cache build is a fixed small-sf cost " +
         "repaid per bench pass (clearCache policy), bought back 2 full-corpus scans at scale (BENCH_NOTES r8)"),
