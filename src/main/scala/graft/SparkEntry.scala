@@ -155,6 +155,8 @@ object SparkEntry {
     // the streaming semantics get CORRECTNESS rows, not just ScalaTest
     "q101_stream_windowed_counts" -> (graft.streaming.StreamReplay.windowedCountsReplay(_, _)),
     "q102_stream_sessionize" -> (graft.streaming.StreamReplay.sessionizeReplay(_, _)),
+    "q103_stream_dedup" -> (graft.streaming.StreamReplay.dedupReplay(_, _)),
+    "q104_stream_interval_join" -> (graft.streaming.StreamReplay.intervalJoinReplay(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -746,6 +748,24 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |round(sum(value), 2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q103: one AvailableNow batch (single source file) => the watermarked
+    // dedup's surviving set is exactly the distinct key set; only key
+    // columns are compared (the surviving row's other columns depend on
+    // intra-batch arrival order)
+    "q103_stream_dedup" ->
+      """SELECT user_id, event_type FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q104: inner interval-join matches emit in the batch they arrive, so
+    // the bounded replay equals the batch join; epoch-micros integers make
+    // the timestamp compare exact on both engines
+    "q104_stream_interval_join" ->
+      """SELECT p.user_id AS user_id, epoch_us(p.ts) AS p_us,
+        |round(p.value, 2) AS p_value, epoch_us(e.ts) AS e_us
+        |FROM events p JOIN events e
+        |ON p.event_type = 'purchase' AND e.event_type = 'error'
+        |AND e.user_id = p.user_id
+        |AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+        |ORDER BY 1, 2, 4""".stripMargin,
     "q51_dedup_levenshtein" ->
       """WITH d AS (SELECT doc_id, lang, text, length(text) AS len
         |  FROM documents WHERE strlen(text) = length(text))

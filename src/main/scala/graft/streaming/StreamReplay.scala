@@ -86,6 +86,41 @@ object StreamReplay {
       .orderBy("window_start", "event_type")
   }
 
+  /** q103: streaming exact dedup ([[StreamingOps.dedupWithinWatermark]])
+   * replayed bounded. events.parquet is one file, so AvailableNow delivers
+   * every row in ONE micro-batch; state never evicts mid-stream and the
+   * surviving set is exactly the distinct key set. Only the key columns are
+   * emitted: which physical row survives per key depends on intra-batch
+   * arrival order, which the oracle cannot replay. */
+  def dedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val sink = runToSink(
+      spark,
+      StreamingOps.dedupWithinWatermark(eventsStream(spark, dir), Seq("user_id", "event_type")),
+      "append")
+    sink.select(col("user_id"), col("event_type")).orderBy("user_id", "event_type")
+  }
+
+  /** q104: watermarked stream-stream interval join
+   * ([[StreamingOps.intervalJoin]]: each purchase x the same user's error
+   * events from the preceding hour) replayed bounded. INNER interval-join
+   * matches emit in the micro-batch they arrive in (no watermark
+   * finalization wait), so the bounded replay's sink equals the batch
+   * join. Timestamps are emitted as epoch micros (exact integers on both
+   * engines). */
+  def intervalJoinReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val joined = StreamingOps.intervalJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "error"))
+    val sink = runToSink(spark, joined, "append")
+    sink.select(
+      col("p_user").as("user_id"),
+      unix_micros(col("p_ts")).as("p_us"),
+      round(col("p_value"), 2).as("p_value"),
+      unix_micros(col("e_ts")).as("e_us"))
+      .orderBy("user_id", "p_us", "e_us")
+  }
+
   /** q102: per-user mapGroupsWithState session state, run through the
    * micro-batch engine in update mode; final state per user reconstructed
    * from the update log by max(n_events). */
