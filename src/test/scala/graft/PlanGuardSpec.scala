@@ -130,6 +130,30 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), s"q12 global-sorts for a LIMIT:\n$plan")
   }
 
+  test("q26 df annotation stays an agg+join, never a window over g (r8)") {
+    // The window formulation concentrates every occurrence of a gram into
+    // one task's window partition — unsplittable by AQE, superlinear on
+    // corpus-wide hot grams (BENCH_NOTES r8: 3.1 s at 30x -> 24.0 s at
+    // 100x). The shipped shape partial-aggregates df and equi-joins it
+    // back; a refactor that reintroduces the window passes the oracle and
+    // only blows up at scale, so pin it here.
+    val plan = SparkEntry.queries("q26_dedup_ngram_jaccard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q26 reintroduced a window over g:\n$plan")
+  }
+
+  test("surprisal/tfidf corpus pass is shared via the persisted per-doc aggregate (r8)") {
+    // Without the persist the c2/c1/tf branches recompile the full
+    // tokenize+explode lineage and run as CONCURRENT broadcast-stage
+    // futures (three corpus scans racing; BENCH_NOTES r8). The persisted
+    // relation shows up as InMemoryTableScan in every branch.
+    for (q <- Seq("q53_tfidf_topterms", "q83_unigram_surprisal", "q89_bigram_surprisal")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), s"$q lost the shared corpus pass:\n$plan")
+      spark.catalog.clearCache() // do not leak the persist into other guards
+    }
+  }
+
   test("q61 decontaminate broadcasts the test side (shingle join stays hash)") {
     // sf0.001 under AQE degenerates to empty-relation propagation, which
     // hides the join; pin the INTENDED shape from the initial plan instead:
