@@ -289,6 +289,9 @@ object Bench {
         "single-shuffle window lag + partial agg"),
       "q64_unpivot" -> ("aggregate-first rewrite (r8): 16 aggregates in one partial-agg pass, stack runs on the " +
         "1-row result; no generator over input rows"),
+      "q50_sessionize" -> ("constant-factor row cost at the materiality boundary: lag-window + cumsum partitioned " +
+        "by user_id, whose cardinality grows WITH the data; scale_check8c measures the shape sublinear to 100x " +
+        "(0.64 s at 100k events -> 4.50 s at 10M = 7x wall for 100x rows)"),
       "q81_salted_join" -> ("duckdb_floor: DuckDB delta ~19 ms over 10x data is inside its timing floor; Spark's " +
         "+0.10 s is the salt explode+extra exchange the operator deliberately pays to split a hot key -- the " +
         "insurance premium shape, priced against the skew it prevents (scale_check5 skew injection)"),
