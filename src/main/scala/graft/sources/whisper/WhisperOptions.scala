@@ -18,6 +18,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *                   this are split into multiple scan partitions (byte-range reads);
  *                   with `timeSort=true` an archive is one partition so ordering
  *                   can be restored by ring rotation without a shuffle.
+ *  - `binThreshold` (default 128): when a glob expands to more scan units than
+ *                   this, small units are bin-packed into shared partitions
+ *                   (up to `maxPointsPerSplit` points per bin, with a
+ *                   per-unit open cost) so a million-file graphite tree
+ *                   schedules thousands of tasks, not millions.
  */
 final case class WhisperOptions(
     dropTimeZero: Boolean,
@@ -28,7 +33,8 @@ final case class WhisperOptions(
     maxPointsPerSplit: Long,
     vectorized: Boolean,
     streamStartTimestamp: Long,
-    streamNowOverride: Long
+    streamNowOverride: Long,
+    binThreshold: Int = 128
 ) {
   require(dtype == "double" || dtype == "float", s"dtype must be double|float, got $dtype")
   require(
@@ -68,6 +74,10 @@ object WhisperOptions {
     // streaming only: deliver points with timestamp > this at the first batch
     streamStartTimestamp = map.getLong("streamStartTimestamp", 0L),
     // streaming only: frozen "now" for deterministic tests (-1 = wall clock)
-    streamNowOverride = map.getLong("streamNowOverride", -1L)
+    streamNowOverride = map.getLong("streamNowOverride", -1L),
+    // above this many scan units (file x archive x split), small units are
+    // bin-packed into shared partitions (a graphite tree is millions of
+    // small files; one task each would be pure scheduler overhead)
+    binThreshold = map.getInt("binThreshold", 128)
   )
 }

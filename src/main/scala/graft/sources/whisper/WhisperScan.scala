@@ -22,9 +22,12 @@ import graft.format.WhisperCodec
  * Scale design (the reference reads whole files eagerly on one node,
  * `whisper_pandas.py:263-269`; we do not):
  *  - planning reads ONLY headers (16 + 12*N bytes per file);
- *  - one InputPartition per (file, archive); with `timeSort=false`, archives
+ *  - one scan unit per (file, archive); with `timeSort=false`, archives
  *    larger than `maxPointsPerSplit` are split into byte-range chunks so a
- *    5M-point archive does not serialize through one task;
+ *    5M-point archive does not serialize through one task; past
+ *    `binThreshold` units, SMALL units are bin-packed into shared
+ *    partitions (see [[WhisperMultiPartition]]) so a million-file tree
+ *    schedules O(bytes/split) tasks, not O(files);
  *  - filters on archive/file prune partitions at plan time; filters on
  *    timestamp/position/value are evaluated during decode, before rows are
  *    materialized (`SupportsPushDownFilters`);
@@ -45,6 +48,14 @@ final case class WhisperInputPartition(
     posStart: Long,
     posCount: Long
 ) extends InputPartition
+
+/** Several small scan units served by ONE task, reading them sequentially.
+ * A graphite tree is millions of small .wsp files; one task per
+ * (file, archive) would be scheduler overhead, not I/O (scale_check8d:
+ * 2000 files = 2000 tasks of ~2 ms each). Units are bin-packed by the
+ * planner up to `maxPointsPerSplit` points per bin with a per-unit open
+ * cost, mirroring Spark's own FilePartition packing of small files. */
+final case class WhisperMultiPartition(units: Array[WhisperInputPartition]) extends InputPartition
 
 /** Serializable subset of pushed-down predicates, evaluated exactly in the
  * reader (so Spark can drop its own copy of these filters). */
@@ -207,26 +218,31 @@ class WhisperScan(
 
   /** Header reads are tiny but latency-bound; plan many files concurrently
    * (matters when a glob matches thousands of files on remote storage). */
+  private lazy val unitPartitions: Array[WhisperInputPartition] =
+    WhisperPlanning.plan(paths, options, preds).map(_.asInstanceOf[WhisperInputPartition])
+
   private lazy val plannedPartitions: Array[InputPartition] =
-    WhisperPlanning.plan(paths, options, preds)
+    WhisperPlanning.binPack(unitPartitions, options)
 
   override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   /** Size/row estimates from headers alone — lets Catalyst/AQE pick broadcast
    * vs shuffle without touching point data. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val parts = plannedPartitions.collect { case p: WhisperInputPartition => p }
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(parts.map(_.posCount * graft.format.WhisperCodec.PointSize).sum)
+      java.util.OptionalLong.of(unitPartitions.map(_.posCount * graft.format.WhisperCodec.PointSize).sum)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(parts.map(_.posCount).sum)
+      java.util.OptionalLong.of(unitPartitions.map(_.posCount).sum)
   }
 
   /** With timeSort on, every partition (= one archive) is emitted in
    * ascending timestamp order — declared so per-partition consumers skip
-   * their own sort. */
+   * their own sort. NOT declarable once bin-packing merges several
+   * archives into one partition: the units are emitted sequentially and
+   * their time ranges overlap across files. */
   override def outputOrdering(): Array[SortOrderV2] =
-    if (options.timeSort && requiredSchema.fieldNames.contains("timestamp"))
+    if (options.timeSort && requiredSchema.fieldNames.contains("timestamp") &&
+        plannedPartitions.forall(_.isInstanceOf[WhisperInputPartition]))
       Array(ExpressionsV2.sort(ExpressionsV2.column("timestamp"), SortDirectionV2.ASCENDING))
     else Array.empty
 
@@ -269,12 +285,60 @@ private[whisper] object WhisperPlanning {
     }
     perFile.seq.flatten.toArray
   }
+
+  /** Bin-pack small units into shared partitions once the unit count
+   * exceeds `binThreshold` (the many-small-files regime): first-fit over a
+   * path-sorted unit list (file locality per bin), capacity
+   * `maxPointsPerSplit` points per bin, each unit charged
+   * max(posCount, openCost) where openCost = maxPointsPerSplit/256 —
+   * the same open-cost idea Spark's FilePartition packing uses so tiny
+   * files cannot over-pack a bin. Below the threshold units pass through
+   * 1:1 and the scan keeps its per-archive ordering declaration. */
+  def binPack(units: Array[WhisperInputPartition], options: WhisperOptions): Array[InputPartition] = {
+    if (units.length <= options.binThreshold) units.toArray[InputPartition]
+    else {
+      val openCost = math.max(1L, options.maxPointsPerSplit / 256)
+      // Capacity mirrors Spark's FilePartition sizing: never bigger than
+      // maxPointsPerSplit, but small enough that the cluster's parallelism
+      // is fed (totalCost/parallelism) — 200 small files must not collapse
+      // into one task on a 32-core box while a million files still bound
+      // the partition count at O(totalBytes / maxSplit).
+      val parallelism =
+        try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
+        catch { case _: Throwable => 8 }
+      val totalCost = units.map(u => math.max(u.posCount, openCost)).sum
+      val capacity = math.max(
+        2L * openCost,
+        math.min(options.maxPointsPerSplit, totalCost / math.max(1, parallelism) + 1))
+      val sorted = units.sortBy(u => (u.filePath, u.archiveIndex, u.posStart))
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Array[WhisperInputPartition]]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[WhisperInputPartition]
+      var curPts = 0L
+      for (u <- sorted) {
+        val cost = math.max(u.posCount, openCost)
+        if (cur.nonEmpty && curPts + cost > capacity) {
+          bins += cur.toArray; cur.clear(); curPts = 0L
+        }
+        cur += u; curPts += cost
+      }
+      if (cur.nonEmpty) bins += cur.toArray
+      bins.map { b =>
+        if (b.length == 1) b.head: InputPartition else WhisperMultiPartition(b)
+      }.toArray
+    }
+  }
 }
 
 class WhisperReaderFactory(options: WhisperOptions, preds: Seq[WPred], requiredSchema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WhisperPartitionReader(partition.asInstanceOf[WhisperInputPartition], options, preds, requiredSchema)
+    partition match {
+      case m: WhisperMultiPartition =>
+        new WhisperSequentialReader[InternalRow](
+          m.units, u => new WhisperPartitionReader(u, options, preds, requiredSchema))
+      case p: WhisperInputPartition =>
+        new WhisperPartitionReader(p, options, preds, requiredSchema)
+    }
 
   /** Columnar reads: decode straight into column vectors — no per-row
    * InternalRow materialization; Spark's ColumnarToRow + whole-stage codegen
@@ -282,7 +346,40 @@ class WhisperReaderFactory(options: WhisperOptions, preds: Seq[WPred], requiredS
   override def supportColumnarReads(partition: InputPartition): Boolean = options.vectorized
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new WhisperColumnarReader(partition.asInstanceOf[WhisperInputPartition], options, preds, requiredSchema)
+    partition match {
+      case m: WhisperMultiPartition =>
+        new WhisperSequentialReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+          m.units, u => new WhisperColumnarReader(u, options, preds, requiredSchema))
+      case p: WhisperInputPartition =>
+        new WhisperColumnarReader(p, options, preds, requiredSchema)
+    }
+}
+
+/** Drains one inner reader per unit, in order; a unit's reader is built
+ * lazily so at most one unit's decode buffer is live at a time. */
+class WhisperSequentialReader[T](
+    units: Array[WhisperInputPartition],
+    mk: WhisperInputPartition => PartitionReader[T]
+) extends PartitionReader[T] {
+  private val it = units.iterator
+  private var cur: PartitionReader[T] = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = mk(it.next())
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): T = cur.get()
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Shared partition decode: byte-range read -> filtered primitive arrays +

@@ -185,6 +185,34 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.select("archive").distinct().head().getInt(0) == 0)
   }
 
+  test("many small files bin-pack into shared partitions (r8)") {
+    val many = dir.resolve("many200")
+    (0 until 200).foreach { i =>
+      WhisperWriter.writeFile(
+        many.resolve(f"b$i%03d.wsp"),
+        FileSpec(archives = Seq(
+          ArchiveSpec(10, 120, filled = 120, lastTimestamp = 1600000000L + i * 10, rotation = 3))))
+    }
+    val binned = read(s"$many/*.wsp")
+    val unbinned = read(s"$many/*.wsp", Map("binThreshold" -> "1000000"))
+    // 200 units exceed the default threshold (128): packed into few tasks
+    assert(binned.rdd.getNumPartitions < 20,
+      s"expected bin-packed partitions, got ${binned.rdd.getNumPartitions}")
+    assert(unbinned.rdd.getNumPartitions == 200)
+    // identical content either way (order-insensitive)
+    val cols = Seq("file", "archive", "position", "timestamp", "value")
+    val a = binned.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    val b = unbinned.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    assert(binned.count() == 200L * 120)
+    // row (non-vectorized) multi-unit path
+    assert(read(s"$many/*.wsp", Map("vectorized" -> "false")).count() == 200L * 120)
+    // pushdown evaluates identically inside a bin
+    val cut = to_timestamp(lit("2020-09-13 12:30:00"))
+    assert(binned.filter(col("timestamp") >= cut).count() ==
+      unbinned.filter(col("timestamp") >= cut).count())
+  }
+
   // --- pushdown & pruning (connector-specific) ---
 
   test("filter pushdown appears in plan and prunes partitions") {
