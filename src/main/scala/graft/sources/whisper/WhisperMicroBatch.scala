@@ -66,10 +66,14 @@ class WhisperMicroBatchStream(
     // that appear after stream start are tailed too (lenient: an empty match
     // is an empty micro-batch, not an error)
     val paths = WhisperIO.expandPatterns(rawPatterns, lenient = true)
-    // same plan-time archive/file pruning as the batch scan
-    WhisperPlanning.plan(paths, options, preds).map {
+    // same plan-time archive/file pruning AND small-unit bin-packing as the
+    // batch scan -- a streaming tail over a large graphite tree pays the
+    // per-unit scheduler tax EVERY trigger, so packing matters more here
+    val units = WhisperPlanning.plan(paths, options, preds)
+      .map(_.asInstanceOf[WhisperInputPartition])
+    WhisperPlanning.binPack(units, options).map {
+      case m: WhisperMultiPartition => WhisperStreamMultiPartition(m.units, lo, hi): InputPartition
       case p: WhisperInputPartition => WhisperStreamPartition(p, lo, hi): InputPartition
-      case other                    => other
     }
   }
 
@@ -83,6 +87,10 @@ class WhisperMicroBatchStream(
 final case class WhisperStreamPartition(base: WhisperInputPartition, lo: Long, hi: Long)
   extends InputPartition
 
+/** A bin of small units plus the shared micro-batch window. */
+final case class WhisperStreamMultiPartition(units: Array[WhisperInputPartition], lo: Long, hi: Long)
+  extends InputPartition
+
 /** Appends the partition's time window to the pushed predicates and reuses
  * the batch partition reader — the window prunes during decode. */
 class WhisperStreamReaderFactory(
@@ -90,9 +98,13 @@ class WhisperStreamReaderFactory(
     preds: Seq[WPred],
     requiredSchema: StructType
 ) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition) = {
-    val p = partition.asInstanceOf[WhisperStreamPartition]
-    val windowPreds = Seq(NumCmp("timestamp", ">", p.lo), NumCmp("timestamp", "<=", p.hi))
-    new WhisperPartitionReader(p.base, options, preds ++ windowPreds, requiredSchema)
+  override def createReader(partition: InputPartition) = partition match {
+    case p: WhisperStreamPartition =>
+      val windowPreds = Seq(NumCmp("timestamp", ">", p.lo), NumCmp("timestamp", "<=", p.hi))
+      new WhisperPartitionReader(p.base, options, preds ++ windowPreds, requiredSchema)
+    case m: WhisperStreamMultiPartition =>
+      val windowPreds = Seq(NumCmp("timestamp", ">", m.lo), NumCmp("timestamp", "<=", m.hi))
+      new WhisperSequentialReader[org.apache.spark.sql.catalyst.InternalRow](
+        m.units, u => new WhisperPartitionReader(u, options, preds ++ windowPreds, requiredSchema))
   }
 }

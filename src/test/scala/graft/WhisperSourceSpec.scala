@@ -360,6 +360,34 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming tail bin-packs many small files per trigger (r8)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // reuse the 200-file tree from the batch binning test (written there if
+    // that test ran first; write idempotently here for isolation)
+    val many = dir.resolve("many200")
+    if (!java.nio.file.Files.exists(many.resolve("b000.wsp"))) {
+      (0 until 200).foreach { i =>
+        WhisperWriter.writeFile(
+          many.resolve(f"b$i%03d.wsp"),
+          FileSpec(archives = Seq(
+            ArchiveSpec(10, 120, filled = 120, lastTimestamp = 1600000000L + i * 10, rotation = 3))))
+      }
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("wsp-bin-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("wsp-bin-out").toString
+    val q = spark.readStream.format("whisper")
+      .option("streamNowOverride", 1600010000L)
+      .load(s"$many/*.wsp")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 200L * 120)
+    assert(out.select("file").distinct().count() == 200L)
+  }
+
   test("micro-batch stream picks up files appearing after stream start") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val growing = Files.createTempDirectory("whisper-growing")
