@@ -72,6 +72,165 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 }
 
 /**
+ * `l2_sq(array<double>, array<double>)` — squared L2 distance, accumulated
+ * left-to-right in double, bit-identical to the
+ * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0D, (acc,x) -> acc+x)`
+ * HOF it replaces (same element order, same double adds). The HOF pays an
+ * interpreted lambda + an intermediate array per evaluation; in the IVF
+ * assignment that is n*k evaluations (k grows with the corpus under the
+ * SemDeDup k-proportional-to-n law), which made assignment the quadratic
+ * bottleneck of the 100x vector sweep. This is the same tight-loop shape
+ * as [[DotProduct]].
+ */
+case class L2Squared(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+
+  override def checkInputDataTypes() = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"l2_sq needs two array<double> inputs, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Squared = copy(l, r)
+}
+
+/**
+ * `ivf_argmin(array<double>)` — nearest-centroid id over a centroid matrix
+ * riding as an expression field (the [[PqAdcDist]] binding pattern: the
+ * builder closure captures the driver-pulled matrix). Distance is the same
+ * left-to-right double accumulation as [[L2Squared]]; ties break to the
+ * LOWEST centroid id (strict `<` keeps the first minimum), bit-identical
+ * to `min_by(centroid_id, struct(dist2, centroid_id))` over the l2_sq
+ * crossJoin it replaces.
+ *
+ * Why an expression and not a join+aggregate: `min_by` is a declarative
+ * aggregate with a struct buffer, which no hash aggregate accepts — the
+ * plan degrades to SortAggregate and SORTS all n*k crossJoin rows (each
+ * dragging the embedding payload). Measured in the r8 100x vector sweep:
+ * 52 s at 60k vectors x 480 centroids, and k grows with n under the
+ * SemDeDup law, so that shape is quadratic with a sort constant. This
+ * kernel is one map-side pass, no join, no shuffle, no aggregate:
+ * n * k * d flops in generated code.
+ *
+ * `centroidIds(j)` maps matrix row j back to its centroid id (rows must be
+ * sorted by id so the tie-break is the id order). Bounded use only: the
+ * matrix is driver memory (k * d doubles) — callers cap k (65,536 in
+ * [[graft.operators.AnnIndex.ivfAssign]]) and fall back to the
+ * crossJoin shape beyond it; past ~10^6 centroids the real answer is a
+ * coarse hierarchy, documented there.
+ */
+case class IvfArgmin(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    centroidIds: Array[Int]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_argmin"
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ivf_argmin needs array<double>, got ${other.catalogString}")
+  }
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      var acc = 0.0
+      var i = 0
+      val lim = math.min(n, c.length)
+      var ok = n == c.length
+      while (ok && i < lim) {
+        val d = v.getDouble(i) - c(i)
+        acc += d * d
+        i += 1
+      }
+      if (ok && acc < bestD) { bestD = acc; best = j }
+      j += 1
+    }
+    centroidIds(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    val ids = ctx.addReferenceObj("ivfCentroidIds", centroidIds, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $j = 0; $j < $mat.length; $j++) {
+         |  double[] $c = $mat[$j];
+         |  if ($v.numElements() == $c.length) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $c.length; $i++) {
+         |      double $d = $v.getDouble($i) - $c[$i];
+         |      $acc += $d * $d;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $j; }
+         |  }
+         |}
+         |${ev.value} = $ids[$best];
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfArgmin =
+    copy(child = newChild)
+}
+
+/**
  * `simhash64(array<string>)` — 64-bit SimHash over a token array, one
  * xxhash64 (seed 42, identical to Spark's `xxhash64` builtin) per token and
  * one 64-way counter update, all in generated code. Replaces a doubly-nested
@@ -277,6 +436,8 @@ object VectorFunctions {
       "dot_d", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l1_dist", exprs => L1Distance(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq", exprs => L2Squared(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

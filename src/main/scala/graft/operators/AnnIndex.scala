@@ -152,7 +152,7 @@ object AnnIndex {
   /**
    * Lloyd refinement of the IVF centroids: `iters` rounds of
    * assign-to-nearest then recompute-means. Each round is two jobs:
-   * [[ivfAssign]] (broadcast centroids, map-side arg-min, no shuffle) and a
+   * [[ivfAssign]] (map-only arg-min kernel, no shuffle) and a
    * mean recompute via posexplode -> groupBy (bucket, pos) — one shuffle of
    * dim x n partial-aggregated rows, then a tiny per-bucket regroup to
    * re-assemble `centroid` arrays. K-means' monotonicity guarantees the
@@ -180,16 +180,49 @@ object AnnIndex {
 
   /** Assign each vector to its nearest centroid (broadcast centroids; one
    * map-side pass, no shuffle until the consumer groups by bucket). */
+  /** Centroid counts up to this ride as an expression field (k*d doubles of
+   * driver memory, ~32 MB at the cap with d=64); beyond it the crossJoin
+   * fallback keeps assignment running, and past ~10^6 centroids the honest
+   * answer is a coarse hierarchy (assign to sqrt(k) super-centroids, refine
+   * within that cell) — not implemented; at this library's bench scales
+   * derived k stays in the thousands. */
+  final val ArgminKernelMaxCentroids = 65536
+
+  private val argminNameId = new java.util.concurrent.atomic.AtomicLong()
+
   def ivfAssign(df: DataFrame, embCol: String, centroids: DataFrame): DataFrame = {
-    val withC = df.crossJoin(broadcast(centroids))
-      .withColumn(
-        "dist2",
-        expr(s"aggregate(zip_with($embCol, centroid, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
-      )
-    // min_by over the centroid set per row, without a window shuffle: groupBy
-    // the row key and pick the arg-min centroid.
-    withC
-      .groupBy(df.columns.map(col): _*)
-      .agg(min_by(col("centroid_id"), struct(col("dist2"), col("centroid_id"))).as("bucket"))
+    val spark = df.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val cents = centroids.limit(ArgminKernelMaxCentroids + 1).collect()
+    if (cents.length <= ArgminKernelMaxCentroids) {
+      // Map-only argmin: the centroid matrix rides as an expression field
+      // (the PqAdcDist binding pattern) and assignment is ONE codegen pass
+      // over the corpus — no join, no shuffle, no aggregate. The previous
+      // crossJoin + min_by shape was the r8 100x vector sweep's quadratic
+      // bottleneck: min_by's struct buffer forces SortAggregate, which
+      // SORTS all n*k crossJoin rows with the embedding payload attached
+      // (52 s at 60k vectors x 480 centroids; k grows with n under the
+      // SemDeDup law). Ties break to the lowest centroid id in both
+      // shapes — outputs are bit-identical.
+      val ordered = cents.map { r =>
+        (r.getAs[Int]("centroid_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+      }.sortBy(_._1)
+      val name = s"ivf_argmin_${argminNameId.incrementAndGet()}"
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        exprs => graft.functions.IvfArgmin(exprs.head, ordered.map(_._2), ordered.map(_._1)),
+        "scala_udf")
+      // expr() resolves the registry entry NOW, so the matrix is baked into
+      // this plan; later registrations under other names cannot touch it
+      df.withColumn("bucket", expr(s"$name($embCol)"))
+    } else {
+      // Fallback for k beyond driver bounds: l2_sq is still the codegen
+      // kernel, but the arg-min runs as the (sort-aggregated) crossJoin.
+      val withC = df.crossJoin(broadcast(centroids))
+        .withColumn("dist2", expr(s"l2_sq($embCol, centroid)"))
+      withC
+        .groupBy(df.columns.map(col): _*)
+        .agg(min_by(col("centroid_id"), struct(col("dist2"), col("centroid_id"))).as("bucket"))
+    }
   }
 }

@@ -313,8 +313,11 @@ object VectorOps {
    * knob: within-cluster pairing is quadratic in cluster size, so k must
    * grow with the corpus to hold clusters at a constant target size
    * ([[SemDedupTargetCluster]]; omit `nCentroids` to derive it). The
-   * centroid relation stays a DataFrame end-to-end (systematic sample by
-   * id — no collect, broadcast into the assignment).
+   * centroid relation is a systematic sample by id; assignment pulls it to
+   * the driver (bounded: [[AnnIndex.ArgminKernelMaxCentroids]]) and runs
+   * the map-only argmin kernel — see the r8 note in
+   * [[AnnIndex.ivfAssign]] for why the join+aggregate formulation was
+   * abandoned.
    */
   def semanticDedupScaled(spark: SparkSession, dir: String, nCentroids: Int): DataFrame = {
     val e = embeddings(spark, dir).select("vec_id", "emb")
