@@ -48,7 +48,9 @@ def main():
         # Spark-side materiality is relative as well as absolute (mirrors
         # Bench.scala r8): sub-second walls vary 20-60% run-to-run on the
         # same code/box, so a growth claim must clear half the lo wall.
-        ds_material = max(ds, 0) >= max(MATERIAL_S, 0.5 * s_lo)
+        # ...and the hi wall must clear 0.5 s: below that the per-job fixed
+        # cost dominates both sides of the delta (mirrors Bench.scala r8)
+        ds_material = s_hi >= 0.5 and max(ds, 0) >= max(MATERIAL_S, 0.5 * s_lo)
         if naive < 2:
             cls = "SPARK_WINS" if naive < 1 else "OK"
         elif not ds_material and dd < MATERIAL_S:
