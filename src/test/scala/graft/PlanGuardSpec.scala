@@ -154,6 +154,21 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF assignment stays the map-only argmin kernel (r8): q75 plans zero exchanges") {
+    // The crossJoin + min_by formulation degrades to SortAggregate over all
+    // n*k rows (BENCH_NOTES r8 part E: 52 s at 60k x 480, quadratic under
+    // the k-proportional-to-n law). With the ivf_argmin expression the
+    // whole search is scan -> filter -> argmin -> TakeOrdered: no join, no
+    // exchange, no aggregate. Pin that a refactor cannot reintroduce the
+    // join shape.
+    val df = SparkEntry.queries("q75_ann_ivf_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q75 reintroduced an exchange:\n$plan")
+    assert(!plan.contains("NestedLoopJoin"), s"q75 reintroduced the centroid join:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"q75 reintroduced the sort aggregate:\n$plan")
+  }
+
   test("q61 decontaminate broadcasts the test side (shingle join stays hash)") {
     // sf0.001 under AQE degenerates to empty-relation propagation, which
     // hides the join; pin the INTENDED shape from the initial plan instead:
