@@ -1319,8 +1319,17 @@ object SparkEntry {
         |  CAST(round(least(1.0, length(text)/500.0)*(1.0-punct_r)*(0.5+0.5*stop_r)*1000.0, 0) AS BIGINT) AS quality_score_k
         |  FROM q),
         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-        |losers AS (SELECT DISTINCT y.vec_id AS vec_id FROM e x JOIN e y
-        |  ON x.label=y.label AND x.vec_id<y.vec_id
+        |st AS (SELECT greatest((count(*) + 124) // 125, 1) AS k,
+        |  greatest(count(*) // greatest((count(*) + 124) // 125, 1), 1) AS step FROM e),
+        |c AS (SELECT CAST(vec_id // step AS INT) AS cid, emb AS cent FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < k),
+        |assign AS (SELECT vec_id, cid AS bucket FROM (
+        |  SELECT e.vec_id AS vec_id, c.cid AS cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cent) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c) t WHERE rn = 1),
+        |ea AS (SELECT e.vec_id, e.label, a.bucket, e.emb FROM e JOIN assign a USING (vec_id)),
+        |losers AS (SELECT DISTINCT y.vec_id AS vec_id FROM ea x JOIN ea y
+        |  ON x.label=y.label AND x.bucket=y.bucket AND x.vec_id<y.vec_id
         |  WHERE list_inner_product(x.emb,y.emb)/(sqrt(list_inner_product(x.emb,x.emb))*sqrt(list_inner_product(y.emb,y.emb))) >= 0.35)
         |SELECT qs.doc_id, e2.label, qs.quality_score_k
         |FROM qs JOIN embeddings e2 ON e2.vec_id = qs.doc_id

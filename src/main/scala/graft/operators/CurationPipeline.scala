@@ -40,13 +40,15 @@ object CurationPipeline {
    * image+caption / audio+transcript pipeline runs. Scale shape: the
    * doc-embedding equi-join shuffles on the shared key (or is free if both
    * tables are bucketed by id, see BucketingSpec); the embedding-dedup
-   * loser set is label-blocked all-pairs ([[VectorOps.embeddingDedup]])
-   * and broadcasts as an anti-join build side.
+   * loser set is (label x derived-k IVF cluster)-blocked
+   * ([[VectorOps.embeddingDedupBlocked]] — the label-only variant's fixed
+   * blocking cardinality went quadratic in the r8 100x sweep) and
+   * broadcasts as an anti-join build side.
    */
   def jointCuration(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality_score_k"), col("n_tokens"))
-    val losers = VectorOps.embeddingDedup(spark, dir).select(col("b").as("vec_id")).distinct()
+    val losers = VectorOps.embeddingDedupBlocked(spark, dir).select(col("b").as("vec_id")).distinct()
     val emb = Tables.t(spark, dir, "embeddings").select(col("vec_id"), col("label"))
     quality
       .filter(col("quality_score_k") >= 300 && col("n_tokens") >= 20)

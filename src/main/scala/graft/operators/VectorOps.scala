@@ -62,6 +62,37 @@ object VectorOps {
       .orderBy("a", "b")
   }
 
+  /**
+   * [[embeddingDedup]] with a second, SCALING blocking dimension: pairs
+   * must share the label AND the derived-k IVF cluster
+   * ([[semanticDedupDerivedK]]: k ∝ n, clusters held at a constant target
+   * size). The label-only variant's blocking key has FIXED cardinality, so
+   * its blocks grow linearly with the corpus and the within-block pairing
+   * quadratically — measured superlinear in the r8 100x sweep (14 s at
+   * 60k vectors inside q62, unfinished at 200k). With the cluster
+   * dimension the block population is bounded and the shape stays linear;
+   * the price is SemDeDup's documented approximation (cross-cluster
+   * near-dups are not candidates). Same 0.35 threshold, same emitted
+   * columns as [[embeddingDedup]].
+   */
+  def embeddingDedupBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = embeddings(spark, dir)
+    val n = e0.count()
+    val cents = AnnIndex.ivfCentroids(
+      e0.select(col("vec_id"), col("emb")), "emb", "vec_id", semanticDedupDerivedK(n), n)
+    val e = AnnIndex.ivfAssign(e0, "emb", cents)
+      .withColumn("nrm", expr("sqrt(dot_d(emb, emb))"))
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("a"),
+        col("y.vec_id").as("b"),
+        (expr("dot_d(x.emb, y.emb)") / (col("x.nrm") * col("y.nrm"))).as("c"))
+      .filter(col("c") >= 0.35)
+      .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
+  }
+
   /** Driver-side materialized IVF index: corpus size, the 16 systematic
    * centroids, and the vec_id=0 query vector, collected ONCE per
    * (process, dir) and memoized. This mirrors real ANN usage — the index is
