@@ -294,6 +294,9 @@ object Bench {
         "single-shuffle window lag + partial agg"),
       "q64_unpivot" -> ("aggregate-first rewrite (r8): 16 aggregates in one partial-agg pass, stack runs on the " +
         "1-row result; no generator over input rows"),
+      "q98_pretrain_export" -> ("constant-factor row cost at the materiality boundary: assembly composite " +
+        "(quality gate -> exact dedup -> split -> pack) whose pack stage is the q55 two-pass cumsum; " +
+        "fixed extra jobs that cluster scale amortizes"),
       "q55_sequence_pack" -> ("constant-factor row cost at the materiality boundary: two-pass cumsum with " +
         "O(partitions) driver state; retry-safe (RetrySpec); the second pass is a fixed extra job that " +
         "cluster scale amortizes, same structure as q48"),
