@@ -306,6 +306,9 @@ object Bench {
       "q81_salted_join" -> ("duckdb_floor: DuckDB delta ~19 ms over 10x data is inside its timing floor; Spark's " +
         "+0.10 s is the salt explode+extra exchange the operator deliberately pays to split a hot key -- the " +
         "insurance premium shape, priced against the skew it prevents (scale_check5 skew injection)"),
+      "q09_join_shuffle" -> ("deliberate shuffle-join demonstration (q08 is the broadcast twin): both sides " +
+        "exchange by design so the shuffle path stays exercised and pinned; constant-factor row cost, " +
+        "same family as q12"),
       "q12_tpch3_topk" -> ("constant-factor row cost, not growth: 0.30 s over 540k extra lineitem rows = " +
         "0.55 us/row marginal (DuckDB 0.10 us/row vectorized C++); scale_check8 measures the same shape LINEAR " +
         "to 100x rows (60M in 32.6 s = 0.54 us/row) -- a per-row JVM-vs-C++ constant amortized by scale-out"),
