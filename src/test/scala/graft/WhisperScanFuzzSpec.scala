@@ -130,6 +130,37 @@ class WhisperScanFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fuzz: bin-packed multi-file trees == per-unit partitions, 6 random forests") {
+    val rnd = new Random(8148L)
+    (1 to 6).foreach { i =>
+      val nFiles = 50 + rnd.nextInt(250)
+      val forest = dir.resolve(s"forest$i")
+      (0 until nFiles).foreach { f =>
+        val spp = 5L + rnd.nextInt(60)
+        val points = 40L + rnd.nextInt(300)
+        val spec = FileSpec(archives = Seq(ArchiveSpec(
+          spp, points,
+          filled = rnd.nextInt(points.toInt + 1).toLong,
+          lastTimestamp = 1600000000L + rnd.nextInt(100000),
+          rotation = rnd.nextInt(points.toInt).toLong)))
+        WhisperWriter.writeFile(
+          forest.resolve(f"t$f%04d.wsp" + (if (rnd.nextInt(6) == 0) ".gz" else "")), spec)
+      }
+      def readAll(binThreshold: String) = spark.read.format("whisper")
+        .option("binThreshold", binThreshold)
+        .option("dropTimeZero", "true")
+        .load(s"$forest/*")
+      val binned = readAll("16")
+      val unbinned = readAll("1000000")
+      val ctx = s"forest #$i ($nFiles files)"
+      assert(binned.rdd.getNumPartitions < unbinned.rdd.getNumPartitions, s"$ctx did not bin")
+      val cols = Seq("file", "archive", "position", "timestamp", "value")
+      val a = binned.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      val b = unbinned.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$ctx binned content diverges")
+    }
+  }
+
   test("fuzz: DSv2 scan == pure-JVM codec read across 24 random configs") {
     val rnd = new Random(20260814L)
     (1 to 24).foreach { i =>
