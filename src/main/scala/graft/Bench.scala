@@ -146,7 +146,11 @@ object Bench {
       val xs = samples.map(_(n))
       (n, if (xs.exists(_ < 0)) -1.0 else xs.min)
     }
-    val errs = official.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // streaming failures surface here too: a crashing q101-q104 records -1
+    // under streaming_queries AND appears in "errors" — the batch-only errs
+    // let a broken replay pass a zero-errors check silently (ADVICE r8)
+    val errs = (official ++ streamOfficial)
+      .collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = official.map(_._2).filter(_ >= 0).sum
     val passTotals = samples.map(_.values.filter(_ >= 0).sum)
     val whisperOk = whisperSamples.filter(_ >= 0)

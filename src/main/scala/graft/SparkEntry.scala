@@ -88,7 +88,13 @@ object SparkEntry {
     "q60_dedup_clusters" -> (DedupOps.dedupClusters(_, _)),
     // -- extension ops: similarity search --
     "q27_knn_bruteforce" -> (VectorOps.knnBruteForce(_, _)),
-    "q28_dedup_embedding" -> (VectorOps.embeddingDedup(_, _)),
+    // r9: bound to the cluster-blocked variant — label-only blocking is a
+    // FIXED-cardinality key (blocks grow linearly with the corpus, pairing
+    // quadratically; the r8 sweep measured the identical shape DNF at 100x
+    // inside q62). embeddingDedup stays as a documented small-block-only
+    // primitive; the shipped bench entry runs the shape that survives 100x.
+    "q28_dedup_embedding" -> ((s, d) =>
+      VectorOps.embeddingDedupBlocked(s, d).orderBy("a", "b")),
     // oracle-checked although approximate-by-construction: the probe lists
     // are deterministic, so DuckDB reproduces centroids/assignment/probes
     // and the exact re-rank within them (recall still pinned by spec)
@@ -508,7 +514,8 @@ object SparkEntry {
       """WITH g0 AS (SELECT DISTINCT * FROM (SELECT doc_id, n_chars,
         |  unnest(list_transform(range(1, length(text)-2), i -> substr(text, i, 4))) AS g
         |  FROM documents WHERE length(text) >= 4)),
-        |rare AS (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 200),
+        |rare AS (SELECT g FROM g0 GROUP BY g
+        |  HAVING count(*) <= greatest(200, (SELECT count(*) FROM documents) // 100)),
         |g1 AS (SELECT g0.* FROM g0 JOIN rare USING (g)),
         |sizes AS (SELECT doc_id, count(*) n FROM g1 GROUP BY 1),
         |common AS (SELECT x.doc_id a, y.doc_id b, count(*) cm FROM g1 x JOIN g1 y
@@ -539,10 +546,19 @@ object SparkEntry {
         |WHERE e.vec_id <> 0 AND a.bucket IN (SELECT cid FROM probes)
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "q28_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |st AS (SELECT greatest((count(*) + 124) // 125, 1) AS k,
+        |  greatest(count(*) // greatest((count(*) + 124) // 125, 1), 1) AS step FROM e),
+        |c AS (SELECT CAST(vec_id // step AS INT) AS cid, emb AS cent FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < k),
+        |assign AS (SELECT vec_id, cid AS bucket FROM (
+        |  SELECT e.vec_id AS vec_id, c.cid AS cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cent) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c) t WHERE rn = 1),
+        |ea AS (SELECT e.vec_id, e.label, a.bucket, e.emb FROM e JOIN assign a USING (vec_id))
         |SELECT x.vec_id AS a, y.vec_id AS b,
         |round(list_inner_product(x.emb,y.emb)/(sqrt(list_inner_product(x.emb,x.emb))*sqrt(list_inner_product(y.emb,y.emb))),4) AS cos
-        |FROM e x JOIN e y ON x.label=y.label AND x.vec_id<y.vec_id
+        |FROM ea x JOIN ea y ON x.label=y.label AND x.bucket=y.bucket AND x.vec_id<y.vec_id
         |WHERE list_inner_product(x.emb,y.emb)/(sqrt(list_inner_product(x.emb,x.emb))*sqrt(list_inner_product(y.emb,y.emb))) >= 0.35
         |ORDER BY a, b""".stripMargin,
     "q19_resample_gapfill" ->
@@ -765,7 +781,7 @@ object SparkEntry {
         |ON p.event_type = 'purchase' AND e.event_type = 'error'
         |AND e.user_id = p.user_id
         |AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
-        |ORDER BY 1, 2, 4""".stripMargin,
+        |ORDER BY 1, 2, 4, 3""".stripMargin,
     "q51_dedup_levenshtein" ->
       """WITH d AS (SELECT doc_id, lang, text, length(text) AS len
         |  FROM documents WHERE strlen(text) = length(text))

@@ -231,6 +231,96 @@ case class IvfArgmin(
 }
 
 /**
+ * `ivf_superprobe(array<double>)` — the cell-pruning half of the EXACT
+ * two-level IVF assignment ([[graft.operators.AnnIndex.ivfAssign]] past its
+ * driver-side centroid cap): emits the ids of every super-centroid CELL that
+ * could contain the globally nearest fine centroid, by the classic
+ * triangle-inequality bound (Moore '00 anchors / FAISS coarse quantizer
+ * pruning):
+ *
+ *  - every super IS itself a fine centroid, so
+ *    `ub = min_s d(v, s)` upper-bounds the winner's distance;
+ *  - a cell with super s and member radius `r_s = max_c d(c, s)` satisfies
+ *    `min_{c in cell} d(v, c) >= d(v, s) - r_s`, so any cell with
+ *    `d(v, s) - r_s > ub` cannot hold the winner and is pruned.
+ *
+ * `eps` (absolute, on the distance scale) absorbs floating-point rounding in
+ * the bound arithmetic — it can only ADD probe cells, never drop one, so
+ * exactness of the two-level argmin is preserved. The nearest cell always
+ * passes its own bound, so the probe list is never empty. Matrix, ids and
+ * radii ride as expression fields (g = ~sqrt(k) supers — driver-bounded);
+ * the loop runs as one generated-code call per row.
+ */
+case class IvfSuperProbe(
+    child: Expression,
+    supers: Array[Array[Double]],
+    superIds: Array[Int],
+    radii: Array[Double],
+    eps: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_superprobe"
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ivf_superprobe needs array<double>, got ${other.catalogString}")
+  }
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    IvfSuperProbe.compute(input.asInstanceOf[ArrayData], supers, superIds, radii, eps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("superCentroids", supers, "double[][]")
+    val ids = ctx.addReferenceObj("superIds", superIds, "int[]")
+    val rad = ctx.addReferenceObj("superRadii", radii, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.IvfSuperProbe.compute($v, $mat, $ids, $rad, $eps);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfSuperProbe =
+    copy(child = newChild)
+}
+
+object IvfSuperProbe {
+  def compute(
+      v: ArrayData,
+      supers: Array[Array[Double]],
+      superIds: Array[Int],
+      radii: Array[Double],
+      eps: Double): ArrayData = {
+    val g = supers.length
+    val dist = new Array[Double](g)
+    var ub = Double.PositiveInfinity
+    var j = 0
+    while (j < g) {
+      val c = supers(j)
+      var acc = 0.0
+      var i = 0
+      val ok = v.numElements() == c.length
+      while (ok && i < c.length) {
+        val d = v.getDouble(i) - c(i)
+        acc += d * d
+        i += 1
+      }
+      val dj = if (ok) math.sqrt(acc) else Double.PositiveInfinity
+      dist(j) = dj
+      if (dj < ub) ub = dj
+      j += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Int](4)
+    j = 0
+    while (j < g) {
+      if (dist(j) - radii(j) <= ub + eps) out += superIds(j)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/**
  * `simhash64(array<string>)` — 64-bit SimHash over a token array, one
  * xxhash64 (seed 42, identical to Spark's `xxhash64` builtin) per token and
  * one 64-way counter update, all in generated code. Replaces a doubly-nested

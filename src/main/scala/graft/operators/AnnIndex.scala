@@ -181,19 +181,58 @@ object AnnIndex {
   /** Assign each vector to its nearest centroid (broadcast centroids; one
    * map-side pass, no shuffle until the consumer groups by bucket). */
   /** Centroid counts up to this ride as an expression field (k*d doubles of
-   * driver memory, ~32 MB at the cap with d=64); beyond it the crossJoin
-   * fallback keeps assignment running, and past ~10^6 centroids the honest
-   * answer is a coarse hierarchy (assign to sqrt(k) super-centroids, refine
-   * within that cell) — not implemented; at this library's bench scales
-   * derived k stays in the thousands. */
+   * driver memory, ~32 MB at the cap with d=64); beyond it assignment
+   * switches to the EXACT two-level hierarchy ([[ivfAssignHierarchical]]):
+   * assign to ~sqrt(k) super-centroids with triangle-inequality cell
+   * pruning, arg-min within the probed cells — both legs driver-bounded
+   * at sqrt(k), so the scheme covers k up to this cap SQUARED (~4.3e9
+   * centroids; under the SemDeDup k-proportional-to-n law the flat kernel's
+   * bound is crossed at ~8M vectors, well below 100 TB scale). */
   final val ArgminKernelMaxCentroids = 65536
 
   private val argminNameId = new java.util.concurrent.atomic.AtomicLong()
 
-  def ivfAssign(df: DataFrame, embCol: String, centroids: DataFrame): DataFrame = {
+  /** Bind a one-off kernel name, build the plan, then DROP the registry
+   * entry (ADVICE r8: `expr()` resolves eagerly inside the build, so the
+   * plan holds the expression directly; leaving the name registered would
+   * strongly pin each call's centroid matrix — up to ~32 MB — in the
+   * session registry for the session's lifetime). */
+  private def withTempKernel(
+      spark: SparkSession,
+      prefix: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)(
+      use: String => DataFrame): DataFrame = {
+    val name = s"${prefix}_${argminNameId.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    try use(name)
+    finally spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+  }
+
+  def ivfAssign(df: DataFrame, embCol: String, centroids: DataFrame): DataFrame =
+    ivfAssignImpl(df, embCol, None, centroids)
+
+  /** [[ivfAssign]] with a UNIQUE row-id column: past the kernel cap the
+   * hierarchical refine can then aggregate NARROW (id, centroid_id, dist2)
+   * rows and join the assignment back, instead of dragging every df column
+   * (embedding payload included) through the arg-min sort. Callers with a
+   * key column should prefer this overload. */
+  def ivfAssign(df: DataFrame, embCol: String, idCol: String, centroids: DataFrame): DataFrame =
+    ivfAssignImpl(df, embCol, Some(idCol), centroids)
+
+  private def ivfAssignImpl(
+      df: DataFrame, embCol: String, idCol: Option[String], centroids: DataFrame): DataFrame = {
     val spark = df.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val cents = centroids.limit(ArgminKernelMaxCentroids + 1).collect()
+    // A silently-empty centroid relation (sparse/1-based id spaces can
+    // starve the systematic sample) would build a kernel whose every
+    // evaluation throws ArrayIndexOutOfBounds mid-task; fail at plan build
+    // with the actual cause instead (ADVICE r8).
+    require(cents.nonEmpty,
+      "ivfAssign: empty centroid relation — the systematic sample found no rows " +
+        "(sparse or non-zero-based id space?); densify ids or supply explicit centroids")
     if (cents.length <= ArgminKernelMaxCentroids) {
       // Map-only argmin: the centroid matrix rides as an expression field
       // (the PqAdcDist binding pattern) and assignment is ONE codegen pass
@@ -207,22 +246,83 @@ object AnnIndex {
       val ordered = cents.map { r =>
         (r.getAs[Int]("centroid_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
       }.sortBy(_._1)
-      val name = s"ivf_argmin_${argminNameId.incrementAndGet()}"
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name,
-        exprs => graft.functions.IvfArgmin(exprs.head, ordered.map(_._2), ordered.map(_._1)),
-        "scala_udf")
-      // expr() resolves the registry entry NOW, so the matrix is baked into
-      // this plan; later registrations under other names cannot touch it
-      df.withColumn("bucket", expr(s"$name($embCol)"))
-    } else {
-      // Fallback for k beyond driver bounds: l2_sq is still the codegen
-      // kernel, but the arg-min runs as the (sort-aggregated) crossJoin.
-      val withC = df.crossJoin(broadcast(centroids))
-        .withColumn("dist2", expr(s"l2_sq($embCol, centroid)"))
-      withC
-        .groupBy(df.columns.map(col): _*)
-        .agg(min_by(col("centroid_id"), struct(col("dist2"), col("centroid_id"))).as("bucket"))
+      withTempKernel(spark, "ivf_argmin",
+        exprs => graft.functions.IvfArgmin(exprs.head, ordered.map(_._2), ordered.map(_._1))) {
+        // expr() resolves the registry entry NOW, so the matrix is baked
+        // into this plan; the name is dropped on return (ADVICE r8) and
+        // later registrations cannot touch it
+        name => df.withColumn("bucket", expr(s"$name($embCol)"))
+      }
+    } else ivfAssignHierarchical(df, embCol, idCol, centroids)
+  }
+
+  /**
+   * EXACT two-level assignment for k past the driver-side kernel cap —
+   * bit-identical bucket output to the flat [[graft.functions.IvfArgmin]]
+   * (HierarchicalAssignSpec pins the equality), with every driver pull
+   * bounded at g = ceil(sqrt(k)) rows:
+   *
+   *  1. supers = every ceil(k/g)-th centroid by id (a systematic subsample
+   *     of the centroid relation — each super is itself a fine centroid).
+   *  2. Fine centroids get their cell by the FLAT kernel over the g supers
+   *     (k-row job); per-cell member radii aggregate from the same relation
+   *     (g-row collect).
+   *  3. Every vector emits its candidate CELLS through the codegen
+   *     [[graft.functions.IvfSuperProbe]] bound (triangle inequality:
+   *     `d(v,s) − r_s > min_s d(v,s)` proves cell s cannot hold the global
+   *     winner — see the kernel scaladoc; the eps margin only ever ADDS
+   *     cells, so pruning never costs exactness), then equi-joins the fine
+   *     centroids of just those cells — n * (k/g) * probedCells candidate
+   *     rows instead of the crossJoin's n * k, and the join is an equi-join
+   *     AQE can skew-split, not a broadcast of an over-cap centroid table.
+   *  4. Per-vector arg-min with the (dist2, centroid_id) tie-break —
+   *     identical order to the flat kernel's strict-< first-minimum scan,
+   *     and `l2_sq` accumulates left-to-right exactly like the kernel, so
+   *     the chosen ids are bit-identical.
+   *
+   * With `idCol` set the arg-min aggregates narrow (id, cid, dist2) rows
+   * (partial min_by collapses each task's candidates map-side) and the
+   * bucket joins back on the id; without it the aggregate groups by every
+   * df column, dragging the embedding payload through the sort — correct,
+   * but prefer the id overload at scale.
+   */
+  private[graft] def ivfAssignHierarchical(
+      df: DataFrame, embCol: String, idCol: Option[String], centroids: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val k = centroids.count()
+    val g = math.min(math.ceil(math.sqrt(k.toDouble)).toLong, ArgminKernelMaxCentroids.toLong)
+    val stride = (k + g - 1) / g
+    val supersDF = centroids.filter(col("centroid_id") % stride === 0)
+    // leg 1: cell per fine centroid, via the flat kernel over <= g supers
+    // (recursion depth is 1: supers are under the cap by construction)
+    val cellOf = ivfAssignImpl(centroids, "centroid", Some("centroid_id"), supersDF)
+      .select(col("centroid_id"), col("centroid"), col("bucket").as("cell"))
+    // per-cell member radius r_s = max d(member, super); g-row collect
+    val radiusRows = cellOf
+      .join(broadcast(supersDF.select(col("centroid_id").as("cell"), col("centroid").as("scent"))), Seq("cell"))
+      .select(col("cell"), expr("sqrt(l2_sq(centroid, scent))").as("r"))
+      .groupBy("cell").agg(max("r").as("r"))
+      .collect().map(r => r.getAs[Int]("cell") -> r.getAs[Double]("r")).toMap
+    val supers = supersDF.collect().map { r =>
+      (r.getAs[Int]("centroid_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    }.sortBy(_._1)
+    val radii = supers.map { case (sid, _) => radiusRows.getOrElse(sid, 0.0) }
+    // leg 2: candidate cells per vector (codegen bound), explode + equi-join
+    val probed = withTempKernel(spark, "ivf_superprobe",
+      exprs => graft.functions.IvfSuperProbe(
+        exprs.head, supers.map(_._2), supers.map(_._1), radii, 1e-9)) { name =>
+      df.withColumn("cell", explode(expr(s"$name($embCol)")))
+    }
+    val cands = probed.join(cellOf, Seq("cell"))
+      .withColumn("dist2", expr(s"l2_sq($embCol, centroid)"))
+    val tieMin = min_by(col("centroid_id"), struct(col("dist2"), col("centroid_id"))).as("bucket")
+    idCol match {
+      case Some(id) =>
+        val best = cands.select(col(id), col("centroid_id"), col("dist2"))
+          .groupBy(id).agg(tieMin)
+        df.join(best, Seq(id))
+      case None =>
+        cands.groupBy(df.columns.map(col): _*).agg(tieMin)
     }
   }
 }

@@ -111,10 +111,16 @@ object DedupOps {
    * Character-4-gram Jaccard near-dup with two scale guards:
    * (1) blocking — only pairs with |n_chars delta| <= 10 are compared, via a
    * range-band condition on the gram equi-join (near-identical docs have
-   * near-identical lengths); (2) frequency pruning — grams present in > 200
-   * documents carry no discriminative signal and are dropped from both sets
-   * BEFORE the join (same deterministic rule in the oracle), which caps the
-   * join fan-out per gram.
+   * near-identical lengths); (2) frequency pruning — grams present in more
+   * than `greatest(200, corpusDocs div 100)` documents carry no
+   * discriminative signal and are dropped from both sets BEFORE the join
+   * (same deterministic rule in the oracle), which caps the join fan-out per
+   * gram. The cap SCALES with the corpus (r9; the r8 residue note): a
+   * constant cap on a growing corpus eventually prunes every gram — at
+   * 100 TB a gram shared by a fixed fraction of documents is boilerplate,
+   * one shared by a fixed COUNT is signal. The corpus size rides in-plan as
+   * a 1-row aggregate (count-star over parquet row-group metadata, no text
+   * bytes read), never a driver-side action.
    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
@@ -140,9 +146,16 @@ object DedupOps {
     // df filter then DROPS hot grams before they ever re-join, and the
     // join back is an equi-join AQE can skew-split. Same number (occurrence
     // count per gram), same <= 200 rule, bit-identical output.
+    val nd = t(spark, dir, "documents").agg(count(lit(1)).as("ndocs"))
     val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 200)
+    // The cap filter applies AFTER the 1:1 df-annotation join (dfTab has one
+    // row per gram, so the join is never a fan-out and filtering after it
+    // prunes identically) — filtering dfTab itself through the 1-row ndocs
+    // BNLJ would sit a non-exchange operator on top of the aggregate and
+    // blind AQE to its runtime size, de-broadcasting the annotation join.
     val pruned = grams.join(dfTab, "g")
+      .crossJoin(nd) // 1-row build side: broadcast, no shuffle
+      .filter(col("df") <= greatest(lit(200L), expr("ndocs div 100")))
       .select(col("doc_id"), col("n_chars"), col("g"), col("df"))
     // Per-doc gram set ordered rarest-first (global total order (df, g)) —
     // the canonical order for PREFIX FILTERING (Chaudhuri et al. SSJoin;

@@ -13,6 +13,27 @@ import org.apache.spark.sql.functions._
 object TextOps {
   import Tables.t
 
+  /** Bounded persist lifecycle for the one-corpus-pass operators (ADVICE
+   * r8): the persisted per-doc aggregate must outlive THIS call's consuming
+   * action (unpersisting here would defeat the persist), so each
+   * (session, operator) slot instead releases its PREVIOUS relation on the
+   * next call — a long-lived library session accumulates at most one cached
+   * relation per operator instead of one per invocation. Callers composing
+   * many operators own the end-of-query lifecycle (`spark.catalog
+   * .clearCache()` — the bench's dropState does exactly this). */
+  private val lastPersisted = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def persistBounded(slot: String, df: DataFrame): DataFrame = {
+    val key = System.identityHashCode(df.sparkSession) + ":" + slot
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Same-plan predecessor (repeated call on the same dir) SHARES the cache
+    // entry — unpersisting it would evict the relation just persisted
+    // (CacheManager keys by logical plan, not by Dataset identity).
+    Option(lastPersisted.put(key, cached))
+      .filterNot(_.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+      .foreach(_.unpersist(blocking = false))
+    cached
+  }
+
   /** Shared stopword lists (tiny, inlined into the plan as literals). */
   val StopEn = Seq("the", "a", "of", "and", "to", "in")
   val StopDe = Seq("der", "die", "das", "und", "nicht")
@@ -113,10 +134,9 @@ object TextOps {
     // countDistinct(doc_id) because (doc_id, tok) is unique in docTok and
     // lang is functionally dependent on doc_id. nDocs stays a separate scan:
     // it reads zero text bytes (count-only, column-pruned).
-    val docTok = t(spark, dir, "documents")
+    val docTok = persistBounded("tfidf", t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("m")))
     val nDocs = t(spark, dir, "documents").agg(count(col("text")).as("nd"))
     val tf = docTok.groupBy("lang", "tok").agg(sum("m").as("tf"))
     val df = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -242,10 +262,9 @@ object TextOps {
     // concurrent times. Multiplicity weighting keeps per-occurrence
     // semantics bit-exact: sum(rarity over occurrences) == sum(m * rarity),
     // count(1) == sum(m), max unchanged.
-    val docTok = t(spark, dir, "documents")
+    val docTok = persistBounded("unigram", t(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m")))
     val tf = docTok.groupBy("tok").agg(sum("m").as("tf"))
     val nt = tf.agg(sum("tf").as("nt"))
     docTok.join(tf, "tok")
@@ -324,8 +343,8 @@ object TextOps {
     // broadcast branches canonicalize differently. The persisted relation
     // is the corpus's distinct (doc, bigram) table — O(tokens) worst case,
     // columnar-compressed, MEMORY_AND_DISK so it spills instead of OOMing.
-    val docBg = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docBg = persistBounded("bigram",
+      bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m")))
     val c2 = docBg.groupBy("w1", "w2").agg(sum("m").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     docBg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))

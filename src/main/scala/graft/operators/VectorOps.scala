@@ -40,9 +40,14 @@ object VectorOps {
       .limit(20)
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by label (each block is an
-   * independent all-pairs — the blocking key is what scales this out; swap
-   * label for an IVF/LSH bucket id when no natural key exists).
+  /** Embedding-cosine near-dup pairs, blocked by label — a SMALL-BLOCK-ONLY
+   * primitive, demoted from the bench inventory in r9: `label` has FIXED
+   * cardinality (10 values), so blocks grow linearly with the corpus and
+   * within-block pairing quadratically (measured: the identical shape inside
+   * q62 ran 14 s at 30x replicas and did not finish 100x). Use it only when
+   * the blocking key's cardinality grows with the data (e.g. a pre-bucketed
+   * shard id); otherwise use [[embeddingDedupBlocked]], which composes the
+   * derived-k IVF cluster dimension and stays linear to 100x.
    *
    * Norms are computed ONCE per vector before the pair join (sqrt(sum x^2)
    * per row instead of per pair — the pair-side work drops to one dot
@@ -80,7 +85,7 @@ object VectorOps {
     val n = e0.count()
     val cents = AnnIndex.ivfCentroids(
       e0.select(col("vec_id"), col("emb")), "emb", "vec_id", semanticDedupDerivedK(n), n)
-    val e = AnnIndex.ivfAssign(e0, "emb", cents)
+    val e = AnnIndex.ivfAssign(e0, "emb", "vec_id", cents)
       .withColumn("nrm", expr("sqrt(dot_d(emb, emb))"))
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.bucket") === col("y.bucket") &&
@@ -256,7 +261,7 @@ object VectorOps {
       .toDF("centroid_id", "centroid")
     val qLit = idx.queryVec.map(x => s"${x}D").mkString("array(", ",", ")")
     val e = embeddings(spark, dir).filter(col("vec_id") =!= 0)
-    AnnIndex.ivfAssign(e, "emb", centsDF)
+    AnnIndex.ivfAssign(e, "emb", "vec_id", centsDF)
       .filter(col("bucket").isin(probeIds: _*))
       .select(
         col("vec_id"), col("bucket"),
@@ -368,7 +373,7 @@ object VectorOps {
 
   private def semanticDedupOn(spark: SparkSession, e0: DataFrame, centsDF: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = AnnIndex.ivfAssign(e0, "emb", centsDF)
+    val e = AnnIndex.ivfAssign(e0, "emb", "vec_id", centsDF)
       .withColumn("nrm", expr("sqrt(dot_d(emb, emb))"))
     val pairs = e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
@@ -511,7 +516,7 @@ object VectorOps {
     val centsDF = idx.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("centroid_id", "centroid")
     val e = embeddings(spark, dir).filter(col("vec_id") =!= 0).select("vec_id", "emb")
-    AnnIndex.ivfAssign(e, "emb", centsDF)
+    AnnIndex.ivfAssign(e, "emb", "vec_id", centsDF)
       .filter(col("bucket").isin(probeIds: _*))
       .select(col("vec_id"), col("bucket"), col("emb").as("embedding"))
       .select(col("vec_id"), col("bucket"), expr("pq_adc(embedding)").as("adc_e12"))

@@ -118,7 +118,10 @@ object StreamReplay {
       unix_micros(col("p_ts")).as("p_us"),
       round(col("p_value"), 2).as("p_value"),
       unix_micros(col("e_ts")).as("e_us"))
-      .orderBy("user_id", "p_us", "e_us")
+      // p_value as the 4th key: two purchases sharing (user_id, ts) joining
+      // the same error tie on the first three keys, leaving row order
+      // engine-dependent without it (ADVICE r8)
+      .orderBy("user_id", "p_us", "e_us", "p_value")
   }
 
   /** q102: per-user mapGroupsWithState session state, run through the

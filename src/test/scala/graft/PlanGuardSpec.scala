@@ -58,6 +58,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val bnljAllowed = Set(
     "q27_knn_bruteforce", "q19_resample_gapfill", "q45_interpolate",
     "q53_tfidf_topterms", "q71_mixture_sample", "q83_unigram_surprisal",
+    // q26 crosses the per-occurrence gram table with the 1-row corpus-count
+    // aggregate (the r9 scaled df cap's in-plan N — same pattern as q53)
+    "q26_dedup_ngram_jaccard",
     // 16-row broadcast centroid table crossed onto every vector: the IVF
     // assignment IS a deliberate tiny-broadcast nested loop (arg-min over
     // the centroid set per row)
