@@ -15,13 +15,20 @@ object Verify {
     // re-running all 100 (the driver always passes two args — full run)
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,4096] runs the whole gate under
+    // a real driver/executor split (separate executor JVMs) — the closest
+    // this sandbox gets to a cluster. Executor JVMs need the library on
+    // their classpath, so the packaged jar ships via spark.jars
+    // (SPARK_GRAFT_JARS; sbt-run classes are not visible to child JVMs).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .withExtensions(new GraftExtensions) // native functions + whisper plan rules
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
