@@ -188,7 +188,10 @@ case class IvfArgmin(
       var i = 0
       val lim = math.min(n, c.length)
       var ok = n == c.length
-      while (ok && i < lim) {
+      // early abandon: a prefix sum already >= bestD can never win the
+      // strict-< scan (the final acc only grows), so skipping the suffix
+      // changes nothing — not the winner, not the first-minimum tie-break
+      while (ok && i < lim && acc < bestD) {
         val d = v.getDouble(i) - c(i)
         acc += d * d
         i += 1
@@ -214,7 +217,8 @@ case class IvfArgmin(
          |  double[] $c = $mat[$j];
          |  if ($v.numElements() == $c.length) {
          |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $c.length; $i++) {
+         |    // early abandon: a prefix >= bestD can never win the strict-< scan
+         |    for (int $i = 0; $i < $c.length && $acc < $bestD; $i++) {
          |      double $d = $v.getDouble($i) - $c[$i];
          |      $acc += $d * $d;
          |    }
@@ -556,5 +560,8 @@ object VectorFunctions {
         }
         WordShingles(exprs.head, k)
       }, "scala_udf")
+    // hash-aggregable min_by(id, struct(dist, id)) — see ArgminPair scaladoc
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmin_pair", exprs => ArgminPair(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -180,15 +180,27 @@ object AnnIndex {
 
   /** Assign each vector to its nearest centroid (broadcast centroids; one
    * map-side pass, no shuffle until the consumer groups by bucket). */
-  /** Centroid counts up to this ride as an expression field (k*d doubles of
-   * driver memory, ~32 MB at the cap with d=64); beyond it assignment
-   * switches to the EXACT two-level hierarchy ([[ivfAssignHierarchical]]):
-   * assign to ~sqrt(k) super-centroids with triangle-inequality cell
-   * pruning, arg-min within the probed cells — both legs driver-bounded
-   * at sqrt(k), so the scheme covers k up to this cap SQUARED (~4.3e9
-   * centroids; under the SemDeDup k-proportional-to-n law the flat kernel's
-   * bound is crossed at ~8M vectors, well below 100 TB scale). */
+  /** Centroid counts up to this ride as an expression field with NO extra
+   * plan-build actions (k*d doubles, ~32 MB at the cap with d=64). Between
+   * this cap and [[ArgminDirectMaxBytes]] the SAME map-only kernel is still
+   * used (one extra count at plan build to size the matrix): the r9 probe
+   * measured that on an isotropic corpus (the 100x signed-perm replicas —
+   * every pairwise distance concentrates near the same value) the
+   * hierarchy's triangle-inequality pruning retains 265 of 265 cells, i.e.
+   * prunes NOTHING, so the direct n*k scan with early abandoning is the
+   * optimal exact algorithm there, while the hierarchy degenerates to the
+   * same n*k work plus a join. Past [[ArgminDirectMaxBytes]] assignment
+   * switches to the EXACT two-level hierarchy ([[ivfAssignHierarchical]]),
+   * whose win is geometry-dependent (see its scaladoc). */
   final val ArgminKernelMaxCentroids = 65536
+
+  /** Ceiling in MATRIX BYTES (k*d*8) for the direct kernel past
+   * [[ArgminKernelMaxCentroids]]: 256 MB rides fine as a task-binary
+   * reference on executors sized for 100 TB work (at d=64 that is ~512k
+   * centroids; under the SemDeDup k-proportional-to-n law, ~64 M vectors).
+   * Beyond it the per-stage shipping cost dominates and the join-based
+   * hierarchy takes over. */
+  final val ArgminDirectMaxBytes = 256L * 1024 * 1024
 
   private val argminNameId = new java.util.concurrent.atomic.AtomicLong()
 
@@ -225,24 +237,24 @@ object AnnIndex {
       df: DataFrame, embCol: String, idCol: Option[String], centroids: DataFrame): DataFrame = {
     val spark = df.sparkSession
     graft.functions.VectorFunctions.register(spark)
-    val cents = centroids.limit(ArgminKernelMaxCentroids + 1).collect()
+    val head = centroids.limit(ArgminKernelMaxCentroids + 1).collect()
     // A silently-empty centroid relation (sparse/1-based id spaces can
     // starve the systematic sample) would build a kernel whose every
     // evaluation throws ArrayIndexOutOfBounds mid-task; fail at plan build
     // with the actual cause instead (ADVICE r8).
-    require(cents.nonEmpty,
+    require(head.nonEmpty,
       "ivfAssign: empty centroid relation — the systematic sample found no rows " +
         "(sparse or non-zero-based id space?); densify ids or supply explicit centroids")
-    if (cents.length <= ArgminKernelMaxCentroids) {
-      // Map-only argmin: the centroid matrix rides as an expression field
-      // (the PqAdcDist binding pattern) and assignment is ONE codegen pass
-      // over the corpus — no join, no shuffle, no aggregate. The previous
-      // crossJoin + min_by shape was the r8 100x vector sweep's quadratic
-      // bottleneck: min_by's struct buffer forces SortAggregate, which
-      // SORTS all n*k crossJoin rows with the embedding payload attached
-      // (52 s at 60k vectors x 480 centroids; k grows with n under the
-      // SemDeDup law). Ties break to the lowest centroid id in both
-      // shapes — outputs are bit-identical.
+    // Map-only argmin: the centroid matrix rides as an expression field
+    // (the PqAdcDist binding pattern) and assignment is ONE codegen pass
+    // over the corpus — no join, no shuffle, no aggregate. The previous
+    // crossJoin + min_by shape was the r8 100x vector sweep's quadratic
+    // bottleneck: min_by's struct buffer forces SortAggregate, which
+    // SORTS all n*k crossJoin rows with the embedding payload attached
+    // (52 s at 60k vectors x 480 centroids; k grows with n under the
+    // SemDeDup law). Ties break to the lowest centroid id in both
+    // shapes — outputs are bit-identical.
+    def flat(cents: Array[org.apache.spark.sql.Row]): DataFrame = {
       val ordered = cents.map { r =>
         (r.getAs[Int]("centroid_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
       }.sortBy(_._1)
@@ -253,7 +265,18 @@ object AnnIndex {
         // later registrations cannot touch it
         name => df.withColumn("bucket", expr(s"$name($embCol)"))
       }
-    } else ivfAssignHierarchical(df, embCol, idCol, centroids)
+    }
+    if (head.length <= ArgminKernelMaxCentroids) flat(head)
+    else {
+      // Mid tier: same direct kernel while the matrix fits the task-binary
+      // budget — on isotropic corpora (pruning-proof; measured, see the
+      // scaladoc on the caps) this is also the OPTIMAL exact shape, not a
+      // fallback. Costs one count + one full collect at plan build.
+      val d = head(0).getAs[scala.collection.Seq[Double]]("centroid").length
+      val k = centroids.count()
+      if (k * d * 8L <= ArgminDirectMaxBytes) flat(centroids.collect())
+      else ivfAssignHierarchical(df, embCol, idCol, centroids)
+    }
   }
 
   /**
@@ -262,8 +285,18 @@ object AnnIndex {
    * (HierarchicalAssignSpec pins the equality), with every driver pull
    * bounded at g = ceil(sqrt(k)) rows:
    *
-   *  1. supers = every ceil(k/g)-th centroid by id (a systematic subsample
-   *     of the centroid relation — each super is itself a fine centroid).
+   *  1. supers = g fine centroids chosen for CELL COMPACTNESS: a systematic
+   *     seed, 2 Lloyd rounds over the fine-centroid relation
+   *     ([[ivfRefine]] — k-row jobs), then each refined mean SNAPS to its
+   *     cell's medoid fine centroid. The snap matters twice: supers must
+   *     remain fine centroids for the probe bound's `ub = min_s d(v,s)` to
+   *     upper-bound the winner's distance (exactness), and the Lloyd step
+   *     matters because the raw systematic seed scatters every cell across
+   *     the whole space on CLUSTERED data — member radii approach the data
+   *     diameter, the triangle bound prunes nothing, and the "hierarchy"
+   *     degenerates to the n*k join it exists to avoid (measured: the
+   *     k=70,000 x 200k-vector sweep DNF'd >17 min un-refined; ~seconds
+   *     refined).
    *  2. Fine centroids get their cell by the FLAT kernel over the g supers
    *     (k-row job); per-cell member radii aggregate from the same relation
    *     (g-row collect).
@@ -271,28 +304,67 @@ object AnnIndex {
    *     [[graft.functions.IvfSuperProbe]] bound (triangle inequality:
    *     `d(v,s) − r_s > min_s d(v,s)` proves cell s cannot hold the global
    *     winner — see the kernel scaladoc; the eps margin only ever ADDS
-   *     cells, so pruning never costs exactness), then equi-joins the fine
+   *     cells, so pruning never costs exactness), then joins the fine
    *     centroids of just those cells — n * (k/g) * probedCells candidate
-   *     rows instead of the crossJoin's n * k, and the join is an equi-join
-   *     AQE can skew-split, not a broadcast of an over-cap centroid table.
+   *     rows instead of the crossJoin's n * k. The cell->centroid relation
+   *     is k narrow rows (~k*d*8 bytes); up to 256 MB it ships as an
+   *     explicit BROADCAST so the exploded probe side is never sorted or
+   *     shuffled, beyond that it falls back to the AQE-splittable equi-join.
    *  4. Per-vector arg-min with the (dist2, centroid_id) tie-break —
    *     identical order to the flat kernel's strict-< first-minimum scan,
    *     and `l2_sq` accumulates left-to-right exactly like the kernel, so
    *     the chosen ids are bit-identical.
    *
-   * With `idCol` set the arg-min aggregates narrow (id, cid, dist2) rows
-   * (partial min_by collapses each task's candidates map-side) and the
-   * bucket joins back on the id; without it the aggregate groups by every
-   * df column, dragging the embedding payload through the sort — correct,
-   * but prefer the id overload at scale.
+   * With `idCol` set the probe side carries only (id, emb) and the arg-min
+   * aggregates narrow (id, cid, dist2) rows (the hash-aggregable
+   * [[graft.functions.ArgminPair]] collapses each task's candidates
+   * map-side — min_by's struct buffer would demote to SortAggregate and
+   * sort the whole candidate relation) before the bucket joins back on the
+   * id; without it the aggregate groups by every df column, dragging the
+   * embedding payload through the aggregate — correct, but prefer the id
+   * overload at scale.
+   *
+   * GEOMETRY CAVEAT (measured, r9): pruning power depends on the corpus
+   * having exploitable cluster structure. On a clusterable corpus radii sit
+   * far below inter-cell distances and the probe keeps a handful of cells;
+   * on an ISOTROPIC corpus (the adversarial 100x signed-perm replicas —
+   * all pairwise distances concentrate near one value) the probe measured
+   * 265/265 cells retained, i.e. the bound cannot prune at all and exact
+   * assignment is fundamentally Omega(n*k) — the direct kernel wins there,
+   * which is why [[ivfAssign]] only routes here past
+   * [[ArgminDirectMaxBytes]]. Public so callers who know their geometry
+   * (real embedding corpora live on low-dimensional manifolds) can choose
+   * the join-based shape instead of shipping a multi-hundred-MB matrix.
    */
-  private[graft] def ivfAssignHierarchical(
+  def ivfAssignHierarchical(
       df: DataFrame, embCol: String, idCol: Option[String], centroids: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
     val k = centroids.count()
-    val g = math.min(math.ceil(math.sqrt(k.toDouble)).toLong, ArgminKernelMaxCentroids.toLong)
+    // 4x sqrt(k) supers, not sqrt(k): on blob-structured data (the geometry
+    // this path exists for) a cell whose blob holds NO super inherits a
+    // data-diameter radius and becomes unprunable for EVERY vector. With g
+    // supers thrown at B blobs the per-blob miss probability is
+    // ~exp(-g/B); the r9 planted sweep (B=200, g=265) measured exactly
+    // that failure — enough uncovered blobs that leg 2's candidate volume
+    // spilled. At 4x the miss probability drops ~e^4x faster while the
+    // probe stays O(g) per vector (~1.5% of the direct kernel's O(k) at
+    // k=70,000). Capped so leg 1 stays under the flat kernel's bound.
+    val g = math.min(4L * math.ceil(math.sqrt(k.toDouble)).toLong, ArgminKernelMaxCentroids.toLong)
     val stride = (k + g - 1) / g
-    val supersDF = centroids.filter(col("centroid_id") % stride === 0)
+    val seedDF = centroids.filter(col("centroid_id") % stride === 0)
+    // Lloyd means over the fine-centroid relation, then snap each mean to
+    // its cell's medoid MEMBER (memberships are disjoint, so snapped ids
+    // are distinct; empty cells drop, shrinking g harmlessly)
+    val virt = ivfRefine(centroids, "centroid", "centroid_id", seedDF, 2)
+    val snappedIds = ivfAssignImpl(centroids, "centroid", Some("centroid_id"), virt)
+      .join(broadcast(virt.select(col("centroid_id").as("bucket"), col("centroid").as("vc"))), Seq("bucket"))
+      .select(col("bucket"), col("centroid_id"), expr("l2_sq(centroid, vc)").as("d2"))
+      .groupBy("bucket")
+      .agg(expr("argmin_pair(d2, centroid_id)").as("sid"))
+      .select(col("sid")).collect().map(_.getInt(0))
+    val supersDF = centroids.join(broadcast(snappedIds.toSeq.toDF("centroid_id")), Seq("centroid_id"))
     // leg 1: cell per fine centroid, via the flat kernel over <= g supers
     // (recursion depth is 1: supers are under the cap by construction)
     val cellOf = ivfAssignImpl(centroids, "centroid", Some("centroid_id"), supersDF)
@@ -307,15 +379,30 @@ object AnnIndex {
       (r.getAs[Int]("centroid_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
     }.sortBy(_._1)
     val radii = supers.map { case (sid, _) => radiusRows.getOrElse(sid, 0.0) }
-    // leg 2: candidate cells per vector (codegen bound), explode + equi-join
+    // leg 2: candidate cells per vector (codegen bound), explode + join.
+    // The probe side stays NARROW when an id is available, and the k-row
+    // cell relation broadcasts when modest so the exploded side streams
+    // through a hash join instead of sorting through a shuffle.
+    val probeIn = idCol match {
+      case Some(id) => df.select(col(id), col(embCol))
+      case None     => df
+    }
     val probed = withTempKernel(spark, "ivf_superprobe",
       exprs => graft.functions.IvfSuperProbe(
         exprs.head, supers.map(_._2), supers.map(_._1), radii, 1e-9)) { name =>
-      df.withColumn("cell", explode(expr(s"$name($embCol)")))
+      probeIn.withColumn("cell", explode(expr(s"$name($embCol)")))
     }
-    val cands = probed.join(cellOf, Seq("cell"))
+    val dim = supers.headOption.map(_._2.length).getOrElse(0)
+    val cellRel =
+      if (k * dim * 8L <= 256L * 1024 * 1024) broadcast(cellOf) else cellOf
+    val cands = probed.join(cellRel, Seq("cell"))
       .withColumn("dist2", expr(s"l2_sq($embCol, centroid)"))
-    val tieMin = min_by(col("centroid_id"), struct(col("dist2"), col("centroid_id"))).as("bucket")
+    // argmin_pair, NOT min_by: min_by's struct buffer silently demotes the
+    // aggregate to SortAggregate, which sorts (and at this volume spills)
+    // the full candidate relation — the r9 planted sweep measured exactly
+    // that. The two-primitive-slot buffer stays in HashAggregate with
+    // map-side partial collapse; tie-break order is identical.
+    val tieMin = expr("argmin_pair(dist2, centroid_id)").as("bucket")
     idCol match {
       case Some(id) =>
         val best = cands.select(col(id), col("centroid_id"), col("dist2"))

@@ -112,28 +112,47 @@ object DedupOps {
    * (1) blocking — only pairs with |n_chars delta| <= 10 are compared, via a
    * range-band condition on the gram equi-join (near-identical docs have
    * near-identical lengths); (2) frequency pruning — grams present in more
-   * than `greatest(200, corpusDocs div 100)` documents carry no
-   * discriminative signal and are dropped from both sets BEFORE the join
-   * (same deterministic rule in the oracle), which caps the join fan-out per
-   * gram. The cap SCALES with the corpus (r9; the r8 residue note): a
-   * constant cap on a growing corpus eventually prunes every gram — at
-   * 100 TB a gram shared by a fixed fraction of documents is boilerplate,
-   * one shared by a fixed COUNT is signal. The corpus size rides in-plan as
-   * a 1-row aggregate (count-star over parquet row-group metadata, no text
-   * bytes read), never a driver-side action.
+   * than `greatest(200, ceil(sqrt(corpusDocs)))` documents are dropped from
+   * both sets BEFORE the join (same deterministic rule in the oracle),
+   * which caps the join fan-out per gram.
+   *
+   * Why SQRT, not constant and not corpus-proportional (both measured
+   * wrong): a CONSTANT cap on a growing corpus eventually prunes every
+   * gram that matters (the r8 residue note) — at 100 TB a dup-cluster of
+   * thousands of boilerplate pages shares only grams with df in the
+   * thousands, all pruned at 200. But a CORPUS-PROPORTIONAL cap
+   * (`ndocs div 100`, the first r9 attempt) re-admits grams whose df is
+   * Theta(N), and a gram's candidate fan-out is df^2 — Theta(N^2) total
+   * work. The r9 wide-alphabet sweep measured exactly that: the ciphered
+   * replicas keep letter-grams replica-local (df flat in N) but share
+   * whitespace/punctuation grams ACROSS replicas (df proportional to N),
+   * and 10x->30x went 4.4 s -> 57 s with 17x the shuffle. `sqrt(N)` is the
+   * sub-quadratic compromise: per-gram fan-out is bounded by N pairs
+   * (total worst case N^1.5, in practice linear — cap-region grams are
+   * rare), the cap still GROWS without bound (at N=10^10 docs grams shared
+   * by up to 10^5 docs participate, so mass-boilerplate clusters stay
+   * findable), and at the sf0.1 base corpus it coincides with the 200
+   * floor, so small-corpus results are unchanged. The corpus size rides
+   * in-plan as a 1-row aggregate (count-star over parquet row-group
+   * metadata, no text bytes read), never a driver-side action.
    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val grams = t(spark, dir, "documents")
+    // Per-doc DISTINCT gram rows (set semantics, same as the oracle's
+    // SELECT DISTINCT). A doc's grams all originate in one input row, so
+    // the distinct's partial aggregate collapses in-doc repeats map-side
+    // before anything shuffles. char_ngrams = codegen one-pass gram
+    // extraction; the HOF equivalent (transform(sequence...) + substring)
+    // pays an interpreted lambda and an O(position) code-point scan per
+    // character of the corpus.
+    val g0 = t(spark, dir, "documents")
       .filter(length(col("text")) >= 4)
-      // char_ngrams = codegen one-pass gram extraction; the HOF equivalent
-      // (transform(sequence...) + substring) pays an interpreted lambda and
-      // an O(position) code-point scan per character of the corpus.
       .select(
         col("doc_id"),
         col("n_chars"),
         explode(expr("char_ngrams(text, 4)")).as("g")
       )
+      .distinct()
     // Document frequency as a partial-aggregated count table joined back on
     // g — NOT a window count over g. The window formulation ("one shuffle
     // annotates every occurrence") concentrates every occurrence of a gram
@@ -144,56 +163,53 @@ object DedupOps {
     // 30x -> 23.96 s at 100x with the window; the agg+join shape collapses
     // the hot key map-side (combiner leaves <= #tasks rows per gram), the
     // df filter then DROPS hot grams before they ever re-join, and the
-    // join back is an equi-join AQE can skew-split. Same number (occurrence
-    // count per gram), same <= 200 rule, bit-identical output.
+    // join back is an equi-join AQE can skew-split.
     val nd = t(spark, dir, "documents").agg(count(lit(1)).as("ndocs"))
-    val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val dfTab = g0.groupBy("g").agg(count(lit(1)).as("df"))
     // The cap filter applies AFTER the 1:1 df-annotation join (dfTab has one
     // row per gram, so the join is never a fan-out and filtering after it
     // prunes identically) — filtering dfTab itself through the 1-row ndocs
     // BNLJ would sit a non-exchange operator on top of the aggregate and
     // blind AQE to its runtime size, de-broadcasting the annotation join.
-    val pruned = grams.join(dfTab, "g")
+    val g1 = g0.join(dfTab, "g")
       .crossJoin(nd) // 1-row build side: broadcast, no shuffle
-      .filter(col("df") <= greatest(lit(200L), expr("ndocs div 100")))
-      .select(col("doc_id"), col("n_chars"), col("g"), col("df"))
-    // Per-doc gram set ordered rarest-first (global total order (df, g)) —
-    // the canonical order for PREFIX FILTERING (Chaudhuri et al. SSJoin;
-    // Xiao et al. PPJoin): for Jaccard >= t, two sets must share an element
-    // within their first (n - ceil(t*n) + 1) elements, so the candidate
-    // equi-join only explodes that prefix. Exact (no false negatives), and
-    // the joined grams are by construction the RAREST ones -> tiny buckets,
-    // vs. the previous shape that self-joined every pruned gram occurrence.
-    val arrs = pruned.groupBy(col("doc_id"), col("n_chars"))
-      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("sarr"))
-      .select(
-        col("doc_id"), col("n_chars"),
-        expr("transform(sarr, x -> x.g)").as("garr"),
-        size(col("sarr")).as("n"))
-      .cache() // read thrice: prefix explode + two verify joins
-    // prefix length n - ceil(0.6n) + 1, in exact integer math: ceil(3n/5) = (3n+4) div 5
-    val pref = arrs.select(
-      col("doc_id"), col("n_chars"),
-      explode(expr("slice(garr, 1, n - (3*n + 4) div 5 + 1)")).as("g"))
-    val cand = pref.as("x")
+      .filter(col("df") <= greatest(lit(200L), expr("cast(ceil(sqrt(ndocs)) as bigint)")))
+      .select(col("doc_id"), col("n_chars"), col("g"))
+    val sizes = g1.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // COUNTING verify, plan-isomorphic with the oracle: the capped gram
+    // relation self-joins on g (the |delta n_chars| <= 10 length blocking
+    // rides in the join condition), projects NARROW (a, b) rows, and a
+    // partial-aggregated count collapses them into per-pair overlap cm.
+    // No per-pair gram arrays exist anywhere in the plan.
+    //
+    // This REPLACES the r8 prefix-filter + array_intersect design, whose
+    // verify stage the r9 wide-alphabet sweep measured as the scale
+    // killer: every candidate pair carried its full gram array through a
+    // shuffle (4.25 GB written) into a sort-merge join that spilled
+    // 6.5 GB with 168 s of GC at 100x — per-candidate payload ~400 B vs
+    // this shape's 16 B. Prefix filtering only pays when a verify needs
+    // materialized per-doc sets; with a counting verify the full-set
+    // equi-join IS the verify, and its fan-out is already bounded by the
+    // df cap (<= cap rows per gram side, AQE-skew-splittable). A width-21
+    // length-band join key (probe side exploding band±1) was also tried
+    // and measured WORSE (246 s vs 128 s at 100x): near-dup candidates
+    // are already near-length, so the band pruned nothing and the 3x
+    // probe explode was pure cost.
+    val common = g1.as("x")
       .join(
-        pref.as("y"),
+        g1.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
           abs(col("x.n_chars") - col("y.n_chars")) <= 10
       )
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    // Verify: broadcast the (tiny, id-only) candidate set, pull both gram
-    // arrays on, count overlap map-side — mirrors minhashLsh's verify stage.
-    // The gram-carrying second arm is NOT force-broadcast (AQE decides):
-    // see the sizing note there.
-    val withA = broadcast(cand)
-      .join(arrs.select(col("doc_id").as("a"), col("garr").as("arr_a"), col("n").as("na")), Seq("a"))
-    val pairs = withA
-      .join(arrs.select(col("doc_id").as("b"), col("garr").as("arr_b"), col("n").as("nb")), Seq("b"))
-    pairs
-      .withColumn("cm", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
-      .withColumn("j", col("cm").cast("double") / (col("na").cast("long") + col("nb").cast("long") - col("cm")))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cm"))
+    // Size annotation joins are narrow (doc_id, n) equi-joins; AQE
+    // broadcasts them at bench scale and skew-splits them at corpus scale.
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("j", col("cm").cast("double") / (col("na") + col("nb") - col("cm")))
       .filter(col("j") >= 0.6)
       .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
       .orderBy("a", "b")
