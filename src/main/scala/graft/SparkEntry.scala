@@ -515,7 +515,7 @@ object SparkEntry {
         |  unnest(list_transform(range(1, length(text)-2), i -> substr(text, i, 4))) AS g
         |  FROM documents WHERE length(text) >= 4)),
         |rare AS (SELECT g FROM g0 GROUP BY g
-        |  HAVING count(*) <= greatest(200, CAST(ceil(sqrt((SELECT count(*) FROM documents))) AS BIGINT))),
+        |  HAVING count(*) <= 200),
         |g1 AS (SELECT g0.* FROM g0 JOIN rare USING (g)),
         |sizes AS (SELECT doc_id, count(*) n FROM g1 GROUP BY 1),
         |common AS (SELECT x.doc_id a, y.doc_id b, count(*) cm FROM g1 x JOIN g1 y

@@ -112,29 +112,35 @@ object DedupOps {
    * (1) blocking — only pairs with |n_chars delta| <= 10 are compared, via a
    * range-band condition on the gram equi-join (near-identical docs have
    * near-identical lengths); (2) frequency pruning — grams present in more
-   * than `greatest(200, ceil(sqrt(corpusDocs)))` documents are dropped from
-   * both sets BEFORE the join (same deterministic rule in the oracle),
-   * which caps the join fan-out per gram.
+   * than [[NgramDfCap]] (= 200) documents are dropped from both sets BEFORE
+   * the join (same deterministic rule in the oracle), which caps the join
+   * fan-out per gram at C(200, 2) pairs.
    *
-   * Why SQRT, not constant and not corpus-proportional (both measured
-   * wrong): a CONSTANT cap on a growing corpus eventually prunes every
-   * gram that matters (the r8 residue note) — at 100 TB a dup-cluster of
-   * thousands of boilerplate pages shares only grams with df in the
-   * thousands, all pruned at 200. But a CORPUS-PROPORTIONAL cap
-   * (`ndocs div 100`, the first r9 attempt) re-admits grams whose df is
-   * Theta(N), and a gram's candidate fan-out is df^2 — Theta(N^2) total
-   * work. The r9 wide-alphabet sweep measured exactly that: the ciphered
-   * replicas keep letter-grams replica-local (df flat in N) but share
-   * whitespace/punctuation grams ACROSS replicas (df proportional to N),
-   * and 10x->30x went 4.4 s -> 57 s with 17x the shuffle. `sqrt(N)` is the
-   * sub-quadratic compromise: per-gram fan-out is bounded by N pairs
-   * (total worst case N^1.5, in practice linear — cap-region grams are
-   * rare), the cap still GROWS without bound (at N=10^10 docs grams shared
-   * by up to 10^5 docs participate, so mass-boilerplate clusters stay
-   * findable), and at the sf0.1 base corpus it coincides with the 200
-   * floor, so small-corpus results are unchanged. The corpus size rides
-   * in-plan as a 1-row aggregate (count-star over parquet row-group
-   * metadata, no text bytes read), never a driver-side action.
+   * The cap is a CONSTANT by design; the r9 sweeps measured every scaled
+   * alternative quadratic (BENCH_NOTES round-9 C — corpus-proportional,
+   * sqrt(N) with the oracle-isomorphic counting verify, and sqrt(N) with
+   * SSJoin/PPJoin prefix-filtered candidates all hit N^2.0 on the
+   * 100x wide-alphabet corpus; the inherent admitted volume
+   * sum_{df<=cap} C(df,2) went 4.6e8 at 30x -> 5.2e9 at 100x, an
+   * ENGINE-INDEPENDENT number the DuckDB oracle pays too). Two structural
+   * facts make the constant cap the scale-correct semantic, not a
+   * compromise:
+   *
+   *   - Char-4-grams have a BOUNDED vocabulary, so on a growing corpus
+   *     every gram's df eventually grows with N; any cap that grows admits
+   *     Theta(N)-df grams (df^2 = Theta(N^2) work while they stay under
+   *     it), and at vocabulary saturation a sqrt(N) cap prunes EVERY gram
+   *     — the operator degenerates to empty output at exactly the scale
+   *     the larger cap was meant to serve.
+   *   - A pair-REPORTING exact-Jaccard operator is intrinsically quadratic
+   *     in dup-cluster size m (C(m,2) output rows per cluster); no cap
+   *     policy fixes an output-size law. Mass-boilerplate clusters are the
+   *     province of the linear-output operators: exact dedup (q24),
+   *     exact-substring (q93), and connected-component clustering (q60).
+   *
+   * With the constant cap the admitted volume is <= cap * |gram
+   * occurrences| = O(corpus), and the r8/r9 100x sweeps measured the
+   * operator linear (narrow- and wide-alphabet corpora).
    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
@@ -164,37 +170,27 @@ object DedupOps {
     // the hot key map-side (combiner leaves <= #tasks rows per gram), the
     // df filter then DROPS hot grams before they ever re-join, and the
     // join back is an equi-join AQE can skew-split.
-    val nd = t(spark, dir, "documents").agg(count(lit(1)).as("ndocs"))
     val dfTab = g0.groupBy("g").agg(count(lit(1)).as("df"))
     // The cap filter applies AFTER the 1:1 df-annotation join (dfTab has one
     // row per gram, so the join is never a fan-out and filtering after it
-    // prunes identically) — filtering dfTab itself through the 1-row ndocs
-    // BNLJ would sit a non-exchange operator on top of the aggregate and
-    // blind AQE to its runtime size, de-broadcasting the annotation join.
+    // prunes identically), keeping the annotation join AQE-sizable.
     val g1 = g0.join(dfTab, "g")
-      .crossJoin(nd) // 1-row build side: broadcast, no shuffle
-      .filter(col("df") <= greatest(lit(200L), expr("cast(ceil(sqrt(ndocs)) as bigint)")))
+      .filter(col("df") <= NgramDfCap)
       .select(col("doc_id"), col("n_chars"), col("g"))
     val sizes = g1.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // COUNTING verify, plan-isomorphic with the oracle: the capped gram
     // relation self-joins on g (the |delta n_chars| <= 10 length blocking
     // rides in the join condition), projects NARROW (a, b) rows, and a
     // partial-aggregated count collapses them into per-pair overlap cm.
-    // No per-pair gram arrays exist anywhere in the plan.
-    //
-    // This REPLACES the r8 prefix-filter + array_intersect design, whose
-    // verify stage the r9 wide-alphabet sweep measured as the scale
-    // killer: every candidate pair carried its full gram array through a
-    // shuffle (4.25 GB written) into a sort-merge join that spilled
-    // 6.5 GB with 168 s of GC at 100x — per-candidate payload ~400 B vs
-    // this shape's 16 B. Prefix filtering only pays when a verify needs
-    // materialized per-doc sets; with a counting verify the full-set
-    // equi-join IS the verify, and its fan-out is already bounded by the
-    // df cap (<= cap rows per gram side, AQE-skew-splittable). A width-21
-    // length-band join key (probe side exploding band±1) was also tried
-    // and measured WORSE (246 s vs 128 s at 100x): near-dup candidates
-    // are already near-length, so the band pruned nothing and the 3x
-    // probe explode was pure cost.
+    // No per-pair gram arrays exist anywhere in the plan — the r8
+    // prefix+array_intersect verify carried a ~400 B array payload per
+    // candidate through a sort-merge join (4.25 GB shuffled, 6.5 GB
+    // spilled, 168 s GC on the r9 100x wide-alphabet sweep); this shape's
+    // per-candidate cost is 16 B in a hash aggregate, and its total volume
+    // is the cap-bounded sum_{df<=200} C(df,2). SSJoin/PPJoin prefix
+    // filtering was also built and measured (r9): at a constant cap it
+    // cannot beat the bounded counting join (prefixes of the small capped
+    // sets retain most grams), and it pays an extra sort+slice pass.
     val common = g1.as("x")
       .join(
         g1.as("y"),
@@ -214,6 +210,11 @@ object DedupOps {
       .select(col("a"), col("b"), round(col("j"), 4).as("jaccard"))
       .orderBy("a", "b")
   }
+
+  /** Document-frequency cap for [[ngramJaccard]] — a deliberate constant;
+   * see the operator scaladoc for why scaling it with the corpus is a
+   * measured scale defect, not a feature. */
+  final val NgramDfCap = 200L
 
   /**
    * Winnowing-fingerprint near-dup (rows-only: the rolling hash has no
