@@ -3,7 +3,7 @@
 // to either attribute the spread to named stages/box drift or find a shape.
 //
 // Method: on the scale_check9 wide-alphabet document corpora (/tmp/scale9c,
-// built by tools/scale_check9.scala — run that first), run q43 end-to-end
+// built by tools/scale_check9.scala -- run that first), run q43 end-to-end
 // THREE consecutive times at k=30 and k=100 recording every stage's wall,
 // task time, GC time, and shuffle volumes; then time each constituent stage
 // (qualityScore, langId, minhashPairs) alone at the same k. If the spread

@@ -1,5 +1,5 @@
 // Round-9 scaling check, part 3: q26 (whatever shape ngramJaccard currently
-// binds — used to A/B the sqrt(N)-cap counting, sqrt(N)-cap prefix-hybrid,
+// binds -- used to A/B the sqrt(N)-cap counting, sqrt(N)-cap prefix-hybrid,
 // and final constant-cap counting variants) on the wide-alphabet cipher
 // corpus built by scale_check9b (/tmp/scale9c).
 //
