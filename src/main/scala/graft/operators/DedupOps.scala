@@ -174,9 +174,16 @@ object DedupOps {
     // The cap filter applies AFTER the 1:1 df-annotation join (dfTab has one
     // row per gram, so the join is never a fan-out and filtering after it
     // prunes identically), keeping the annotation join AQE-sizable.
-    val g1 = g0.join(dfTab, "g")
+    // The capped gram relation feeds FOUR consumers (both self-join legs +
+    // both size annotations); un-persisted, each replans independently and
+    // the corpus is scanned+exploded+distinct'd 8x (r9 plan dump). One
+    // bounded-persist (the TextOps one-corpus-pass pattern, OpCache) makes
+    // it 2 scans — the build's own distinct + df legs — and at corpus scale
+    // buys back 6 full text scans per call for a narrow (doc_id, n_chars,
+    // g) disk-backed cache.
+    val g1 = OpCache.persistBounded("q26_grams", g0.join(dfTab, "g")
       .filter(col("df") <= NgramDfCap)
-      .select(col("doc_id"), col("n_chars"), col("g"))
+      .select(col("doc_id"), col("n_chars"), col("g")))
     val sizes = g1.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // COUNTING verify, plan-isomorphic with the oracle: the capped gram
     // relation self-joins on g (the |delta n_chars| <= 10 length blocking

@@ -14,25 +14,9 @@ object TextOps {
   import Tables.t
 
   /** Bounded persist lifecycle for the one-corpus-pass operators (ADVICE
-   * r8): the persisted per-doc aggregate must outlive THIS call's consuming
-   * action (unpersisting here would defeat the persist), so each
-   * (session, operator) slot instead releases its PREVIOUS relation on the
-   * next call — a long-lived library session accumulates at most one cached
-   * relation per operator instead of one per invocation. Callers composing
-   * many operators own the end-of-query lifecycle (`spark.catalog
-   * .clearCache()` — the bench's dropState does exactly this). */
-  private val lastPersisted = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def persistBounded(slot: String, df: DataFrame): DataFrame = {
-    val key = System.identityHashCode(df.sparkSession) + ":" + slot
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Same-plan predecessor (repeated call on the same dir) SHARES the cache
-    // entry — unpersisting it would evict the relation just persisted
-    // (CacheManager keys by logical plan, not by Dataset identity).
-    Option(lastPersisted.put(key, cached))
-      .filterNot(_.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
-      .foreach(_.unpersist(blocking = false))
-    cached
-  }
+   * r8) — see [[OpCache.persistBounded]], shared with DedupOps. */
+  private def persistBounded(slot: String, df: DataFrame): DataFrame =
+    OpCache.persistBounded(slot, df)
 
   /** Shared stopword lists (tiny, inlined into the plan as literals). */
   val StopEn = Seq("the", "a", "of", "and", "to", "in")
