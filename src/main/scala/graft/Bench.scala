@@ -56,6 +56,7 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val (streamNames, names) = allNames.partition(_.contains("_stream_"))
     def dropState(): Unit = {
+      graft.operators.OpCache.releaseAll() // drop persistBounded pins + map refs
       spark.catalog.clearCache() // intra-query caches must not tax the next run
       // localCheckpoint blocks (sequencePack's partition-identity pin) are
       // RDD-level storage that clearCache() does NOT release and that

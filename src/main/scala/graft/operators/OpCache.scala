@@ -10,13 +10,16 @@ import org.apache.spark.sql.DataFrame
  * persist), so each (session, slot) releases its PREVIOUS relation on the
  * next call — a long-lived library session accumulates at most one cached
  * relation per operator slot instead of one per invocation. Callers
- * composing many operators own the end-of-query lifecycle
- * (`spark.catalog.clearCache()` — the bench's dropState does exactly this).
+ * composing many operators own the end-of-query lifecycle: call
+ * [[graft.operators.OpCache.releaseAll]] (or `spark.catalog.clearCache()` —
+ * the bench's dropState does both) when a query session ends; otherwise the
+ * FINAL relation per (session, operator) slot stays pinned for the life of
+ * the session (VERDICT r9: give OpCache an end-of-life).
  */
-private[operators] object OpCache {
+object OpCache {
   private val lastPersisted = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def persistBounded(slot: String, df: DataFrame): DataFrame = {
+  private[operators] def persistBounded(slot: String, df: DataFrame): DataFrame = {
     val key = System.identityHashCode(df.sparkSession) + ":" + slot
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Same-plan predecessor (repeated call on the same dir) SHARES the cache
@@ -26,5 +29,31 @@ private[operators] object OpCache {
       .filterNot(_.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
       .foreach(_.unpersist(blocking = false))
     cached
+  }
+
+  /** Number of relations currently pinned by persistBounded (test/diagnostic). */
+  def pinnedCount: Int = lastPersisted.size
+
+  /** Eagerly release the relation held for one operator slot, if any. */
+  def release(slot: String): Unit = {
+    val it = lastPersisted.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.endsWith(":" + slot)) {
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
+  }
+
+  /**
+   * End-of-session release: unpersist every relation persistBounded still
+   * holds, across all sessions and slots. Idempotent; safe to call while no
+   * query is running. Library sessions should call this (or
+   * `spark.catalog.clearCache()`) when done composing operators.
+   */
+  def releaseAll(): Unit = {
+    val it = lastPersisted.values().iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
   }
 }

@@ -1032,4 +1032,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ub = b.select(unix_micros(col("ts"))).as[Long].head()
     assert(ua == micros && ub == micros) // identical instants (session TZ = UTC)
   }
+
+  test("OpCache.releaseAll drops every persistBounded pin (end-of-session contract)") {
+    OpCache.releaseAll() // start from a clean slate regardless of test order
+    assert(OpCache.pinnedCount == 0)
+    DedupOps.ngramJaccard(spark, dir).count()   // pins q26_grams
+    TextOps.tfidfTopTerms(spark, dir).count()   // pins tfidf
+    assert(OpCache.pinnedCount >= 2)
+    OpCache.releaseAll()
+    assert(OpCache.pinnedCount == 0)
+    // the catalog cache holds nothing persistBounded put there
+    assert(spark.sharedState.cacheManager.isEmpty)
+    OpCache.releaseAll() // idempotent
+    assert(OpCache.pinnedCount == 0)
+  }
 }

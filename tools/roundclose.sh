@@ -1,0 +1,63 @@
+#!/usr/bin/env bash
+# Round-closing protocol. Run from /root/repo on a quiet box (load < 1):
+#
+#   bash tools/roundclose.sh [sf_lo_dir] [sf_hi_dir]
+#
+# Steps (fail-fast):
+#  1. sbt test                       - full ScalaTest/ScalaCheck suite
+#  2. sbt package                    - library jar for child JVMs
+#  3. plan census                    - regenerate PLANS.md via tools/plan_audit.scala
+#  4. PlanGuardSpec                  - re-pin CI plan contract against the fresh census
+#  5. off-driver oracle gate         - Verify under local-cluster[2,16,4096]
+#                                      (two real executor JVMs) + tools/selfcheck.py
+#  6. bench lo + hi                  - same-day records at sf0.01 and sf0.1
+#
+# Outputs land in /tmp/roundclose/: selfcheck_lc.txt, bench_lo.json,
+# bench_hi.json. PLANS.md changes (if any) are left staged-for-review in the
+# working tree - diff, adjudicate, commit.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_LO="${1:-/root/testdata/sf0.01}"
+SF_HI="${2:-/root/testdata/sf0.1}"
+OUT=/tmp/roundclose
+JAR=target/scala-2.13/whisperpandasspark_2.13-0.1.0.jar
+mkdir -p "$OUT"
+
+echo "== [1/6] full test suite"
+sbt -batch test
+
+echo "== [2/6] package"
+sbt -batch package
+
+echo "== [3/6] plan census (PLANS.md)"
+/opt/spark/bin/spark-shell --master 'local[8]' --jars "$JAR" \
+  --conf spark.sql.extensions=graft.GraftExtensions \
+  --conf spark.sql.shuffle.partitions=8 -i tools/plan_audit.scala \
+  >"$OUT/plan_audit.log" 2>&1
+git --no-pager diff --stat PLANS.md || true
+
+echo "== [4/6] PlanGuardSpec against the fresh census"
+sbt -batch "testOnly graft.PlanGuardSpec"
+
+echo "== [5/6] off-driver oracle gate (local-cluster[2,16,4096], $SF_LO)"
+SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+SPARK_GRAFT_MASTER='local-cluster[2,16,4096]' \
+SPARK_GRAFT_JARS="$JAR" \
+  sbt -batch -Dspark.executor.memory=3g \
+    "runMain graft.Verify $SF_LO $OUT/verify_lc"
+python3 tools/selfcheck.py "$SF_LO" "$OUT/verify_lc" | tee "$OUT/selfcheck_lc.txt"
+grep -q ", 0 fail" "$OUT/selfcheck_lc.txt"
+
+echo "== [6/6] bench lo ($SF_LO) + hi ($SF_HI)"
+SPARK_GRAFT_SF_DIR="$SF_LO" sbt -batch "runMain graft.Bench" 2>&1 | grep -E '^\{' >"$OUT/bench_lo.json"
+SPARK_GRAFT_SF_DIR="$SF_HI" sbt -batch "runMain graft.Bench" 2>&1 | grep -E '^\{' >"$OUT/bench_hi.json"
+python3 - "$OUT" <<'EOF'
+import json, sys
+out = sys.argv[1]
+for tag in ("lo", "hi"):
+    d = json.load(open(f"{out}/bench_{tag}.json"))
+    print(f"{tag}: total={d['value']}s errors={d['errors']} worst5={d['worst5']}")
+EOF
+
+echo "== roundclose OK - record lo/hi + the selfcheck line in BENCH_NOTES.md"
