@@ -52,8 +52,14 @@ object VectorOps {
    * Norms are computed ONCE per vector before the pair join (sqrt(sum x^2)
    * per row instead of per pair — the pair-side work drops to one dot
    * product; `sa * sb` is bit-identical to the oracle's
-   * `sqrt(na) * sqrt(nb)`). */
-  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+   * `sqrt(na) * sqrt(nb)`).
+   *
+   * `threshold` semantics and the output-size law: see
+   * [[embeddingDedupBlocked]]. */
+  def embeddingDedup(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = DefaultCosineThreshold): DataFrame = {
     val e = embeddings(spark, dir)
       .withColumn("nrm", expr("sqrt(dot_d(emb, emb))"))
     e.as("x").join(e.as("y"), col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
@@ -62,9 +68,27 @@ object VectorOps {
         col("y.vec_id").as("b"),
         (expr("dot_d(x.emb, y.emb)") / (col("x.nrm") * col("y.nrm"))).as("c")
       )
-      .filter(col("c") >= 0.35)
+      .filter(col("c") >= threshold)
       .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
       .orderBy("a", "b")
+  }
+
+  /** Oracle-pinned default near-dup threshold for the d=64 test embeddings:
+   * `thresholdForDim(64) = 2.8 / sqrt(64) = 0.35`. */
+  val DefaultCosineThreshold: Double = 0.35
+
+  /** Dimension-derived near-dup threshold, `c / sqrt(d)`. For i.i.d. random
+   * unit vectors in dimension d the cosine of an unrelated pair is
+   * approximately N(0, 1/d), so `sigma(d) = 1/sqrt(d)` is the noise floor
+   * and `c` is the separation in sigmas (default 2.8 — the pinned 0.35 at
+   * d=64). Deriving the threshold from d keeps the FALSE-POSITIVE rate
+   * stable when the embedding model changes: a fixed 0.35 at d=1024
+   * (sigma ~ 0.031) would sit 11 sigma out and admit only near-exact
+   * duplicates, while at d=16 (sigma = 0.25) it would flag unrelated pairs
+   * in bulk. */
+  def thresholdForDim(d: Int, c: Double = 2.8): Double = {
+    require(d > 0, s"embedding dimension must be positive, got $d")
+    c / math.sqrt(d.toDouble)
   }
 
   /**
@@ -77,10 +101,30 @@ object VectorOps {
    * 60k vectors inside q62, unfinished at 200k). With the cluster
    * dimension the block population is bounded and the shape stays linear;
    * the price is SemDeDup's documented approximation (cross-cluster
-   * near-dups are not candidates). Same 0.35 threshold, same emitted
+   * near-dups are not candidates). Same threshold default and emitted
    * columns as [[embeddingDedup]].
+   *
+   * OUTPUT-SIZE LAW (the q26 counting argument, restated for cosine): any
+   * operator that REPORTS near-dup pairs emits C(m,2) rows for a mutual
+   * near-dup cluster of size m — Omega(m^2) output is inherent to the
+   * SEMANTICS, independent of engine or plan. The r9 scale_check9A sweep
+   * showed exactly this: 3.3x input -> 5.4x pairs, because the replicated
+   * corpus grows m with n while the PER-PAIR cost falls (the plan is
+   * linear; the pair LIST is not). On duplicate-heavy corpora the pair list
+   * explodes for data reasons — cap it by keeping m bounded (dedupe
+   * greedily per cluster, as q88's SemDeDup keep-one does, emitting O(m)
+   * losers instead of C(m,2) pairs) rather than by raising `threshold`.
+   *
+   * `threshold` (default [[DefaultCosineThreshold]]): the 0.35 default is
+   * `2.8/sqrt(64)` — 2.8 sigma above the random-cosine noise floor
+   * `sigma(d) ~ 1/sqrt(d)` AT THE TEST EMBEDDINGS' d=64. It is NOT
+   * dimension-portable; pass [[thresholdForDim]](d) (or a calibrated
+   * value) for other embedding models.
    */
-  def embeddingDedupBlocked(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingDedupBlocked(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = DefaultCosineThreshold): DataFrame = {
     val e0 = embeddings(spark, dir)
     val n = e0.count()
     val cents = AnnIndex.ivfCentroids(
@@ -94,7 +138,7 @@ object VectorOps {
         col("x.vec_id").as("a"),
         col("y.vec_id").as("b"),
         (expr("dot_d(x.emb, y.emb)") / (col("x.nrm") * col("y.nrm"))).as("c"))
-      .filter(col("c") >= 0.35)
+      .filter(col("c") >= threshold)
       .select(col("a"), col("b"), round(col("c"), 4).as("cos"))
   }
 

@@ -41,10 +41,15 @@ import graft.sources.whisper.WhisperScan
  *  - every node between exchange and scan is order-preserving and
  *    deterministic (Project/Filter) and passes `timestamp` through
  *    unchanged;
- *  - the scan reports ascending-timestamp output ordering (`timeSort` on)
- *    AND plans exactly one input partition — the per-partition guarantee is
- *    then a global one. Multi-archive/multi-file scans interleave
- *    partitions and keep their sort.
+ *  - the scan's partition concatenation is globally ordered
+ *    ([[graft.sources.whisper.WhisperScan.globallyOrderedPartitions]]):
+ *    either exactly one input partition (the per-partition `timeSort`
+ *    guarantee is then a global one), or — since r10 — one oversized
+ *    archive's rotation-ordered chunks whose planned time windows tile
+ *    disjointly; in the chunked case the rewrite swaps in a
+ *    window-ENFORCING scan copy, so the claim is runtime-checked, never
+ *    trusted. Multi-archive/multi-file scans interleave partitions and
+ *    keep their sort.
  *
  * Injected via [[graft.GraftExtensions]] (`injectQueryStagePrepRule`).
  * Logical-level injection points don't work here: `injectPreCBORule` runs
@@ -58,10 +63,24 @@ case class WhisperSortElision(session: SparkSession) extends Rule[SparkPlan] {
         if attr.name == "timestamp" &&
           ex.outputPartitioning.isInstanceOf[RangePartitioning] &&
           globallyOrdered(ex.child, attr) =>
-      ex.child
+      // Multi-chunk scans (one oversized archive split into rotation-ordered
+      // chunks) carry their order as a CLAIM backed by planned per-chunk time
+      // windows; before trusting it, swap in the window-enforcing scan copy
+      // so a ring that violates the dense-rotation invariant fails loudly at
+      // read instead of silently emitting misordered rows. Single-partition
+      // scans need no enforcement: the reader fully sorts its partition.
+      ex.child.transformUp {
+        case b: BatchScanExec =>
+          b.scan match {
+            case ws: WhisperScan if ws.planInputPartitions().length > 1 =>
+              b.copy(scan = ws.withWindowEnforcement)
+            case _ => b
+          }
+      }
   }
 
-  /** Is `plan`'s output already globally ordered by ascending `attr`? */
+  /** Is `plan`'s output — partitions concatenated in index order — already
+   * globally ordered by ascending `attr`? */
   private def globallyOrdered(plan: SparkPlan, attr: Attribute): Boolean = plan match {
     case ProjectExec(projectList, child) =>
       projectList.forall(_.deterministic) &&
@@ -72,8 +91,9 @@ case class WhisperSortElision(session: SparkSession) extends Rule[SparkPlan] {
       b.scan match {
         case ws: WhisperScan =>
           b.output.exists(_.semanticEquals(attr)) &&
-            ws.outputOrdering().nonEmpty && // timeSort on, timestamp read
-            ws.planInputPartitions().length == 1 // per-partition == global
+            // one sorted partition, or one archive's rotation-ordered chunks
+            // with disjoint tiled windows (checked at read, see apply above)
+            ws.globallyOrderedPartitions
         case _ => false
       }
     case _ => false

@@ -69,7 +69,10 @@ class WhisperMicroBatchStream(
     // same plan-time archive/file pruning AND small-unit bin-packing as the
     // batch scan -- a streaming tail over a large graphite tree pays the
     // per-unit scheduler tax EVERY trigger, so packing matters more here
-    val units = WhisperPlanning.plan(paths, options, preds)
+    // probeOrdered=false: a micro-batch prunes by its pushed time window and
+    // never consumes cross-chunk ordering, so skip the per-trigger rotation
+    // probe (oversized timeSort archives stay one unit here)
+    val units = WhisperPlanning.plan(paths, options, preds, probeOrdered = false)
       .map(_.asInstanceOf[WhisperInputPartition])
     WhisperPlanning.binPack(units, options).map {
       case m: WhisperMultiPartition => WhisperStreamMultiPartition(m.units, lo, hi): InputPartition

@@ -14,10 +14,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *                   (the ring buffer is physically rotated).
  *  - `dtype`        (default "double"): value column type, "double" | "float".
  *  - `compression`  (default "infer"): "infer" (by .gz suffix) | "none" | "gzip".
- *  - `maxPointsPerSplit` (default 8M): when `timeSort=false`, archives larger than
- *                   this are split into multiple scan partitions (byte-range reads);
- *                   with `timeSort=true` an archive is one partition so ordering
- *                   can be restored by ring rotation without a shuffle.
+ *  - `maxPointsPerSplit` (default 8M): archives larger than this are split into
+ *                   multiple scan partitions (byte-range reads). With
+ *                   `timeSort=true` the chunks are emitted oldest-run-first via a
+ *                   plan-time ring-rotation probe so each chunk is ascending AND
+ *                   chunk boundaries tile disjoint time windows (see
+ *                   `orderedSplit`); a probe failure falls back to one partition
+ *                   per archive (the pre-r10 shape) so per-archive order is never
+ *                   silently lost.
+ *  - `orderedSplit` (default true): allow the rotation-probed ordered chunking of
+ *                   oversized `timeSort` archives. `false` restores one partition
+ *                   per archive (the escape hatch named by the runtime
+ *                   dense-rotation enforcement error).
  *  - `binThreshold` (default 128): when a glob expands to more scan units than
  *                   this, small units are bin-packed into shared partitions
  *                   (up to `maxPointsPerSplit` points per bin, with a
@@ -34,7 +42,8 @@ final case class WhisperOptions(
     vectorized: Boolean,
     streamStartTimestamp: Long,
     streamNowOverride: Long,
-    binThreshold: Int = 128
+    binThreshold: Int = 128,
+    orderedSplit: Boolean = true
 ) {
   require(dtype == "double" || dtype == "float", s"dtype must be double|float, got $dtype")
   require(
@@ -78,6 +87,10 @@ object WhisperOptions {
     // above this many scan units (file x archive x split), small units are
     // bin-packed into shared partitions (a graphite tree is millions of
     // small files; one task each would be pure scheduler overhead)
-    binThreshold = map.getInt("binThreshold", 128)
+    binThreshold = map.getInt("binThreshold", 128),
+    // rotation-probed ordered chunking of oversized timeSort archives; false =
+    // one partition per archive (escape hatch for rings that violate the
+    // dense-rotation invariant under the sort-elision fast path)
+    orderedSplit = map.getBoolean("orderedSplit", true)
   )
 }

@@ -22,12 +22,14 @@ import graft.format.WhisperCodec
  * Scale design (the reference reads whole files eagerly on one node,
  * `whisper_pandas.py:263-269`; we do not):
  *  - planning reads ONLY headers (16 + 12*N bytes per file);
- *  - one scan unit per (file, archive); with `timeSort=false`, archives
- *    larger than `maxPointsPerSplit` are split into byte-range chunks so a
- *    5M-point archive does not serialize through one task; past
- *    `binThreshold` units, SMALL units are bin-packed into shared
- *    partitions (see [[WhisperMultiPartition]]) so a million-file tree
- *    schedules O(bytes/split) tasks, not O(files);
+ *  - one scan unit per (file, archive); archives larger than
+ *    `maxPointsPerSplit` are split into byte-range chunks so a huge archive
+ *    (u32 points admits ~51 GB) does not serialize through one straggler
+ *    task — with `timeSort=true` the chunks are rotation-ordered with
+ *    checked time windows (see [[RingProbe]]); past `binThreshold` units,
+ *    SMALL units are bin-packed into shared partitions (see
+ *    [[WhisperMultiPartition]]) so a million-file tree schedules
+ *    O(bytes/split) tasks, not O(files);
  *  - filters on archive/file prune partitions at plan time; filters on
  *    timestamp/position/value are evaluated during decode, before rows are
  *    materialized (`SupportsPushDownFilters`);
@@ -46,7 +48,14 @@ final case class WhisperInputPartition(
     secondsPerPoint: Long,
     points: Long,
     posStart: Long,
-    posCount: Long
+    posCount: Long,
+    // Planned timestamp window [winLo, winHi) of a rotation-ordered chunk
+    // (see [[RingProbe]]); (MinValue, MaxValue) = unchunked / no claim. The
+    // windows make cross-chunk ordering a CHECKED invariant: when the sort
+    // elision engages a multi-chunk scan, readers verify every kept row falls
+    // in its chunk's window, so elided output is never silently misordered.
+    winLo: Long = Long.MinValue,
+    winHi: Long = Long.MaxValue
 ) extends InputPartition
 
 /** Several small scan units served by ONE task, reading them sequentially.
@@ -200,7 +209,8 @@ class WhisperScan(
     options: WhisperOptions,
     preds: Seq[WPred],
     pushedV1: Array[Filter],
-    requiredSchema: StructType
+    requiredSchema: StructType,
+    enforceWindows: Boolean = false
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -235,19 +245,53 @@ class WhisperScan(
       java.util.OptionalLong.of(unitPartitions.map(_.posCount).sum)
   }
 
-  /** With timeSort on, every partition (= one archive) is emitted in
-   * ascending timestamp order — declared so per-partition consumers skip
-   * their own sort. NOT declarable once bin-packing merges several
-   * archives into one partition: the units are emitted sequentially and
-   * their time ranges overlap across files. */
+  /** With timeSort on, every partition (one archive, or one rotation-ordered
+   * chunk of an oversized archive) is emitted in ascending timestamp order —
+   * declared so per-partition consumers skip their own sort. NOT declarable
+   * once bin-packing merges several archives into one partition: the units
+   * are emitted sequentially and their time ranges overlap across files. */
   override def outputOrdering(): Array[SortOrderV2] =
     if (options.timeSort && requiredSchema.fieldNames.contains("timestamp") &&
         plannedPartitions.forall(_.isInstanceOf[WhisperInputPartition]))
       Array(ExpressionsV2.sort(ExpressionsV2.column("timestamp"), SortDirectionV2.ASCENDING))
     else Array.empty
 
+  /** Is the CONCATENATION of the planned partitions, in partition-index
+   * order, globally ascending by timestamp? True for a single sorted
+   * partition (the pre-r10 elision case), and for one archive's
+   * rotation-ordered chunks whose planned windows tile disjointly
+   * ([[RingProbe]]) — there, partition i's rows all precede partition i+1's,
+   * so dropping a global `Sort ts ASC` (+ its range exchange) above this
+   * scan preserves semantics. [[graft.plans.WhisperSortElision]] consumes
+   * this together with [[withWindowEnforcement]] so the multi-chunk claim
+   * is runtime-checked, never trusted. */
+  def globallyOrderedPartitions: Boolean = {
+    if (!options.timeSort || !requiredSchema.fieldNames.contains("timestamp")) false
+    else {
+      val ps = plannedPartitions
+      if (ps.length == 1 && ps.head.isInstanceOf[WhisperInputPartition]) true
+      else if (!options.dropTimeZero) false // kept ts=0 rows sort to each chunk's head
+      else
+        ps.forall(_.isInstanceOf[WhisperInputPartition]) && {
+          val us = ps.map(_.asInstanceOf[WhisperInputPartition])
+          us.forall(u =>
+            u.filePath == us.head.filePath && u.archiveIndex == us.head.archiveIndex &&
+              u.winLo != Long.MinValue && u.winHi != Long.MaxValue && u.winLo < u.winHi) &&
+            us.iterator.sliding(2).forall(p => p.length < 2 || p(0).winHi == p(1).winLo)
+        }
+    }
+  }
+
+  /** Copy of this scan whose readers verify each kept row against its
+   * chunk's planned window — swapped in by the sort-elision rule before it
+   * removes a global sort over a multi-chunk scan. Partition planning is
+   * deterministic, so the copy plans identical chunks. */
+  def withWindowEnforcement: WhisperScan =
+    new WhisperScan(paths, rawPatterns, options, preds, pushedV1, requiredSchema,
+      enforceWindows = true)
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new WhisperReaderFactory(options, preds, requiredSchema)
+    new WhisperReaderFactory(options, preds, requiredSchema, enforceWindows)
 }
 
 /** Shared partition planning for the batch scan and each streaming
@@ -263,7 +307,15 @@ private[whisper] object WhisperPlanning {
       case _                                                   => true
     }
 
-  def plan(paths: Seq[String], options: WhisperOptions, preds: Seq[WPred]): Array[InputPartition] = {
+  /** `probeOrdered=false` (the streaming tail) skips the per-archive
+   * rotation probe: micro-batches prune by pushed time-window predicates and
+   * never consume cross-chunk ordering, so oversized `timeSort` archives
+   * stay one partition there exactly as before r10. */
+  def plan(
+      paths: Seq[String],
+      options: WhisperOptions,
+      preds: Seq[WPred],
+      probeOrdered: Boolean = true): Array[InputPartition] = {
     val perFile = paths.par.map { path =>
       val gz = options.gzipFor(path)
       val meta = WhisperIO.readMetaHeaderOnly(path, gz)
@@ -272,15 +324,31 @@ private[whisper] object WhisperPlanning {
         // timeSort on (ordering then holds per chunk, not per archive);
         // gzip is non-splittable: one stream per file/archive regardless.
         val mustSplit = !gz && a.points * WhisperCodec.PointSize > Int.MaxValue.toLong
-        if ((options.timeSort || a.points <= options.maxPointsPerSplit || gz) && !mustSplit) {
+        val wantSplit = !gz && a.points > options.maxPointsPerSplit
+        val step = math.min(options.maxPointsPerSplit, (Int.MaxValue.toLong / WhisperCodec.PointSize) - 1)
+        def whole =
           Seq(WhisperInputPartition(path, gz, a.index, a.offset, a.secondsPerPoint, a.points, 0L, a.points))
-        } else {
-          val step = math.min(options.maxPointsPerSplit, (Int.MaxValue.toLong / WhisperCodec.PointSize) - 1)
+        def physicalChunks =
           (0L until a.points by step).map { start =>
             val cnt = math.min(step, a.points - start)
             WhisperInputPartition(path, gz, a.index, a.offset, a.secondsPerPoint, a.points, start, cnt)
           }
-        }
+        if (gz || (!wantSplit && !mustSplit)) whole
+        else if (!options.timeSort) physicalChunks
+        else if (options.orderedSplit && probeOrdered) {
+          // timeSort: chunk the ring's two sorted runs oldest-first so the
+          // archive parallelizes WITHOUT losing its per-archive order — a
+          // max-retention archive (u32 points admits ~51 GB) must not become
+          // one straggler task on an otherwise idle cluster. Probe failure
+          // (all-zero, truncated-beyond-probing, non-dense ring detected on
+          // the probe path) keeps the pre-r10 single-partition shape unless
+          // the 2 GiB buffer limit forces a split.
+          RingProbe.probe(path, a.offset, a.secondsPerPoint, a.points) match {
+            case Some(rp) => RingProbe.orderedChunks(path, a.index, a.offset, a.secondsPerPoint, a.points, rp, step)
+            case None     => if (mustSplit) physicalChunks else whole
+          }
+        } else if (mustSplit) physicalChunks
+        else whole
       }
     }
     perFile.seq.flatten.toArray
@@ -329,15 +397,178 @@ private[whisper] object WhisperPlanning {
   }
 }
 
-class WhisperReaderFactory(options: WhisperOptions, preds: Seq[WPred], requiredSchema: StructType)
+/**
+ * Plan-time ring-rotation probe for oversized `timeSort` archives.
+ *
+ * A healthy whisper ring written at every interval is a rotated sorted
+ * array: physical slots `[w, N)` hold the oldest ascending run, `[0, w)` the
+ * newest (`whisper_pandas.py:231-232` recovers order with a full sort; the
+ * single-partition reader with a ring rotation; this probe lets MULTIPLE
+ * partitions share one archive and still tile disjoint ascending time
+ * windows). The format fixes each slot's timestamp up to an era:
+ * `ts(i) = anchor + (i - anchorIdx)*spp  (mod spp*N)`, so ONE nonzero anchor
+ * plus a binary search for the era drop `w` yields, arithmetically, a
+ * planned window `[predTs(s), predTs(e))` per chunk — no boundary reads.
+ *
+ * Cost: O(log N) ranged block reads of 48 KB each (budgeted at
+ * [[MaxReads]]); EOF reads as zeros so truncated files probe like
+ * partially-filled rings. The probe DECLINES (returns None) on: all-zero
+ * archives, read-budget exhaustion (giant zero regions), or any probed
+ * nonzero point off the anchor's interval grid / outside eras {0, -1} — a
+ * sparsely-written ring carrying stale multi-era residue is not a rotated
+ * sorted array, and chunking it ordered would be wrong. Because the probe
+ * only samples, the claim is additionally CHECKED at read time when the
+ * sort elision consumes it ([[WhisperScan.withWindowEnforcement]]).
+ */
+private[whisper] object RingProbe {
+
+  final case class Probe(w: Long, anchorIdx: Long, anchorTs: Long)
+
+  private val BlockPts = 4096
+  private val MaxReads = 64
+  private object GiveUp extends Exception with scala.util.control.NoStackTrace
+
+  def probe(path: String, archiveOffset: Long, spp: Long, points: Long): Option[Probe] = {
+    if (spp <= 0 || points <= 1 || spp > Long.MaxValue / points) return None
+    val p = new HPath(path)
+    try {
+      val fs = p.getFileSystem(WhisperIO.hadoopConf())
+      val in = fs.open(p)
+      try probeImpl(in, archiveOffset, spp, points)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private def probeImpl(
+      in: org.apache.hadoop.fs.FSDataInputStream,
+      off: Long,
+      spp: Long,
+      n: Long): Option[Probe] = {
+    val sppN = spp * n
+    var reads = 0
+
+    // timestamps of slots [start, start+cnt); EOF-as-zeros
+    def readTs(start: Long, cnt: Int): Array[Long] = {
+      if (reads >= MaxReads) throw GiveUp
+      reads += 1
+      val buf = new Array[Byte](cnt * WhisperCodec.PointSize)
+      var got = 0
+      try {
+        in.seek(off + start * WhisperCodec.PointSize)
+        got = WhisperCodec.readFully(in, buf, buf.length)
+      } catch { case _: java.io.EOFException => }
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      val out = new Array[Long](cnt)
+      var i = 0
+      val full = got / WhisperCodec.PointSize
+      while (i < full) { out(i) = bb.getInt(i * WhisperCodec.PointSize).toLong & 0xffffffffL; i += 1 }
+      out
+    }
+
+    // first nonzero (idx, ts) in [from, until)
+    def forward(from: Long, until: Long): Option[(Long, Long)] = {
+      var s = from
+      while (s < until) {
+        val cnt = math.min(BlockPts.toLong, until - s).toInt
+        val ts = readTs(s, cnt)
+        var i = 0
+        while (i < cnt) { if (ts(i) != 0L) return Some((s + i, ts(i))); i += 1 }
+        s += cnt
+      }
+      None
+    }
+
+    // last nonzero (idx, ts) in [downTo, from)
+    def backward(from: Long, downTo: Long): Option[(Long, Long)] = {
+      var e = from
+      while (e > downTo) {
+        val s = math.max(downTo, e - BlockPts)
+        val cnt = (e - s).toInt
+        val ts = readTs(s, cnt)
+        var i = cnt - 1
+        while (i >= 0) { if (ts(i) != 0L) return Some((s + i, ts(i))); i -= 1 }
+        e = s
+      }
+      None
+    }
+
+    try {
+      val (faIdx, faTs) = forward(0L, n).getOrElse(return None)
+      def predTs(i: Long): Long = faTs + (i - faIdx) * spp
+      // every probed nonzero must sit EXACTLY in era 0 (>= anchor) or era -1
+      // (< anchor) of the anchor's grid; anything else is a non-dense ring
+      def eraOk(i: Long, ts: Long): Boolean =
+        ts == predTs(i) || ts == predTs(i) - sppN
+      backward(n, faIdx + 1) match {
+        case None => Some(Probe(0L, faIdx, faTs)) // a lone anchor run head
+        case Some((lzIdx, lzTs)) =>
+          if (lzTs >= faTs) {
+            // unrotated (possibly leading zeros); tail must be era 0
+            if (lzTs == predTs(lzIdx)) Some(Probe(0L, faIdx, faTs)) else None
+          } else {
+            if (lzTs != predTs(lzIdx) - sppN) return None
+            // smallest i in (faIdx, lzIdx] whose first forward nonzero is
+            // pre-anchor (era -1): the rotation point (or the head of the
+            // zero gap in front of it — an equivalent cut, the gap rows
+            // do not exist)
+            var lo = faIdx
+            var hi = lzIdx
+            while (hi - lo > 1) {
+              val mid = (lo + hi) >>> 1
+              forward(mid, lzIdx + 1) match {
+                case Some((i2, t2)) =>
+                  if (!eraOk(i2, t2)) return None
+                  if (t2 < faTs) hi = mid
+                  else lo = i2 // zeros in [mid, i2) then an era-0 value
+                case None => return None // cannot happen: lz is in range
+              }
+            }
+            Some(Probe(hi, faIdx, faTs))
+          }
+      }
+    } catch { case GiveUp => None }
+  }
+
+  /** One archive's chunks in GLOBAL ascending-time order — the older run
+   * `[w, N)` (era -1) first, then `[0, w)` (era 0) — each cut at `step`
+   * points and stamped with its arithmetic window `[predTs(s), predTs(e))`
+   * (shifted one era down for the older run). Windows tile: run -1's last
+   * bound equals `predTs(0)`, run 0's first. */
+  def orderedChunks(
+      path: String,
+      archiveIndex: Int,
+      archiveOffset: Long,
+      spp: Long,
+      points: Long,
+      rp: Probe,
+      step: Long): Seq[WhisperInputPartition] = {
+    val sppN = spp * points
+    def predTs(i: Long): Long = rp.anchorTs + (i - rp.anchorIdx) * spp
+    def cut(from: Long, until: Long, eraShift: Long): Seq[WhisperInputPartition] =
+      (from until until by step).map { s =>
+        val e = math.min(s + step, until)
+        WhisperInputPartition(path, gzip = false, archiveIndex, archiveOffset, spp, points,
+          posStart = s, posCount = e - s,
+          winLo = predTs(s) + eraShift, winHi = predTs(e) + eraShift)
+      }
+    if (rp.w == 0) cut(0L, points, 0L)
+    else cut(rp.w, points, -sppN) ++ cut(0L, rp.w, 0L)
+  }
+}
+
+class WhisperReaderFactory(
+    options: WhisperOptions,
+    preds: Seq[WPred],
+    requiredSchema: StructType,
+    enforceWindows: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case m: WhisperMultiPartition =>
         new WhisperSequentialReader[InternalRow](
-          m.units, u => new WhisperPartitionReader(u, options, preds, requiredSchema))
+          m.units, u => new WhisperPartitionReader(u, options, preds, requiredSchema, enforceWindows))
       case p: WhisperInputPartition =>
-        new WhisperPartitionReader(p, options, preds, requiredSchema)
+        new WhisperPartitionReader(p, options, preds, requiredSchema, enforceWindows)
     }
 
   /** Columnar reads: decode straight into column vectors — no per-row
@@ -349,9 +580,9 @@ class WhisperReaderFactory(options: WhisperOptions, preds: Seq[WPred], requiredS
     partition match {
       case m: WhisperMultiPartition =>
         new WhisperSequentialReader[org.apache.spark.sql.vectorized.ColumnarBatch](
-          m.units, u => new WhisperColumnarReader(u, options, preds, requiredSchema))
+          m.units, u => new WhisperColumnarReader(u, options, preds, requiredSchema, enforceWindows))
       case p: WhisperInputPartition =>
-        new WhisperColumnarReader(p, options, preds, requiredSchema)
+        new WhisperColumnarReader(p, options, preds, requiredSchema, enforceWindows)
     }
 }
 
@@ -393,15 +624,34 @@ private[whisper] object WhisperDecode {
       nRows: Int
   )
 
-  def load(part: WhisperInputPartition, options: WhisperOptions, preds: Seq[WPred]): Decoded = {
+  def load(
+      part: WhisperInputPartition,
+      options: WhisperOptions,
+      preds: Seq[WPred],
+      enforceWindows: Boolean = false): Decoded = {
     val p = new HPath(part.filePath)
     val fs = p.getFileSystem(WhisperIO.hadoopConf())
     val raw = fs.open(p)
     try {
-      if (part.gzip) loadGzipStreaming(raw, part, options, preds)
-      else loadRanged(raw, part, options, preds)
+      if (part.gzip) loadGzipStreaming(raw, part, options, preds, enforceWindows)
+      else loadRanged(raw, part, options, preds, enforceWindows)
     } finally raw.close()
   }
+
+  /** The ordered-chunk claim, verified: when the sort elision removed a
+   * global sort on the strength of this chunk's planned window, every kept
+   * row must actually fall inside it. A violation means the ring carries
+   * stale out-of-era residue (sparse writes across a wrap) — the archive is
+   * not a rotated sorted array and its chunks cannot be ordered by
+   * concatenation, so fail loudly rather than emit misordered rows. */
+  private def checkWindow(part: WhisperInputPartition, pos: Long, ts: Long): Unit =
+    if (ts < part.winLo || ts >= part.winHi)
+      throw new IllegalStateException(
+        s"whisper ring violates the dense-rotation invariant: slot $pos ts $ts outside the " +
+          s"planned chunk window [${part.winLo}, ${part.winHi}) in ${part.filePath} " +
+          s"archive ${part.archiveIndex}. The archive holds out-of-era residue (sparsely " +
+          "written ring), so its chunks cannot be emitted pre-ordered for the global-sort " +
+          "elision. Retry with option orderedSplit=false to scan it as one ordered partition.")
 
   /** Plain files: one ranged read per split. The planner caps splits at
    * maxPointsPerSplit / Int.MaxValue bytes, so the buffer always fits. */
@@ -409,7 +659,8 @@ private[whisper] object WhisperDecode {
       raw: org.apache.hadoop.fs.FSDataInputStream,
       part: WhisperInputPartition,
       options: WhisperOptions,
-      preds: Seq[WPred]): Decoded = {
+      preds: Seq[WPred],
+      enforceWindows: Boolean): Decoded = {
     val byteStart = part.archiveOffset + part.posStart * WhisperCodec.PointSize
     val byteLen = part.posCount * WhisperCodec.PointSize
     require(byteLen <= Int.MaxValue, s"split too large: $byteLen bytes; lower maxPointsPerSplit")
@@ -430,6 +681,7 @@ private[whisper] object WhisperDecode {
       val keep = (!options.dropTimeZero || ts != 0L) &&
         preds.forall(_.eval(part.filePath, part.archiveIndex, pos, ts, v))
       if (keep) {
+        if (enforceWindows) checkWindow(part, pos, ts)
         positions(n) = pos
         timestamps(n) = ts
         values(n) = v
@@ -449,7 +701,8 @@ private[whisper] object WhisperDecode {
       raw: org.apache.hadoop.fs.FSDataInputStream,
       part: WhisperInputPartition,
       options: WhisperOptions,
-      preds: Seq[WPred]): Decoded = {
+      preds: Seq[WPred],
+      enforceWindows: Boolean): Decoded = {
     val gin = new GZIPInputStream(raw, 1 << 16)
     var toSkip = part.archiveOffset + part.posStart * WhisperCodec.PointSize
     while (toSkip > 0) {
@@ -481,6 +734,7 @@ private[whisper] object WhisperDecode {
               s"gzip archive too large: >${Int.MaxValue - 8} rows survive filtering in " +
                 s"${part.filePath} archive ${part.archiveIndex}; gzip is non-splittable — " +
                 "re-compress as plain .wsp to enable ranged splits")
+          if (enforceWindows) checkWindow(part, pos, ts)
           posB += pos; tsB += ts; valB += v
           kept += 1
         }
@@ -540,13 +794,14 @@ class WhisperColumnarReader(
     part: WhisperInputPartition,
     options: WhisperOptions,
     preds: Seq[WPred],
-    requiredSchema: StructType
+    requiredSchema: StructType,
+    enforceWindows: Boolean = false
 ) extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
   private val BatchSize = 4096
-  private val d = WhisperDecode.load(part, options, preds)
+  private val d = WhisperDecode.load(part, options, preds, enforceWindows)
   private val fileBytes = part.filePath.getBytes("UTF-8")
   private var offset = 0
   private val vectors = OnHeapColumnVector.allocateColumns(BatchSize, requiredSchema)
@@ -608,10 +863,11 @@ class WhisperPartitionReader(
     part: WhisperInputPartition,
     options: WhisperOptions,
     preds: Seq[WPred],
-    requiredSchema: StructType
+    requiredSchema: StructType,
+    enforceWindows: Boolean = false
 ) extends PartitionReader[InternalRow] {
 
-  private val d = WhisperDecode.load(part, options, preds)
+  private val d = WhisperDecode.load(part, options, preds, enforceWindows)
   private var rowIdx = -1
 
   private val fieldWriters: Array[(GenericInternalRow, Int, Int) => Unit] =

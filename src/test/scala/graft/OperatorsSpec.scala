@@ -1035,6 +1035,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("OpCache.releaseAll drops every persistBounded pin (end-of-session contract)") {
     OpCache.releaseAll() // start from a clean slate regardless of test order
+    // other tests in this shared session leave their own .cache() pins
+    // (perf-only); purge them so the session-wide isEmpty check below
+    // observes exactly what persistBounded adds
+    spark.catalog.clearCache()
     assert(OpCache.pinnedCount == 0)
     DedupOps.ngramJaccard(spark, dir).count()   // pins q26_grams
     TextOps.tfidfTopTerms(spark, dir).count()   // pins tfidf
@@ -1045,5 +1049,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sharedState.cacheManager.isEmpty)
     OpCache.releaseAll() // idempotent
     assert(OpCache.pinnedCount == 0)
+  }
+
+  test("q28 threshold is a parameter: default = thresholdForDim(64) = 0.35, monotone in the knob (r10)") {
+    assert(VectorOps.thresholdForDim(64) == 0.35)
+    assert(math.abs(VectorOps.thresholdForDim(1024) - 0.0875) < 1e-12)
+    val dflt = VectorOps.embeddingDedupBlocked(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strict = VectorOps.embeddingDedupBlocked(spark, dir, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = VectorOps.embeddingDedupBlocked(spark, dir, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == VectorOps.embeddingDedupBlocked(spark, dir, VectorOps.DefaultCosineThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(strict.subsetOf(dflt) && dflt.subsetOf(loose))
+    assert(loose.size > dflt.size, "0.2 sits below the d=64 noise shoulder; must admit more pairs")
   }
 }

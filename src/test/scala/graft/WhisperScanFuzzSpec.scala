@@ -219,6 +219,118 @@ class WhisperScanFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fuzz: ordered chunking — oversized timeSort archives split into multiple ordered partitions (r10)") {
+    // 12 random dense rings (the whisper write model: one contiguous filled
+    // run, possibly wrapped, zeros elsewhere), each forced to chunk by a
+    // small maxPointsPerSplit. Properties: (1) the scan actually plans more
+    // partitions than archives (no straggler), (2) content is identical to
+    // the unchunked scan, (3) the per-archive partition concatenation stays
+    // globally time-sorted — the rotation probe must emit the oldest run
+    // first, with truncation (EOF-as-zeros) and empty rings degrading
+    // gracefully.
+    val rnd = new Random(101010L)
+    (1 to 12).foreach { i =>
+      val points = 2000L + rnd.nextInt(6000)
+      val spp = 1L + rnd.nextInt(30)
+      // dense-ish fill so the probe anchor always survives truncation (an
+      // all-zero or fully-truncated ring legitimately falls back to a single
+      // partition and is covered by the 24-config fuzz below)
+      val filled = 3 * points / 4 + rnd.nextInt((points / 4).toInt + 1)
+      val rotation = rnd.nextInt(points.toInt).toLong
+      val lastTs = 1500000000L + rnd.nextInt(400000000)
+      val spec = FileSpec(archives = Seq(
+        ArchiveSpec(spp, points, filled, lastTs - lastTs % spp, rotation)))
+      val path = dir.resolve(s"ord$i.wsp")
+      if (rnd.nextInt(3) == 0) {
+        val tmp = dir.resolve(s"ord${i}_full.wsp")
+        WhisperWriter.writeFile(tmp, spec)
+        val headerSize = WhisperCodec.FileMetaSize + WhisperCodec.ArchiveMetaSize
+        val total = headerSize + points * WhisperCodec.PointSize
+        val keepMin = headerSize + (points / 2) * WhisperCodec.PointSize
+        WhisperWriter.truncateCopy(tmp, path,
+          (keepMin + rnd.nextLong(total - keepMin + 1)).toInt)
+        Files.delete(tmp)
+      } else WhisperWriter.writeFile(path, spec)
+
+      val mpps = 256L + rnd.nextInt(1024)
+      def read(maxSplit: Long) = spark.read.format("whisper")
+        .option("dropTimeZero", "true").option("toDatetime", "false")
+        .option("maxPointsPerSplit", maxSplit.toString)
+        .load(path.toString)
+      val chunked = read(mpps)
+      val whole = read(1L << 23)
+      val ctx = s"ring #$i (points=$points spp=$spp filled=$filled rot=$rotation mpps=$mpps)"
+      assert(chunked.rdd.getNumPartitions > 1, s"$ctx did not split")
+      assert(whole.rdd.getNumPartitions == 1, s"$ctx unchunked control split")
+      val a = chunked.collect().map(r => (r.getLong(2), r.getInt(3), r.getDouble(4)))
+      val b = whole.collect().map(r => (r.getLong(2), r.getInt(3), r.getDouble(4)))
+      assert(a.sortBy(_._1) sameElements b.sortBy(_._1), s"$ctx chunked content diverges")
+      // partition-concatenation order (collect preserves partition index
+      // order, and each chunk its emission order)
+      val ts = a.map(_._2)
+      assert(ts.indices.forall(j => j == 0 || ts(j - 1) <= ts(j)),
+        s"$ctx chunk concatenation not time-sorted")
+    }
+  }
+
+  test("ordered chunking: pathological out-of-era ring fails loudly under elision, reads fine otherwise (r10)") {
+    // A ring with stale multi-era residue is NOT a rotated sorted array; the
+    // plan-time probe only samples, so the sort elision must convert its
+    // ordering claim into a runtime-checked one. Build an unrotated dense
+    // ring, then patch one mid-ring slot two eras back (valid grid value, so
+    // only the window check can see it).
+    val points = 16384L
+    val spp = 10L
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(spp, points, filled = points, lastTimestamp = 1600000000L, rotation = 0)))
+    val path = dir.resolve("patho.wsp")
+    WhisperWriter.writeFile(path, spec)
+    val headerSize = (WhisperCodec.FileMetaSize + WhisperCodec.ArchiveMetaSize).toLong
+    val raf = new java.io.RandomAccessFile(path.toFile, "rw")
+    try {
+      val slot = 5000L
+      raf.seek(headerSize + slot * WhisperCodec.PointSize)
+      val origTs = raf.readInt().toLong & 0xffffffffL
+      raf.seek(headerSize + slot * WhisperCodec.PointSize)
+      raf.writeInt((origTs - 2L * spp * points).toInt)
+    } finally raf.close()
+
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4,2]")
+        .appName("ordered-chunk-patho")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      def read(extra: (String, String)*) = {
+        val base = s2.read.format("whisper")
+          .option("dropTimeZero", "true").option("toDatetime", "false")
+          .option("maxPointsPerSplit", "2048")
+        extra.foldLeft(base)((r, kv) => r.option(kv._1, kv._2)).load(path.toString)
+      }
+      // without a global sort: chunks are each internally sorted; the stale
+      // value is just data — full content, no error
+      assert(read().count() == points)
+      // with the elided global sort: the window enforcement must trip
+      val ex = intercept[org.apache.spark.SparkException] {
+        read().orderBy("timestamp").collect()
+      }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last).getMessage
+      assert(rootMsg(ex).contains("dense-rotation invariant"), s"unexpected: ${rootMsg(ex)}")
+      // the named escape hatch: one ordered partition, real full sort result
+      val hatch = read("orderedSplit" -> "false").orderBy("timestamp")
+      assert(hatch.rdd.getNumPartitions == 1)
+      val hts = hatch.select("timestamp").collect().map(_.getInt(0))
+      assert(hts.length == points && (hts sameElements hts.sorted))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("fuzz: DSv2 scan == pure-JVM codec read across 24 random configs") {
     val rnd = new Random(20260814L)
     (1 to 24).foreach { i =>

@@ -345,6 +345,19 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val ts = ordered.select("timestamp").collect().map(_.getTimestamp(0).getTime)
       assert(ts.length > 0 && ts.sameElements(ts.sorted), "elided result must still be sorted")
 
+      // r10: an oversized archive split into rotation-ordered chunks elides
+      // too — multiple tasks, no Sort, no Exchange, still globally sorted
+      val chunked = s2.read.format("whisper")
+        .option("maxPointsPerSplit", "1024")
+        .load(single.toString)
+        .select("timestamp", "value").orderBy("timestamp")
+      assert(!planOf(chunked).contains("Sort ["), "chunked single-archive sort must be elided")
+      assert(!planOf(chunked).contains("Exchange"), "chunked range exchange must be elided")
+      assert(chunked.rdd.getNumPartitions > 1, "oversized archive must scan as multiple tasks")
+      val cts = chunked.select("timestamp").collect().map(_.getTimestamp(0).getTime)
+      assert(cts.length == 4000 && cts.sameElements(cts.sorted),
+        "chunk-concatenation must be globally sorted")
+
       // guards: multi-archive scan, desc, and non-timestamp sorts keep their Sort
       val multi = s2.read.format("whisper").load(mini.toString).orderBy("timestamp")
       assert(planOf(multi).contains("Sort ["), "multi-archive scan keeps its sort")
