@@ -136,6 +136,84 @@ case class L2Squared(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 /**
+ * `l2_sq_bounded(array<double>, array<double>, bound)` — [[L2Squared]] with
+ * the flat kernel's early abandon folded into a JOIN-side refine (VERDICT r9
+ * #7): once the running prefix sum EXCEEDS `bound`, the suffix is skipped
+ * and the partial sum returned.
+ *
+ * Exactness under an argmin consumer with `bound >= winner_d2` (the
+ * hierarchical assignment passes `ub2 = min_s d(v,s)^2`, and the nearest
+ * super IS a fine centroid, so the true winner's d2 <= ub2):
+ *  - a candidate with true d2 <= bound NEVER abandons (every prefix <= the
+ *    full sum <= bound, and abandonment requires prefix > bound), so its
+ *    value — including any tie with the winner — is bit-identical to
+ *    [[L2Squared]]'s left-to-right accumulation;
+ *  - an abandoned candidate returns a prefix > bound >= winner_d2, so it
+ *    still loses the (dist2, id) argmin strictly.
+ * The returned VALUE for abandoned candidates is not the true distance —
+ * this kernel is for argmin/threshold pruning, not for reporting distances.
+ */
+case class L2SquaredBounded(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq_bounded"
+
+  override def checkInputDataTypes() = {
+    val arraysOk = Seq(first, second).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (arraysOk && third.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"l2_sq_bounded needs (array<double>, array<double>, double), got " +
+        s"${Seq(first, second, third).map(_.dataType.catalogString).mkString(", ")}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any, b: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val c = r.asInstanceOf[ArrayData]
+    if (a.numElements() != c.numElements()) return null
+    val bound = b.asInstanceOf[Double]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n && acc <= bound) {
+      val d = a.getDouble(i) - c.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, c, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $c.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  // early abandon: prefix > bound can never win an argmin whose
+         |  // winner is <= bound (see scaladoc); loop guard keeps ties exact
+         |  for (int $i = 0; $i < $a.numElements() && $acc <= $b; $i++) {
+         |    double $d = $a.getDouble($i) - $c.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): L2SquaredBounded = copy(f, s, t)
+}
+
+/**
  * `ivf_argmin(array<double>)` — nearest-centroid id over a centroid matrix
  * riding as an expression field (the [[PqAdcDist]] binding pattern: the
  * builder closure captures the driver-pulled matrix). Distance is the same
@@ -260,8 +338,20 @@ case class IvfSuperProbe(
     supers: Array[Array[Double]],
     superIds: Array[Int],
     radii: Array[Double],
-    eps: Double) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    eps: Double,
+    // emit struct<cells: array<int>, ub2: double> instead of the bare cell
+    // array: ub2 = (min_s d(v,s))^2 is EXACT (no eps) and, because every
+    // super is itself a fine centroid, upper-bounds the winning fine
+    // centroid's squared distance — the refine leg feeds it to
+    // [[L2SquaredBounded]] so each candidate distance early-abandons at the
+    // tightest bound available before any candidate is touched (r9 #7)
+    emitUb: Boolean = false) extends UnaryExpression {
+  override def dataType: DataType =
+    if (emitUb)
+      StructType(Seq(
+        StructField("cells", ArrayType(IntegerType, containsNull = false), nullable = false),
+        StructField("ub2", DoubleType, nullable = false)))
+    else ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "ivf_superprobe"
 
   override def checkInputDataTypes() = child.dataType match {
@@ -274,14 +364,16 @@ case class IvfSuperProbe(
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
-    IvfSuperProbe.compute(input.asInstanceOf[ArrayData], supers, superIds, radii, eps)
+    if (emitUb) IvfSuperProbe.computeWithUb(input.asInstanceOf[ArrayData], supers, superIds, radii, eps)
+    else IvfSuperProbe.compute(input.asInstanceOf[ArrayData], supers, superIds, radii, eps)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mat = ctx.addReferenceObj("superCentroids", supers, "double[][]")
     val ids = ctx.addReferenceObj("superIds", superIds, "int[]")
     val rad = ctx.addReferenceObj("superRadii", radii, "double[]")
+    val fn = if (emitUb) "computeWithUb" else "compute"
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.IvfSuperProbe.compute($v, $mat, $ids, $rad, $eps);")
+      s"${ev.value} = graft.functions.IvfSuperProbe.$fn($v, $mat, $ids, $rad, $eps);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): IvfSuperProbe =
@@ -289,12 +381,12 @@ case class IvfSuperProbe(
 }
 
 object IvfSuperProbe {
-  def compute(
+  private def cellsAndUb(
       v: ArrayData,
       supers: Array[Array[Double]],
       superIds: Array[Int],
       radii: Array[Double],
-      eps: Double): ArrayData = {
+      eps: Double): (Array[Int], Double) = {
     val g = supers.length
     val dist = new Array[Double](g)
     var ub = Double.PositiveInfinity
@@ -320,7 +412,28 @@ object IvfSuperProbe {
       if (dist(j) - radii(j) <= ub + eps) out += superIds(j)
       j += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    (out.toArray, ub)
+  }
+
+  def compute(
+      v: ArrayData,
+      supers: Array[Array[Double]],
+      superIds: Array[Int],
+      radii: Array[Double],
+      eps: Double): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cellsAndUb(v, supers, superIds, radii, eps)._1)
+
+  def computeWithUb(
+      v: ArrayData,
+      supers: Array[Array[Double]],
+      superIds: Array[Int],
+      radii: Array[Double],
+      eps: Double): org.apache.spark.sql.catalyst.InternalRow = {
+    val (cells, ub) = cellsAndUb(v, supers, superIds, radii, eps)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(cells),
+      if (ub.isInfinite) Double.MaxValue else ub * ub))
   }
 }
 
@@ -532,6 +645,8 @@ object VectorFunctions {
       "l1_dist", exprs => L1Distance(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_sq", exprs => L2Squared(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq_bounded", exprs => L2SquaredBounded(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

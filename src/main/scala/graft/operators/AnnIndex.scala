@@ -336,6 +336,12 @@ object AnnIndex {
    * (real embedding corpora live on low-dimensional manifolds) can choose
    * the join-based shape instead of shipping a multi-hundred-MB matrix.
    */
+  /** A/B measurement knob for the r10 bounded-refine probe
+   * (tools/prof_s10_abandon.scala): `false` restores the plain l2_sq
+   * refine. Output is bit-identical either way; only the refine kernel's
+   * per-candidate work changes. Not part of the public API surface. */
+  @volatile private[graft] var refineEarlyAbandon: Boolean = true
+
   def ivfAssignHierarchical(
       df: DataFrame, embCol: String, idCol: Option[String], centroids: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -387,16 +393,33 @@ object AnnIndex {
       case Some(id) => df.select(col(id), col(embCol))
       case None     => df
     }
-    val probed = withTempKernel(spark, "ivf_superprobe",
+    // The probe also emits ub2 = (min_s d(v,s))^2 — since every super IS a
+    // fine centroid, ub2 upper-bounds the winning candidate's distance, so
+    // the refine distances can early-abandon against it (l2_sq_bounded;
+    // r9 #7: the flat kernel's abandon, folded into the join-side refine at
+    // the tightest bound available before any candidate is touched —
+    // tighter than any visit-order scheme could reach, and order-free, so
+    // it fits the hash-aggregated shape). Winner and ties compute exactly;
+    // only candidates strictly beyond ub2 truncate (see the kernel
+    // scaladoc), so buckets stay bit-identical.
+    val probed0 = withTempKernel(spark, "ivf_superprobe",
       exprs => graft.functions.IvfSuperProbe(
-        exprs.head, supers.map(_._2), supers.map(_._1), radii, 1e-9)) { name =>
-      probeIn.withColumn("cell", explode(expr(s"$name($embCol)")))
+        exprs.head, supers.map(_._2), supers.map(_._1), radii, 1e-9, emitUb = true)) { name =>
+      probeIn.withColumn("pr", expr(s"$name($embCol)"))
     }
+    val probed = probed0
+      .withColumn("ub2", col("pr.ub2"))
+      .withColumn("cell", explode(col("pr.cells")))
+      .drop("pr")
     val dim = supers.headOption.map(_._2.length).getOrElse(0)
     val cellRel =
       if (k * dim * 8L <= 256L * 1024 * 1024) broadcast(cellOf) else cellOf
+    val refineDist =
+      if (refineEarlyAbandon) s"l2_sq_bounded($embCol, centroid, ub2)"
+      else s"l2_sq($embCol, centroid)"
     val cands = probed.join(cellRel, Seq("cell"))
-      .withColumn("dist2", expr(s"l2_sq($embCol, centroid)"))
+      .withColumn("dist2", expr(refineDist))
+      .drop("ub2")
     // argmin_pair, NOT min_by: min_by's struct buffer silently demotes the
     // aggregate to SortAggregate, which sorts (and at this volume spills)
     // the full candidate relation — the r9 planted sweep measured exactly

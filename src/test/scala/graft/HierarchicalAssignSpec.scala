@@ -100,4 +100,40 @@ class HierarchicalAssignSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(argminEntries() == before, "hierarchical kernel names leaked")
     assert(hier.count() == 100L)
   }
+
+  test("bounded refine == plain refine, bit-identical buckets (r10 early abandon)") {
+    // The default refine now early-abandons each candidate distance against
+    // the probe's ub2; this flips the knob to the plain l2_sq refine and
+    // pins equality — including the corpus's planted exact-duplicate ties,
+    // where the abandoned kernel must still compute tied winners exactly.
+    val df = corpus(600, seed = 11L).cache()
+    val cents = AnnIndex.ivfCentroids(df, "emb", "vec_id", 49, 600L)
+    def run(): Map[Long, Int] =
+      AnnIndex.ivfAssignHierarchical(df, "emb", Some("vec_id"), cents)
+        .select(col("vec_id"), col("bucket")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(AnnIndex.refineEarlyAbandon, "bounded refine must be the default")
+    val bounded = run()
+    AnnIndex.refineEarlyAbandon = false
+    val plain = try run() finally AnnIndex.refineEarlyAbandon = true
+    assert(bounded.size == 600 && bounded == plain)
+    df.unpersist()
+  }
+
+  test("l2_sq_bounded: exact at/below the bound, clamped-but-larger beyond it") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = spark.range(1).selectExpr(
+      "array(1.0d, 2.0d, 3.0d) as a", "array(4.0d, 0.0d, 7.0d) as b") // d2 = 9+4+16 = 29
+    val r = df.selectExpr(
+      "l2_sq(a, b) as full",
+      "l2_sq_bounded(a, b, 29.0d) as atBound",   // never abandons (prefix <= 29)
+      "l2_sq_bounded(a, b, 100.0d) as above",
+      "l2_sq_bounded(a, b, 10.0d) as clamped",   // abandons after 9+4 = 13 > 10
+      "l2_sq_bounded(a, b, 0.0d) as zero",       // abandons after 9
+      "l2_sq_bounded(a, array(1.0d, 2.0d), 5.0d) as mismatch").head()
+    assert(r.getDouble(0) == 29.0 && r.getDouble(1) == 29.0 && r.getDouble(2) == 29.0)
+    assert(r.getDouble(3) == 13.0 && r.getDouble(3) > 10.0)
+    assert(r.getDouble(4) == 9.0)
+    assert(r.isNullAt(5))
+  }
 }

@@ -1,6 +1,6 @@
 // Round-10 probe (VERDICT r9 #3): oversized timeSort archives no longer scan
 // as one straggler task. Synthesizes a 48M-point (576 MB) single-archive
-// whisper file — the max-retention shape the u32 points field admits — and
+// whisper file -- the max-retention shape the u32 points field admits -- and
 // A/Bs `orderBy(timestamp)` end-to-end:
 //   A) orderedSplit=false : one partition, ring-rotation sort in ONE task
 //      (the pre-r10 shape; also the documented escape hatch)
@@ -45,7 +45,11 @@ def read(path: String, orderedSplit: Boolean) =
 
 // order-sensitive distributed fingerprint: each row hashed WITH its global
 // position (zipWithIndex numbers rows in partition-index order, which is the
-// elided output's order), summed — any reordering changes the sum
+// elided output's order), summed -- any reordering changes the sum. NOT used
+// for timing: the .rdd row conversion it needs is allocation-bound and
+// measured 3-4x run-to-run spread on this box (harness noise, see
+// BENCH_NOTES); the TIMED passes drive the sorted pipeline itself with a
+// no-op foreach (every row produced in order, zero driver transfer).
 def seqHash(df: org.apache.spark.sql.DataFrame): String = {
   val (s, n) = df.rdd.zipWithIndex
     .map { case (r, i) =>
@@ -55,34 +59,31 @@ def seqHash(df: org.apache.spark.sql.DataFrame): String = {
   s"$s/$n"
 }
 
-def time[T](f: => T): (T, Double) = {
-  val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+def time(f: => Unit): Double = {
+  val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+}
+def best(lab: String)(f: => Unit): Double = {
+  f // warm: JIT + page cache
+  val xs = Seq(time(f), time(f), time(f))
+  println(f"$lab%-36s best=${xs.min}%6.2f s  samples=${xs.map(x => f"$x%.2f").mkString(",")}")
+  xs.min
 }
 
 for (path <- Seq(unrotated, rotated)) {
   println(s"\n=== ${Paths.get(path).getFileName} ===")
   val chunkedSorted = read(path, orderedSplit = true).orderBy("timestamp")
+  val singleSorted = read(path, orderedSplit = false).orderBy("timestamp")
   val plan = chunkedSorted.queryExecution.executedPlan.toString
   val nParts = read(path, orderedSplit = true).rdd.getNumPartitions
   println(s"chunked partitions: $nParts; plan has Sort: ${plan.contains("Sort [")}, " +
     s"Exchange: ${plan.contains("Exchange")}")
 
-  // warm (page cache + codegen), then min-of-2 per variant
-  read(path, orderedSplit = true).count()
-  def best2(f: => Double): Double = Seq(f, f).min
-
-  val tChunkScan = best2(time(read(path, orderedSplit = true).agg(count(lit(1))).collect())._2)
-  val tSingleScan = best2(time(read(path, orderedSplit = false).agg(count(lit(1))).collect())._2)
-  val (hChunk, tChunkSortedFirst) = time(seqHash(chunkedSorted))
-  val tChunkSorted = Seq(tChunkSortedFirst, time(seqHash(chunkedSorted))._2).min
-  val singleSorted = read(path, orderedSplit = false).orderBy("timestamp")
-  val (hSingle, tSingleSortedFirst) = time(seqHash(singleSorted))
-  val tSingleSorted = Seq(tSingleSortedFirst, time(seqHash(singleSorted))._2).min
-
-  println(f"scan-only      : chunked $tChunkScan%.2f s  vs single-task $tSingleScan%.2f s")
-  println(f"orderBy(ts) e2e: chunked $tChunkSorted%.2f s vs single-task $tSingleSorted%.2f s")
-  println(s"ordered-output hash: chunked $hChunk vs single $hSingle " +
-    s"identical=${hChunk == hSingle}")
+  best("scan-only chunked")(read(path, orderedSplit = true).agg(count(lit(1))).collect())
+  best("scan-only single-task")(read(path, orderedSplit = false).agg(count(lit(1))).collect())
+  best("orderBy e2e chunked+elided+enforced")(chunkedSorted.foreach(_ => ()))
+  best("orderBy e2e single-task")(singleSorted.foreach(_ => ()))
+  val (hChunk, hSingle) = (seqHash(chunkedSorted), seqHash(singleSorted))
+  println(s"ordered-output hash: chunked $hChunk vs single $hSingle identical=${hChunk == hSingle}")
 }
 println("\nprof_s10_orderedscan done")
 System.exit(0)
