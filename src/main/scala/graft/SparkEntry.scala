@@ -163,6 +163,9 @@ object SparkEntry {
     "q102_stream_sessionize" -> (graft.streaming.StreamReplay.sessionizeReplay(_, _)),
     "q103_stream_dedup" -> (graft.streaming.StreamReplay.dedupReplay(_, _)),
     "q104_stream_interval_join" -> (graft.streaming.StreamReplay.intervalJoinReplay(_, _)),
+    "q106_stream_left_outer" -> (graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(_, _)),
+    // ANN recall@10: IVF 4-probe hit rate vs exact ground truth, in-plan
+    "q105_ann_recall" -> (VectorOps.annRecall(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -782,6 +785,61 @@ object SparkEntry {
         |AND e.user_id = p.user_id
         |AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
         |ORDER BY 1, 2, 4, 3""".stripMargin,
+    // q106: q104's matches plus null-extended purchases; a null row is kept
+    // only when p_ts sits STRICTLY below wm - 1h (wm = min-policy final
+    // watermark = least(max purchase ts, max error ts) - 2h) — one full
+    // join-interval of margin, so the engine's state-eviction boundary
+    // (somewhere in [wm - 1h, wm], < vs <=) cannot flip the compare; the
+    // replay applies the identical cut (StreamReplay scaladoc)
+    "q106_stream_left_outer" ->
+      """WITH p AS (SELECT user_id, ts, epoch_us(ts) AS us, value FROM events WHERE event_type = 'purchase'),
+        |er AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events WHERE event_type = 'error'),
+        |wm AS (SELECT least((SELECT max(us) FROM p), (SELECT max(us) FROM er))
+        |  - 7200000000 AS wm_us),
+        |j AS (SELECT p.user_id, p.us AS p_us, round(p.value, 2) AS p_value, er.us AS e_us
+        |  FROM p JOIN er ON er.user_id = p.user_id
+        |    AND er.us >= p.us - 3600000000 AND er.us <= p.us),
+        |unmatched AS (SELECT p.user_id, p.us AS p_us, round(p.value, 2) AS p_value,
+        |  CAST(-1 AS BIGINT) AS e_us
+        |  FROM p, wm WHERE p.us < wm.wm_us - 3600000000
+        |    AND NOT EXISTS (SELECT 1 FROM er WHERE er.user_id = p.user_id
+        |      AND er.us >= p.us - 3600000000 AND er.us <= p.us))
+        |SELECT user_id, p_us, p_value, e_us FROM j
+        |UNION ALL SELECT user_id, p_us, p_value, e_us FROM unmatched
+        |ORDER BY user_id, p_us, e_us, p_value""".stripMargin,
+    // q105: recall@10 of the 4-probe IVF search vs exact KNN — q75's
+    // deterministic centroid/probe/assignment CTEs generalized to an 8-query
+    // panel (q94's panel convention), then the two top-10 sets intersect
+    "q105_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
+        |c AS (SELECT CAST(vec_id // step AS INT) AS cid, emb AS cent FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 8),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY list_distance(q.qe, c.cent) ASC, c.cid ASC) AS rn
+        |  FROM q CROSS JOIN c) t WHERE rn <= 4),
+        |assign AS (SELECT vec_id, cid AS bucket FROM (
+        |  SELECT corp.vec_id, c.cid, row_number() OVER (PARTITION BY corp.vec_id
+        |    ORDER BY list_distance(corp.emb, c.cent) ASC, c.cid ASC) AS rn
+        |  FROM corp CROSS JOIN c) t WHERE rn = 1),
+        |scored AS (SELECT q.qid, corp.vec_id,
+        |  list_inner_product(corp.emb, q.qe)
+        |    / (sqrt(list_inner_product(corp.emb, corp.emb)) * sqrt(list_inner_product(q.qe, q.qe))) AS cos
+        |  FROM corp CROSS JOIN q),
+        |exact AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM scored) t WHERE rn <= 10),
+        |ivf AS (SELECT qid, vec_id FROM (SELECT s.qid, s.vec_id,
+        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id ASC) AS rn
+        |  FROM scored s JOIN assign a ON a.vec_id = s.vec_id
+        |    JOIN probes pr ON pr.qid = s.qid AND pr.cid = a.bucket) t WHERE rn <= 10)
+        |SELECT x.qid, CAST(10 AS BIGINT) AS k, CAST(count(i.vec_id) AS BIGINT) AS hits,
+        |round(count(i.vec_id) / 10.0, 4) AS recall
+        |FROM exact x LEFT JOIN ivf i ON i.qid = x.qid AND i.vec_id = x.vec_id
+        |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "q51_dedup_levenshtein" ->
       """WITH d AS (SELECT doc_id, lang, text, length(text) AS len
         |  FROM documents WHERE strlen(text) = length(text))

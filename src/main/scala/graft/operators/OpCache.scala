@@ -19,15 +19,25 @@ import org.apache.spark.sql.DataFrame
 object OpCache {
   private val lastPersisted = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Unpersist that tolerates the pin's session being ALREADY GONE: a pin
+   * whose SparkContext has stopped has no cache left to release (executor
+   * blocks died with the context), so dropping the map reference is the
+   * correct release — calling unpersist there NPEs inside BlockManagerMaster
+   * (driverEndpoint is null on a stopped context). The isStopped check
+   * races benignly with a concurrent stop; the catch covers that window. */
+  private def unpersistIfLive(df: DataFrame): Unit =
+    try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false) }
+    catch { case scala.util.control.NonFatal(_) => }
+
   private[operators] def persistBounded(slot: String, df: DataFrame): DataFrame = {
-    val key = System.identityHashCode(df.sparkSession) + ":" + slot
+    val key = s"${System.identityHashCode(df.sparkSession)}:$slot"
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Same-plan predecessor (repeated call on the same dir) SHARES the cache
     // entry — unpersisting it would evict the relation just persisted
     // (CacheManager keys by logical plan, not by Dataset identity).
     Option(lastPersisted.put(key, cached))
       .filterNot(_.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
-      .foreach(_.unpersist(blocking = false))
+      .foreach(unpersistIfLive)
     cached
   }
 
@@ -40,7 +50,7 @@ object OpCache {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey.endsWith(":" + slot)) {
-        e.getValue.unpersist(blocking = false)
+        unpersistIfLive(e.getValue)
         it.remove()
       }
     }
@@ -54,6 +64,6 @@ object OpCache {
    */
   def releaseAll(): Unit = {
     val it = lastPersisted.values().iterator()
-    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+    while (it.hasNext) { unpersistIfLive(it.next()); it.remove() }
   }
 }

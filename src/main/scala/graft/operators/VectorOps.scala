@@ -626,6 +626,70 @@ object VectorOps {
   }
 
   /**
+   * ANN quality measurement in-plan: recall@10 of the 4-probe IVF search
+   * against the exact-KNN ground truth, per query, over an 8-query panel
+   * (vec_id < 8; corpus = vec_id >= 8) — the metric every ANN deployment
+   * tunes nprobe/k against (Jégou et al. 2011 §V evaluate IVFADC exactly
+   * this way), computed WITHOUT collecting either neighbor list.
+   *
+   * Shapes, all broadcast/map-side until tiny aggregates:
+   *  - probe lists: queries x 16 centroids (128 rows) reduced by the same
+   *    [[graft.functions.TopKAgg]] partial agg as the top-k legs — scoring
+   *    `-l2_sq` makes its (score DESC, id ASC) order exactly
+   *    (distance ASC, centroid_id ASC), the assignment tie-break;
+   *  - exact leg: one corpus pass, 8 cosines/row map-side, per-query top-10
+   *    via TopKAgg (shuffle carries queries x tasks x 10 tuples);
+   *  - IVF leg: one corpus pass through the [[AnnIndex.ivfAssign]] argmin
+   *    kernel, broadcast-joined to the 32-row probe table so cosine is paid
+   *    ONLY for (query, vector) pairs inside probed lists — the inverted-list
+   *    pruning being measured;
+   *  - recall: the two 80-row top-10 relations left-join on (qid, vec_id);
+   *    hits/10. Everything after the corpus passes is O(queries) rows.
+   *
+   * Oracle-checkable despite measuring an approximation: centroids, probes,
+   * assignment, and both top-10 sets are deterministic (systematic centroids,
+   * (dist, cid) and (cos DESC, vec_id) total orders, dot products through the
+   * codegen `dot_d` / `l2_sq` kernels — left-to-right double accumulation,
+   * bit-identical to DuckDB's list_inner_product/list_distance), so the
+   * oracle reproduces the exact hit sets, not just approximate recall.
+   */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TopKAgg.register(spark, 4)
+    graft.functions.TopKAgg.register(spark, 10)
+    val idx = ivfIndex(spark, dir)
+    val centsDF = idx.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val corp = e.filter(col("vec_id") >= 8)
+    val probes = q.crossJoin(broadcast(centsDF))
+      .select(col("qid"), expr("-l2_sq(qe, centroid)").as("nd2"), col("centroid_id"))
+      .groupBy("qid").agg(expr("topk_cos_4(nd2, centroid_id)").as("top"))
+      .select(col("qid").as("p_qid"), explode(col("top")).as("hit"))
+      .select(col("p_qid"), col("hit._2").as("p_cid"))
+    def top10(scored: DataFrame): DataFrame =
+      scored.groupBy("qid").agg(expr("topk_cos_10(c, vec_id)").as("top"))
+        .select(col("qid"), explode(col("top")).as("hit"))
+        .select(col("qid"), col("hit._2").as("vec_id"))
+    val exact = top10(
+      corp.crossJoin(broadcast(q)).select(col("qid"), col("vec_id"), expr(CosExpr).as("c")))
+    // (query, probed-centroid) pairs with the query vector attached: 32 rows
+    val qp = q.join(broadcast(probes), col("qid") === col("p_qid"))
+      .select(col("qid"), col("qe"), col("p_cid"))
+    val ivf = top10(
+      AnnIndex.ivfAssign(corp, "emb", "vec_id", centsDF)
+        .join(broadcast(qp), col("bucket") === col("p_cid"))
+        .select(col("qid"), col("vec_id"), expr(CosExpr).as("c")))
+    exact.join(broadcast(ivf.withColumn("h", lit(1))), Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count("h").as("hits"))
+      .select(col("qid"), lit(10L).as("k"), col("hits"),
+        round(col("hits") / 10.0, 4).as("recall"))
+      .orderBy("qid")
+  }
+
+  /**
    * Per-label embedding centroids in exact integer arithmetic: quantize each
    * element to a scaled long FIRST (`round(x * 1e6)` — deterministic IEEE
    * product + half-up rounding, identical in Spark and DuckDB), then

@@ -124,6 +124,43 @@ object StreamReplay {
       .orderBy("user_id", "p_us", "e_us", "p_value")
   }
 
+  /** q106: LEFT OUTER watermarked interval join
+   * ([[StreamingOps.intervalJoinLeftOuter]]) replayed bounded. Inner matches
+   * emit on arrival exactly as q104's; NULL-extended rows emit only in the
+   * watermark-advance batch, when eviction proves no error can still match.
+   * WHERE the engine draws the eviction line is condition-derived detail
+   * (the join tolerates e_ts up to p_ts, so a purchase expires when the
+   * global watermark passes p_ts — modulo boundary strictness and the
+   * engine's state-watermark arithmetic), so, as q101 does for windows,
+   * BOTH this frame and the oracle keep null-extended rows only for
+   * p_ts STRICTLY below wm - 1h: one full join-interval of margin, inside
+   * which emission is unambiguous under any boundary convention. Rows the
+   * engine emits inside the margin band are filtered here and excluded by
+   * the oracle identically. wm is the min-policy final watermark
+   * (`spark.sql.streaming.multipleWatermarkPolicy` default):
+   * min(max p_ts, max e_ts) - 2h, computed from the bounded table — two
+   * 1-row driver pulls, the q101 pattern. Null e_ts maps to epoch-micros
+   * -1 (both engines), keeping the 4-key total order well-defined. */
+  def intervalJoinLeftOuterReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.Tables.t(spark, dir, "events")
+    def maxTsMs(kind: String): Long =
+      ev.filter(col("event_type") === kind).agg(max("ts")).head().getTimestamp(0).getTime
+    val wmMs = math.min(maxTsMs("purchase"), maxTsMs("error")) - 2L * 3600 * 1000
+    val cutoffUs = (wmMs - 3600 * 1000L) * 1000L
+    val s = eventsStream(spark, dir)
+    val joined = StreamingOps.intervalJoinLeftOuter(
+      s.filter(col("event_type") === "purchase"),
+      s.filter(col("event_type") === "error"))
+    val sink = runToSink(spark, joined, "append")
+    sink.select(
+        col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        round(col("p_value"), 2).as("p_value"),
+        coalesce(unix_micros(col("e_ts")), lit(-1L)).as("e_us"))
+      .filter(col("e_us") >= 0 || col("p_us") < cutoffUs)
+      .orderBy("user_id", "p_us", "e_us", "p_value")
+  }
+
   /** q102: per-user mapGroupsWithState session state, run through the
    * micro-batch engine in update mode; final state per user reconstructed
    * from the update log by max(n_events). */

@@ -59,6 +59,30 @@ object StreamingOps {
         col("e_ts") <= col("p_ts"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join — [[intervalJoin]]'s
+   * matches plus one null-extended row per purchase with NO error in its
+   * preceding hour. Absence can only be asserted once the watermark proves
+   * no matching error can still arrive: the engine holds each unmatched
+   * purchase in state and emits its null row when the global watermark
+   * passes the last event time that could have matched it (state eviction),
+   * which is what makes "no match" a sound claim on an unbounded stream —
+   * the batch anti-join formulation has no such guarantee point. Same state
+   * bound as the inner form: O(rows per watermark horizon). */
+  def intervalJoinLeftOuter(purchases: DataFrame, errors: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val e = errors
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    p.join(
+      e,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts"),
+      "leftOuter")
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
 

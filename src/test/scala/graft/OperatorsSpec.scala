@@ -1065,4 +1065,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(strict.subsetOf(dflt) && dflt.subsetOf(loose))
     assert(loose.size > dflt.size, "0.2 sits below the d=64 noise shoulder; must admit more pairs")
   }
+
+  test("q105 annRecall: 8-query panel, hits/10 invariant, IVF top-10 ⊆ exact candidates (r10)") {
+    val rows = VectorOps.annRecall(spark, dir).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 7L), "ordered by qid") // qid
+    rows.foreach { r =>
+      val (k, hits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k == 10L && hits >= 0L && hits <= 10L)
+      assert(recall == hits / 10.0, s"recall must be hits/k, got $recall for $hits")
+    }
+    // measurement sanity on this corpus: the panel is not degenerate — the
+    // 4-of-16-probe search misses SOME exact neighbors and finds others
+    val hs = rows.map(_.getLong(2))
+    assert(hs.max > 0L, "IVF search found nothing — probe wiring broken")
+    assert(hs.min < 10L, "recall 1.0 everywhere — the measurement can't distinguish probes from exact")
+  }
+
+  test("q106 stream left-outer: inner rows == q104, null rows have no error in window (r10)") {
+    val outer = graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(spark, dir).collect()
+    val inner = graft.streaming.StreamReplay.intervalJoinReplay(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val (matched, nulls) = outer.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .partition(_._4 >= 0L)
+    assert(matched.toSet == inner, "e_us>=0 rows must be exactly the inner join's matches")
+    assert(nulls.nonEmpty, "watermark never proved any absence — cutoff wiring broken")
+    // batch re-check of the absence claim: no error for that user in (p_ts-1h, p_ts]
+    import spark.implicits._
+    val errs = operators.Tables.t(spark, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("e_us"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    nulls.foreach { case (uid, pUs, _, _) =>
+      val hit = errs.getOrElse(uid, Array.empty[Long])
+        .exists(e => e >= pUs - 3600000000L && e <= pUs)
+      assert(!hit, s"null-extended purchase ($uid, $pUs) HAS an error in window")
+    }
+  }
 }

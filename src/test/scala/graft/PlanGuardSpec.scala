@@ -69,6 +69,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q88_semantic_dedup",
     // q94 broadcasts the 20-row query batch onto the corpus scan
     "q94_knn_batch",
+    // q105 broadcasts the 8-row query panel onto the corpus scan (exact
+    // leg) and the 16-row centroid table onto the panel (probe selection)
+    "q105_ann_recall",
     // q99 runs the same IVF assignment as q75/q88 before its ADC scoring
     "q99_ivfpq_search")
 
