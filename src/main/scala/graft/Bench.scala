@@ -326,6 +326,10 @@ object Bench {
       "q75_ann_ivf_topk" -> ("index build dominates at small sf: two fixed driver actions (centroid count + " +
         "16-row codebook collect, r3 stability note) are scheduling-latency-bound; the search is 4-of-16 list " +
         "probing. At deployment the index builds once per corpus, searches amortize it"),
+      "q105_ann_recall" -> ("q75's family: the memoized index build's fixed driver actions plus SIX small " +
+        "broadcast-stage jobs (panel, centroids, probes, two top-10 legs, 80-row hit join) dominate at small " +
+        "sf — scheduling latency, not per-row work; both corpus passes are map-side with partial top-k agg " +
+        "(shuffle carries queries x tasks x 10 tuples) and the recall join touches 80-row relations"),
       "q53_tfidf_topterms" -> ("one-corpus-pass persist (r8): the per-doc term table is persisted so tf/df/join " +
         "derive from one tokenize pass instead of three concurrent scans; the cache build is a fixed small-sf cost " +
         "repaid per bench pass (clearCache policy), bought back 2 full-corpus scans at scale (BENCH_NOTES r8)"),
@@ -368,7 +372,12 @@ object Bench {
         "1h interval + watermark; each trigger commits 32 partitions x 4 stores. Engine accounting at sf0.1: " +
         "batch0 3.9 s with 200k input rows, batch1 2.9 s with ZERO input of which state commit is the sum-task " +
         "dominant (59.7 s cumulative across tasks) — a fixed per-trigger floor that amortizes over real " +
-        "per-trigger volume at deployment, and 2x-input + 4x-stores explains the 3-4x gap to q101-q103")
+        "per-trigger volume at deployment, and 2x-input + 4x-stores explains the 3-4x gap to q101-q103"),
+      "q106_stream_left_outer" -> ("same state layout and commit floor as q104 (2x input legs, 4 state " +
+        "stores per shuffle partition, identical interval + watermark bounds) plus the outer join's " +
+        "null-emission work: unmatched left rows are scanned out of state and emitted in the " +
+        "watermark-advance trigger (eviction is HOW absence is proven), so the bounded replay pays one " +
+        "more stateful batch than the inner twin by construction; per-trigger floor, not data work")
     )
     val streamJson =
       if (streamOfficial.isEmpty) ""
