@@ -262,10 +262,16 @@ object Bench {
             // suite ran (r8: the flag flickered across q50/q55/q78 on
             // successive same-code runs, each ~0.2-0.4 s hi)
             val dsMaterial = s >= 0.5 && ds.max(0) >= math.max(material, 0.5 * sLo)
+            // every slope class STRONGER than overhead requires a material
+            // Spark delta: without dsMaterial the numerator is box noise
+            // (sub-0.5 s hi walls spread 20-60% run-to-run) and ds/dd is a
+            // noise ratio — r10 caught q13 (0.33 s hi) flagging
+            // "algorithmic" through the old fall-through on a slow-window
+            // run whose every sub-second wall was +30-80%
             val cls =
               if (naive < 1) "spark_wins"
               else if (naive < 2) "ok"
-              else if (!dsMaterial && dd < material) "overhead"
+              else if (!dsMaterial) "overhead"
               else if (dd < material) "duckdb_floor" // ds material, denominator noise
               else if (ds / dd < 2) "overhead"
               else "algorithmic"
