@@ -653,39 +653,49 @@ object VectorOps {
    * bit-identical to DuckDB's list_inner_product/list_distance), so the
    * oracle reproduces the exact hit sets, not just approximate recall.
    */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, k = 10, nprobe = 4, panel = 8)
+
+  /** Parameterized form — `k` neighbors, `nprobe` of the 16 probed lists,
+   * `panel` query vectors (vec_id < panel; corpus = the rest). The oracle
+   * pins the (10, 4, 8) default; other settings are the tuning dial this
+   * operator exists for (recall@k vs nprobe is THE IVF trade-off curve). */
+  def annRecall(spark: SparkSession, dir: String, k: Int, nprobe: Int, panel: Int): DataFrame = {
     import spark.implicits._
-    graft.functions.TopKAgg.register(spark, 4)
-    graft.functions.TopKAgg.register(spark, 10)
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1 && nprobe <= 16, s"nprobe must be in [1, 16] (16 systematic centroids), got $nprobe")
+    require(panel >= 1, s"panel must be >= 1, got $panel")
+    graft.functions.TopKAgg.register(spark, nprobe)
+    graft.functions.TopKAgg.register(spark, k)
     val idx = ivfIndex(spark, dir)
     val centsDF = idx.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
       .toDF("centroid_id", "centroid")
     val e = embeddings(spark, dir)
-    val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("emb").as("qe"))
-    val corp = e.filter(col("vec_id") >= 8)
+    val q = e.filter(col("vec_id") < panel).select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val corp = e.filter(col("vec_id") >= panel)
     val probes = q.crossJoin(broadcast(centsDF))
       .select(col("qid"), expr("-l2_sq(qe, centroid)").as("nd2"), col("centroid_id"))
-      .groupBy("qid").agg(expr("topk_cos_4(nd2, centroid_id)").as("top"))
+      .groupBy("qid").agg(expr(s"topk_cos_$nprobe(nd2, centroid_id)").as("top"))
       .select(col("qid").as("p_qid"), explode(col("top")).as("hit"))
       .select(col("p_qid"), col("hit._2").as("p_cid"))
-    def top10(scored: DataFrame): DataFrame =
-      scored.groupBy("qid").agg(expr("topk_cos_10(c, vec_id)").as("top"))
+    def topK(scored: DataFrame): DataFrame =
+      scored.groupBy("qid").agg(expr(s"topk_cos_$k(c, vec_id)").as("top"))
         .select(col("qid"), explode(col("top")).as("hit"))
         .select(col("qid"), col("hit._2").as("vec_id"))
-    val exact = top10(
+    val exact = topK(
       corp.crossJoin(broadcast(q)).select(col("qid"), col("vec_id"), expr(CosExpr).as("c")))
-    // (query, probed-centroid) pairs with the query vector attached: 32 rows
+    // (query, probed-centroid) pairs with the query vector attached: panel x nprobe rows
     val qp = q.join(broadcast(probes), col("qid") === col("p_qid"))
       .select(col("qid"), col("qe"), col("p_cid"))
-    val ivf = top10(
+    val ivf = topK(
       AnnIndex.ivfAssign(corp, "emb", "vec_id", centsDF)
         .join(broadcast(qp), col("bucket") === col("p_cid"))
         .select(col("qid"), col("vec_id"), expr(CosExpr).as("c")))
     exact.join(broadcast(ivf.withColumn("h", lit(1))), Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg(count("h").as("hits"))
-      .select(col("qid"), lit(10L).as("k"), col("hits"),
-        round(col("hits") / 10.0, 4).as("recall"))
+      .select(col("qid"), lit(k.toLong).as("k"), col("hits"),
+        round(col("hits") / k.toDouble, 4).as("recall"))
       .orderBy("qid")
   }
 

@@ -1082,6 +1082,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hs.min < 10L, "recall 1.0 everywhere — the measurement can't distinguish probes from exact")
   }
 
+  test("q105 annRecall is monotone in nprobe and exact at nprobe=16 (r10)") {
+    // an exact-top-k member in the candidate set can only be displaced from
+    // the IVF top-k by a higher-cosine candidate, which is itself exact-top-k
+    // — so widening the probe set never loses a hit, and probing all 16
+    // lists IS the exact search (recall 1.0 by construction, not luck)
+    def recalls(nprobe: Int): Map[Long, Long] =
+      VectorOps.annRecall(spark, dir, k = 10, nprobe = nprobe, panel = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (p4, p8, p16) = (recalls(4), recalls(8), recalls(16))
+    p4.keys.foreach { qid =>
+      assert(p4(qid) <= p8(qid), s"qid=$qid: hits fell 4->8 probes (${p4(qid)} -> ${p8(qid)})")
+    }
+    assert(p16.values.forall(_ == 10L), s"nprobe=16 probes every list; recall must be 1.0: $p16")
+    intercept[IllegalArgumentException] { VectorOps.annRecall(spark, dir, 10, 17, 8) }
+    intercept[IllegalArgumentException] { VectorOps.annRecall(spark, dir, 0, 4, 8) }
+  }
+
   test("q106 stream left-outer: inner rows == q104, null rows have no error in window (r10)") {
     val outer = graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(spark, dir).collect()
     val inner = graft.streaming.StreamReplay.intervalJoinReplay(spark, dir).collect()
