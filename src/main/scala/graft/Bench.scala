@@ -383,7 +383,11 @@ object Bench {
         "stores per shuffle partition, identical interval + watermark bounds) plus the outer join's " +
         "null-emission work: unmatched left rows are scanned out of state and emitted in the " +
         "watermark-advance trigger (eviction is HOW absence is proven), so the bounded replay pays one " +
-        "more stateful batch than the inner twin by construction; per-trigger floor, not data work")
+        "more stateful batch than the inner twin by construction; per-trigger floor, not data work"),
+      "q107_stream_full_outer" -> ("q106's floor with BOTH sides' null-emission: unmatched purchases AND " +
+        "unmatched errors are scanned out of state at their respective eviction boundaries (wm past p_ts; " +
+        "wm past e_ts + 1h), roughly doubling the watermark-advance batch's emission volume over q106; " +
+        "same 2-leg/4-store per-trigger commit floor, not data work")
     )
     val streamJson =
       if (streamOfficial.isEmpty) ""

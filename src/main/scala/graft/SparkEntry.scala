@@ -164,6 +164,7 @@ object SparkEntry {
     "q103_stream_dedup" -> (graft.streaming.StreamReplay.dedupReplay(_, _)),
     "q104_stream_interval_join" -> (graft.streaming.StreamReplay.intervalJoinReplay(_, _)),
     "q106_stream_left_outer" -> (graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(_, _)),
+    "q107_stream_full_outer" -> (graft.streaming.StreamReplay.intervalJoinFullOuterReplay(_, _)),
     // ANN recall@10: IVF 4-probe hit rate vs exact ground truth, in-plan
     "q105_ann_recall" -> (VectorOps.annRecall(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
@@ -806,6 +807,31 @@ object SparkEntry {
         |      AND er.us >= p.us - 3600000000 AND er.us <= p.us))
         |SELECT user_id, p_us, p_value, e_us FROM j
         |UNION ALL SELECT user_id, p_us, p_value, e_us FROM unmatched
+        |ORDER BY user_id, p_us, e_us, p_value""".stripMargin,
+    // q107: q106's margin discipline on BOTH sides — null-error rows wait
+    // out the error side's eviction boundary (wm passes e_ts + 1h), so
+    // their cut sits one interval lower (e_us < wm - 2h); null-purchase
+    // rows use q106's cut (p_us < wm - 1h)
+    "q107_stream_full_outer" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us, value FROM events WHERE event_type = 'purchase'),
+        |er AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error'),
+        |wm AS (SELECT least((SELECT max(us) FROM p), (SELECT max(us) FROM er))
+        |  - 7200000000 AS wm_us),
+        |j AS (SELECT p.user_id, p.us AS p_us, round(p.value, 2) AS p_value, er.us AS e_us
+        |  FROM p JOIN er ON er.user_id = p.user_id
+        |    AND er.us >= p.us - 3600000000 AND er.us <= p.us),
+        |up AS (SELECT p.user_id, p.us AS p_us, round(p.value, 2) AS p_value,
+        |  CAST(-1 AS BIGINT) AS e_us
+        |  FROM p, wm WHERE p.us < wm.wm_us - 3600000000
+        |    AND NOT EXISTS (SELECT 1 FROM er WHERE er.user_id = p.user_id
+        |      AND er.us >= p.us - 3600000000 AND er.us <= p.us)),
+        |ue AS (SELECT er.user_id, CAST(-1 AS BIGINT) AS p_us, -1.0 AS p_value, er.us AS e_us
+        |  FROM er, wm WHERE er.us < wm.wm_us - 7200000000
+        |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = er.user_id
+        |      AND p.us >= er.us AND p.us <= er.us + 3600000000))
+        |SELECT user_id, p_us, p_value, e_us FROM j
+        |UNION ALL SELECT user_id, p_us, p_value, e_us FROM up
+        |UNION ALL SELECT user_id, p_us, p_value, e_us FROM ue
         |ORDER BY user_id, p_us, e_us, p_value""".stripMargin,
     // q105: recall@10 of the 4-probe IVF search vs exact KNN — q75's
     // deterministic centroid/probe/assignment CTEs generalized to an 8-query

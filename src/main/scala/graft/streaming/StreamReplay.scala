@@ -161,6 +161,37 @@ object StreamReplay {
       .orderBy("user_id", "p_us", "e_us", "p_value")
   }
 
+  /** q107: FULL OUTER watermarked interval join replayed bounded — q106's
+   * discipline applied to BOTH sides. Each side's null rows keep one full
+   * join-interval of margin below its own theoretical eviction boundary
+   * (purchases evict when wm passes p_ts → keep p_us < wm - 1h, q106's
+   * cut; errors evict when wm passes e_ts + 1h → keep e_us < wm - 2h), so
+   * the engine's boundary conventions cannot flip the compare; the oracle
+   * applies identical cuts. Nulls map to -1 (epoch-micros) / -1.0 (value),
+   * keeping the 4-key total order well-defined. */
+  def intervalJoinFullOuterReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.operators.Tables.t(spark, dir, "events")
+    def maxTsMs(kind: String): Long =
+      ev.filter(col("event_type") === kind).agg(max("ts")).head().getTimestamp(0).getTime
+    val wmUs = (math.min(maxTsMs("purchase"), maxTsMs("error")) - 2L * 3600 * 1000) * 1000L
+    val hourUs = 3600L * 1000 * 1000
+    val s = eventsStream(spark, dir)
+    val joined = StreamingOps.intervalJoinFullOuter(
+      s.filter(col("event_type") === "purchase"),
+      s.filter(col("event_type") === "error"))
+    val sink = runToSink(spark, joined, "append")
+    sink.select(
+        coalesce(col("p_user"), col("e_user")).as("user_id"),
+        coalesce(unix_micros(col("p_ts")), lit(-1L)).as("p_us"),
+        coalesce(round(col("p_value"), 2), lit(-1.0)).as("p_value"),
+        coalesce(unix_micros(col("e_ts")), lit(-1L)).as("e_us"))
+      .filter(
+        (col("p_us") >= 0 && col("e_us") >= 0) ||
+          (col("e_us") === -1L && col("p_us") < wmUs - hourUs) ||
+          (col("p_us") === -1L && col("e_us") < wmUs - 2L * hourUs))
+      .orderBy("user_id", "p_us", "e_us", "p_value")
+  }
+
   /** q102: per-user mapGroupsWithState session state, run through the
    * micro-batch engine in update mode; final state per user reconstructed
    * from the update log by max(n_events). */

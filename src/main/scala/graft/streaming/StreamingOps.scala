@@ -83,6 +83,27 @@ object StreamingOps {
       "leftOuter")
   }
 
+  /** FULL OUTER watermarked interval join — [[intervalJoinLeftOuter]] plus
+   * null-extended rows for ERRORS no purchase picked up in the hour after
+   * them. Each side's absence claim waits on its own eviction point: a
+   * purchase can match errors up to its own event time (expires when the
+   * watermark passes p_ts), an error can match purchases up to one hour
+   * later (expires when the watermark passes e_ts + 1h). */
+  def intervalJoinFullOuter(purchases: DataFrame, errors: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val e = errors
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    p.join(
+      e,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") <= col("p_ts"),
+      "fullOuter")
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
 

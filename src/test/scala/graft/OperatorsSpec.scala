@@ -1119,4 +1119,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!hit, s"null-extended purchase ($uid, $pUs) HAS an error in window")
     }
   }
+
+  test("q107 full-outer: left side == q106, null errors have no purchase in the following hour (r10)") {
+    val full = graft.streaming.StreamReplay.intervalJoinFullOuterReplay(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val left = graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val (pSide, eNulls) = full.partition(_._2 >= 0L)
+    assert(pSide.toSet == left, "matched + null-purchase rows must equal the left-outer replay exactly")
+    assert(eNulls.nonEmpty, "no watermark-proven absent errors — right-side eviction wiring broken")
+    import spark.implicits._
+    val purch = operators.Tables.t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    eNulls.foreach { case (uid, _, pv, eUs) =>
+      assert(pv == -1.0, "null-error rows carry the -1.0 value sentinel")
+      val hit = purch.getOrElse(uid, Array.empty[Long])
+        .exists(p => p >= eUs && p <= eUs + 3600000000L)
+      assert(!hit, s"null-extended error ($uid, $eUs) HAS a purchase in the following hour")
+    }
+  }
 }
