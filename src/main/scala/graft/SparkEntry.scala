@@ -165,6 +165,7 @@ object SparkEntry {
     "q104_stream_interval_join" -> (graft.streaming.StreamReplay.intervalJoinReplay(_, _)),
     "q106_stream_left_outer" -> (graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(_, _)),
     "q107_stream_full_outer" -> (graft.streaming.StreamReplay.intervalJoinFullOuterReplay(_, _)),
+    "q108_stream_static_join" -> (graft.streaming.StreamReplay.enrichStaticReplay(_, _)),
     // ANN recall@10: IVF 4-probe hit rate vs exact ground truth, in-plan
     "q105_ann_recall" -> (VectorOps.annRecall(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
@@ -833,6 +834,15 @@ object SparkEntry {
         |UNION ALL SELECT user_id, p_us, p_value, e_us FROM up
         |UNION ALL SELECT user_id, p_us, p_value, e_us FROM ue
         |ORDER BY user_id, p_us, e_us, p_value""".stripMargin,
+    // q108: stateless stream-static enrich — every purchase emits in its
+    // arrival batch with dims attached; the bounded replay IS the batch join
+    "q108_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS p_us,
+        |c.c_nationkey AS nation, c.c_mktsegment AS segment,
+        |round(e.value, 2) AS value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     // q105: recall@10 of the 4-probe IVF search vs exact KNN — q75's
     // deterministic centroid/probe/assignment CTEs generalized to an 8-query
     // panel (q94's panel convention), then the two top-10 sets intersect

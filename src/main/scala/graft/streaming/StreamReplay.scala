@@ -192,6 +192,21 @@ object StreamReplay {
       .orderBy("user_id", "p_us", "e_us", "p_value")
   }
 
+  /** q108: stream-static enrichment ([[StreamingOps.enrichStatic]]) replayed
+   * bounded. Stateless (no watermark, no state store): every purchase emits
+   * in the micro-batch it arrives in with its customer dims attached, so
+   * the bounded replay equals the batch join row-for-row — no margin cuts
+   * needed, the one streaming mode with NO emission-boundary caveat. */
+  def enrichStaticReplay(spark: SparkSession, dir: String): DataFrame = {
+    val dims = graft.operators.Tables.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val sink = runToSink(spark, StreamingOps.enrichStatic(eventsStream(spark, dir), dims), "append")
+    sink.select(
+        col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("nation"), col("segment"), round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+  }
+
   /** q102: per-user mapGroupsWithState session state, run through the
    * micro-batch engine in update mode; final state per user reconstructed
    * from the update log by max(n_events). */

@@ -104,6 +104,19 @@ object StreamingOps {
       "fullOuter")
   }
 
+  /** Stream-STATIC enrichment join — the stateless streaming mode (and the
+   * most common production join): each micro-batch's purchases broadcast-
+   * hash-join the static dimension table, no watermark, no state store,
+   * nothing buffered between triggers. At 100 TB/day this is the shape
+   * that survives: the dimension broadcasts once per batch and the stream
+   * side never shuffles. */
+  def enrichStatic(events: DataFrame, dims: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .join(broadcast(dims), col("user_id") === col("c_custkey"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"), col("value"))
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
 

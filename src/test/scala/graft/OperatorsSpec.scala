@@ -1140,4 +1140,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!hit, s"null-extended error ($uid, $eUs) HAS a purchase in the following hour")
     }
   }
+
+  test("q108 stream-static enrich: stateless replay equals the batch join row-for-row (r10)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4), r.getDouble(5))
+    val replay = graft.streaming.StreamReplay.enrichStaticReplay(spark, dir).collect().map(key)
+    val ev = operators.Tables.t(spark, dir, "events")
+    val cust = operators.Tables.t(spark, dir, "customer")
+    val batch = ev.filter(col("event_type") === "purchase")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id").collect().map(key)
+    assert(replay.nonEmpty && replay.sameElements(batch),
+      s"replay (${replay.length} rows) != batch join (${batch.length} rows)")
+  }
 }
