@@ -55,6 +55,12 @@ def main():
             cls = "SPARK_WINS" if naive < 1 else "OK"
         elif not ds_material and dd < MATERIAL_S:
             cls = "OVERHEAD(floor)"  # neither engine's wall moved with 10x data
+        elif not ds_material:
+            # every class stronger than overhead needs a material Spark
+            # delta — without it ds/dd is a noise ratio (mirrors the r10
+            # Bench.scala fix: q13 at 0.33 s hi flagged "algorithmic"
+            # through this fall-through on a slow-window run)
+            cls = "OVERHEAD(ds-immaterial)"
         elif dd < MATERIAL_S:
             # DuckDB never left its ms floor: the slope DENOMINATOR is timing
             # noise (12-31 ms deltas produced the r7 "algorithmic" flags on
