@@ -24,8 +24,12 @@ OUT=/tmp/roundclose
 JAR=target/scala-2.13/whisperpandasspark_2.13-0.1.0.jar
 mkdir -p "$OUT"
 
-echo "== [1/6] full test suite"
+echo "== [1/6] full test suite (default + ANSI)"
 sbt -batch test
+# same suite under ANSI SQL mode: strict casts/overflow must not change
+# any oracle-pinned result (the r8 gate; kept per-round here so a new
+# operator can't silently depend on lenient-mode coercion)
+SPARK_GRAFT_ANSI=true sbt -batch test
 
 echo "== [2/6] package"
 sbt -batch package
