@@ -143,6 +143,28 @@ object Bench {
       (n, if (xs.exists(_ < 0)) -1.0 else xs.min)
     }
 
+    // IVF recall/latency tuning curve (VERDICT r10 #6): q105 pins only the
+    // (k=10, nprobe=4, panel=8) point; the reason the operator exists is the
+    // recall-vs-nprobe trade-off, so the record carries the whole dial —
+    // mean recall@10 over the panel plus wall per setting, one run each
+    // (the walls are index-build-dominated and only ordinal here; the
+    // recall values are deterministic). Skipped when the embeddings table
+    // is absent or the subset filter excludes q105.
+    val annTuningJson =
+      if (!allNames.contains("q105_ann_recall")) ""
+      else try {
+        import org.apache.spark.sql.functions.{sum => fsum}
+        val pts = Seq(1, 2, 4, 8, 16).map { np =>
+          val t0 = System.nanoTime()
+          val hits = graft.operators.VectorOps.annRecall(spark, sfDir, k = 10, nprobe = np, panel = 8)
+            .agg(fsum("hits")).head().getLong(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          dropState()
+          s"""{"nprobe":$np,"recall_at_10":${f3(hits / 80.0)},"wall_s":${f3(dt)}}"""
+        }
+        s""","ann_tuning":[${pts.mkString(",")}]"""
+      } catch { case _: Throwable => dropState(); "" }
+
     val official: Seq[(String, Double)] = names.map { n =>
       val xs = samples.map(_(n))
       (n, if (xs.exists(_ < 0)) -1.0 else xs.min)
@@ -156,6 +178,33 @@ object Bench {
     val passTotals = samples.map(_.values.filter(_ >= 0).sum)
     val whisperOk = whisperSamples.filter(_ >= 0)
     val whisperGzOk = whisperGzSamples.filter(_ >= 0)
+
+    // Box-health verdict (VERDICT r10 #1): three rounds of official captures
+    // (r2's contention band, r6, r10's 38.65 s record with a 215 s pass)
+    // shipped environment noise as measurement and were adjudicated by hand
+    // after the fact. The record now carries a machine-readable verdict the
+    // close protocol can gate on:
+    //  - canary: the ref-scale whisper scan is data-invariant (same 82 MB
+    //    fixture at every sf), timed once per pass; its min-of-passes on a
+    //    quiet box has sat in 0.26-0.55 s across r4-r9 (BENCH_NOTES). Band
+    //    pinned at 0.55 s; min > 1.5x band = some contention window covered
+    //    EVERY pass (r10's contaminated record: 0.856; r6's: 3.009).
+    //  - pass spread: max/min of the full-suite pass totals. The min-of-
+    //    passes protocol absorbs ONE slow pass, but a spread > 2x means at
+    //    least one pass was majority-contaminated and the mins themselves
+    //    are suspect (r10: 105/60/215 s around a 38.65 s "total").
+    val canaryBand = sys.env.getOrElse("SPARK_GRAFT_CANARY_BAND", "0.55").toDouble
+    val canaryMin = if (whisperOk.nonEmpty) whisperOk.min else -1.0
+    val canaryOk = canaryMin >= 0 && canaryMin <= 1.5 * canaryBand
+    val passSpread =
+      if (passTotals.isEmpty || passTotals.exists(_ <= 0)) -1.0
+      else passTotals.max / passTotals.min
+    val spreadOk = passSpread > 0 && passSpread <= 2.0
+    val boxVerdict = if (canaryOk && spreadOk) "clean" else "contaminated"
+    val boxHealthJson =
+      s""","box_health":{"canary_band_s":$canaryBand,"canary_min_s":${f3(canaryMin)},""" +
+      s""""canary_band_ok":$canaryOk,"pass_spread":${f3(passSpread)},""" +
+      s""""pass_spread_ok":$spreadOk,"verdict":"$boxVerdict"}"""
     val whisperJson =
       (if (whisperOk.nonEmpty)
         s""","whisper_ref_scan_sec":${f3(whisperOk.min)},"whisper_ref_rows":${WhisperWorkload.RefScaleRows}"""
@@ -240,7 +289,7 @@ object Bench {
     // query classed "overhead" — and commit those meaningless classes.
     val loUsable = sparkLo.nonEmpty && duckLo.nonEmpty &&
       sparkLoSf != sfDir && duckLoSf != sfDir
-    val slopeClasses: Seq[(String, String)] =
+    val slopeRows: Seq[(String, String, Boolean)] =
       if (!loUsable) Seq.empty
       else {
         val material = 0.05 // below this delta an engine never left its fixed-cost floor
@@ -275,10 +324,26 @@ object Bench {
               else if (dd < material) "duckdb_floor" // ds material, denominator noise
               else if (ds / dd < 2) "overhead"
               else "algorithmic"
-            k -> cls
+            // Secondary signal for sub-wall queries (ADVICE r10): routing
+            // every immaterial-Spark-delta case to "overhead" makes a
+            // genuinely super-linear query that is still sub-0.5 s at bench
+            // scale invisible to the gate. When the NAIVE ratio itself at
+            // least doubles between the scale points (and both lo walls are
+            // real samples), the query goes on a watch list — not into a
+            // gating class (one-run sub-second ratios are noisy; a
+            // persistent cross-round watch entry is the adjudication
+            // trigger, a one-off is box noise).
+            val watch = cls == "overhead" && sLo > 0 && dLo > 0 &&
+              naive >= 2 * (sLo / dLo)
+            (k, cls, watch)
           }
         }
       }
+    val slopeClasses: Seq[(String, String)] = slopeRows.map { case (k, c, _) => (k, c) }
+    val growthWatchJson = {
+      val w = slopeRows.collect { case (k, _, true) => "\"" + k + "\"" }
+      if (w.isEmpty) "" else w.mkString(""","ratio_growth_watch":[""", ",", "]")
+    }
     val slopeDigest = if (slopeClasses.isEmpty) "" else {
       val c = slopeClasses.groupBy(_._2).view.mapValues(_.size).toMap
       s""","slope_overhead_n":${c.getOrElse("overhead", 0)}""" +
@@ -375,19 +440,22 @@ object Bench {
       "q104_stream_interval_join" -> ("state-store commit floor, not data work: the stream-stream interval " +
         "join reads BOTH legs from events (2x the peers' input rows) and maintains 4 state stores per shuffle " +
         "partition (keyToNumValues/keyWithIndexToValue x left/right) holding ~40k buffered rows inside the " +
-        "1h interval + watermark; each trigger commits 32 partitions x 4 stores. Engine accounting at sf0.1: " +
-        "batch0 3.9 s with 200k input rows, batch1 2.9 s with ZERO input of which state commit is the sum-task " +
-        "dominant (59.7 s cumulative across tasks) — a fixed per-trigger floor that amortizes over real " +
-        "per-trigger volume at deployment, and 2x-input + 4x-stores explains the 3-4x gap to q101-q103"),
+        "1h interval + watermark; each trigger commits partitions x 4 stores. The floor scales with the " +
+        "partition count, not data: right-sizing the replay to 4 state partitions (StreamReplay, VERDICT r10 " +
+        "#2) cut the wall 8.0 -> 2.4 s at sf0.1 with identical hashes — the remaining wall is the " +
+        "2x-input + 4-stores-per-partition trigger cost that amortizes over real per-trigger volume at " +
+        "deployment, where the partition count is sized to volume exactly as the replay now does"),
       "q106_stream_left_outer" -> ("same state layout and commit floor as q104 (2x input legs, 4 state " +
         "stores per shuffle partition, identical interval + watermark bounds) plus the outer join's " +
         "null-emission work: unmatched left rows are scanned out of state and emitted in the " +
         "watermark-advance trigger (eviction is HOW absence is proven), so the bounded replay pays one " +
-        "more stateful batch than the inner twin by construction; per-trigger floor, not data work"),
+        "more stateful batch than the inner twin by construction; 4-partition right-sizing cut " +
+        "8.7 -> 2.8 s at sf0.1, hashes identical"),
       "q107_stream_full_outer" -> ("q106's floor with BOTH sides' null-emission: unmatched purchases AND " +
         "unmatched errors are scanned out of state at their respective eviction boundaries (wm past p_ts; " +
         "wm past e_ts + 1h), roughly doubling the watermark-advance batch's emission volume over q106; " +
-        "same 2-leg/4-store per-trigger commit floor, not data work")
+        "same 2-leg/4-store per-trigger commit floor; 4-partition right-sizing cut 8.2 -> 2.8 s at " +
+        "sf0.1, hashes identical")
     )
     val streamJson =
       if (streamOfficial.isEmpty) ""
@@ -404,7 +472,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":$passes,
          |"pass_totals":[${passTotals.map(f3).mkString(",")}],
          |"queries":$qs,
-         |"errors":$errs$streamJson$whisperJson$ratioJson$slopeJson$reasonJson$unadjJson,
+         |"errors":$errs$streamJson$whisperJson$ratioJson$slopeJson$reasonJson$unadjJson$growthWatchJson$boxHealthJson$annTuningJson,
          |"whisper_ref_samples":[${whisperSamples.map(f3).mkString(",")}],
          |"whisper_ref_gz_samples":[${whisperGzSamples.map(f3).mkString(",")}],
          |$perPass,
@@ -421,7 +489,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${official.size},""" +
       s""""pass_totals":[${passTotals.map(f3).mkString(",")}],"worst5":$worst5,""" +
-      s""""errors":$errs$whisperJson$ratioDigest,"bench_file":"${outFile}","sf":"$sfDir"}""")
+      s""""errors":$errs$whisperJson$ratioDigest$boxHealthJson,"bench_file":"${outFile}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

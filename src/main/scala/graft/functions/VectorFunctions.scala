@@ -381,15 +381,23 @@ case class IvfSuperProbe(
 }
 
 object IvfSuperProbe {
+  /** Returns (candidate cells, min Euclidean distance, min SQUARED distance).
+   * The squared minimum is tracked directly from the accumulator — NOT
+   * recovered as sqrt(min)^2, whose round-trip can land 1 ulp below the true
+   * minimum squared distance and (since the nearest super is itself a refine
+   * candidate) let an abandoned near-tie candidate undercut the winner at
+   * ulp resolution (ADVICE r10). Radius pruning still uses the Euclidean
+   * form, matching the triangle-inequality bound's units. */
   private def cellsAndUb(
       v: ArrayData,
       supers: Array[Array[Double]],
       superIds: Array[Int],
       radii: Array[Double],
-      eps: Double): (Array[Int], Double) = {
+      eps: Double): (Array[Int], Double, Double) = {
     val g = supers.length
     val dist = new Array[Double](g)
     var ub = Double.PositiveInfinity
+    var ubSq = Double.PositiveInfinity
     var j = 0
     while (j < g) {
       val c = supers(j)
@@ -401,9 +409,11 @@ object IvfSuperProbe {
         acc += d * d
         i += 1
       }
-      val dj = if (ok) math.sqrt(acc) else Double.PositiveInfinity
+      val accOk = if (ok) acc else Double.PositiveInfinity
+      val dj = math.sqrt(accOk)
       dist(j) = dj
       if (dj < ub) ub = dj
+      if (accOk < ubSq) ubSq = accOk
       j += 1
     }
     val out = new scala.collection.mutable.ArrayBuffer[Int](4)
@@ -412,7 +422,7 @@ object IvfSuperProbe {
       if (dist(j) - radii(j) <= ub + eps) out += superIds(j)
       j += 1
     }
-    (out.toArray, ub)
+    (out.toArray, ub, ubSq)
   }
 
   def compute(
@@ -430,10 +440,10 @@ object IvfSuperProbe {
       superIds: Array[Int],
       radii: Array[Double],
       eps: Double): org.apache.spark.sql.catalyst.InternalRow = {
-    val (cells, ub) = cellsAndUb(v, supers, superIds, radii, eps)
+    val (cells, _, ubSq) = cellsAndUb(v, supers, superIds, radii, eps)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       new org.apache.spark.sql.catalyst.util.GenericArrayData(cells),
-      if (ub.isInfinite) Double.MaxValue else ub * ub))
+      if (ubSq.isInfinite) Double.MaxValue else ubSq))
   }
 }
 

@@ -210,7 +210,17 @@ class WhisperScan(
     preds: Seq[WPred],
     pushedV1: Array[Filter],
     requiredSchema: StructType,
-    enforceWindows: Boolean = false
+    enforceWindows: Boolean = false,
+    // Partitions carried over from an already-validated plan (the
+    // window-enforcing copy, see [[withWindowEnforcement]]): the enforcing
+    // scan must execute EXACTLY the chunks the sort-elision rule validated —
+    // replanning from the file at execution time would re-run the ring
+    // probe, and a concurrently-rewritten archive (normal for live graphite
+    // trees) could make the fresh probe decline into physicalChunks with
+    // vacuous (MinValue, MaxValue) windows AFTER the global sort was
+    // already elided — silently misordered output (ADVICE r10). It also
+    // halves probe I/O per planned query.
+    prePlanned: Option[Array[InputPartition]] = None
 ) extends Scan
     with Batch
     with SupportsReportStatistics
@@ -232,7 +242,7 @@ class WhisperScan(
     WhisperPlanning.plan(paths, options, preds).map(_.asInstanceOf[WhisperInputPartition])
 
   private lazy val plannedPartitions: Array[InputPartition] =
-    WhisperPlanning.binPack(unitPartitions, options)
+    prePlanned.getOrElse(WhisperPlanning.binPack(unitPartitions, options))
 
   override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
@@ -284,11 +294,12 @@ class WhisperScan(
 
   /** Copy of this scan whose readers verify each kept row against its
    * chunk's planned window — swapped in by the sort-elision rule before it
-   * removes a global sort over a multi-chunk scan. Partition planning is
-   * deterministic, so the copy plans identical chunks. */
+   * removes a global sort over a multi-chunk scan. The copy CARRIES this
+   * scan's planned partitions (see `prePlanned`): the chunks the rule
+   * validated are the chunks that execute, with no second ring probe. */
   def withWindowEnforcement: WhisperScan =
     new WhisperScan(paths, rawPatterns, options, preds, pushedV1, requiredSchema,
-      enforceWindows = true)
+      enforceWindows = true, prePlanned = Some(plannedPartitions))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WhisperReaderFactory(options, preds, requiredSchema, enforceWindows)

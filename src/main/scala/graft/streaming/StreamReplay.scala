@@ -33,6 +33,18 @@ object StreamReplay {
   // 4x per process and a duplicate queryName is a start() error
   private val runId = new AtomicLong(0L)
 
+  /** Shuffle/state partition count for the bounded replays. The session
+   * default (32, sized for the batch suite) multiplies the stateful
+   * replays' per-trigger commit floor by 8x over what ~40k buffered rows
+   * need: every trigger commits `partitions x stores-per-partition` state
+   * stores regardless of data volume (VERDICT r10 #2 — the floor scales
+   * with partitions, not data). 4 partitions keep the replays parallel
+   * while cutting the floor; at deployment the partition count is sized to
+   * per-trigger volume, which is exactly what this does for the bounded
+   * testdata. Env-overridable for A/B. */
+  private val replayPartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTITIONS", "4").toInt
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.operators.Tables.t(spark, dir, "events").schema
     // events.parquet is a FILE; FileStreamSource requires a directory
@@ -51,22 +63,30 @@ object StreamReplay {
       mode: String,
       done: Option[String => Boolean] = None): DataFrame = {
     val name = s"stream_replay_${runId.incrementAndGet()}"
-    val sq = q.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    done match {
-      case None =>
-        // event-time only: the query stops itself once the files are drained
-        if (!sq.awaitTermination(300000L)) { sq.stop(); sys.error(s"$name did not terminate") }
-      case Some(pred) =>
-        val deadline = System.nanoTime() + 300L * 1000000000L
-        // also break if the query died: polling a failed stream to the
-        // deadline would turn a fast failure into a 5-minute hang
-        while (sq.isActive && !pred(name) && System.nanoTime() < deadline) Thread.sleep(100)
-        sq.stop()
-        sq.awaitTermination(60000L)
-        sq.exception.foreach(e => throw e)
-        if (!pred(name)) sys.error(s"$name: sink incomplete at deadline")
-    }
+    // Streaming state partitioning is pinned at query start from
+    // spark.sql.shuffle.partitions; scope the replay-sized count to the
+    // start+await window and restore the session default after (the replays
+    // run serially in Bench/Verify, so nothing else observes the override).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", replayPartitions)
+    try {
+      val sq = q.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      done match {
+        case None =>
+          // event-time only: the query stops itself once the files are drained
+          if (!sq.awaitTermination(300000L)) { sq.stop(); sys.error(s"$name did not terminate") }
+        case Some(pred) =>
+          val deadline = System.nanoTime() + 300L * 1000000000L
+          // also break if the query died: polling a failed stream to the
+          // deadline would turn a fast failure into a 5-minute hang
+          while (sq.isActive && !pred(name) && System.nanoTime() < deadline) Thread.sleep(100)
+          sq.stop()
+          sq.awaitTermination(60000L)
+          sq.exception.foreach(e => throw e)
+          if (!pred(name)) sys.error(s"$name: sink incomplete at deadline")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.table(name)
   }
 
@@ -143,10 +163,16 @@ object StreamReplay {
    * -1 (both engines), keeping the 4-key total order well-defined. */
   def intervalJoinLeftOuterReplay(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.operators.Tables.t(spark, dir, "events")
-    def maxTsMs(kind: String): Long =
-      ev.filter(col("event_type") === kind).agg(max("ts")).head().getTimestamp(0).getTime
-    val wmMs = math.min(maxTsMs("purchase"), maxTsMs("error")) - 2L * 3600 * 1000
-    val cutoffUs = (wmMs - 3600 * 1000L) * 1000L
+    // max pulled as exact epoch MICROS: the oracle cuts at epoch_us, and a
+    // getTimestamp.getTime pull would ms-truncate the cutoff up to 999us
+    // below the oracle's — a purchase in that sliver would mismatch
+    // (ADVICE r10). The margin itself is 1h, so the engine's own ms-precision
+    // watermark arithmetic stays far inside it either way.
+    def maxTsUs(kind: String): Long =
+      ev.filter(col("event_type") === kind)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = math.min(maxTsUs("purchase"), maxTsUs("error")) - 2L * 3600 * 1000 * 1000
+    val cutoffUs = wmUs - 3600L * 1000 * 1000
     val s = eventsStream(spark, dir)
     val joined = StreamingOps.intervalJoinLeftOuter(
       s.filter(col("event_type") === "purchase"),
@@ -171,9 +197,11 @@ object StreamReplay {
    * keeping the 4-key total order well-defined. */
   def intervalJoinFullOuterReplay(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.operators.Tables.t(spark, dir, "events")
-    def maxTsMs(kind: String): Long =
-      ev.filter(col("event_type") === kind).agg(max("ts")).head().getTimestamp(0).getTime
-    val wmUs = (math.min(maxTsMs("purchase"), maxTsMs("error")) - 2L * 3600 * 1000) * 1000L
+    // exact-micros watermark pull, same reason as the left-outer replay
+    def maxTsUs(kind: String): Long =
+      ev.filter(col("event_type") === kind)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = math.min(maxTsUs("purchase"), maxTsUs("error")) - 2L * 3600 * 1000 * 1000
     val hourUs = 3600L * 1000 * 1000
     val s = eventsStream(spark, dir)
     val joined = StreamingOps.intervalJoinFullOuter(
