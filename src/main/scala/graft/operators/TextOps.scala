@@ -18,6 +18,29 @@ object TextOps {
   private def persistBounded(slot: String, df: DataFrame): DataFrame =
     OpCache.persistBounded(slot, df)
 
+  /**
+   * THE shared tokenized-corpus relation: per-doc term multiplicities
+   * `(doc_id, lang, tok, m)`, persisted once per (session, corpus dir) and
+   * consumed by BOTH [[tfidfTopTerms]] and [[unigramSurprisal]] (VERDICT r10
+   * #5 — they previously each persisted a structurally identical table under
+   * separate slots, so composing the two in one session tokenized the corpus
+   * twice). `lang` rides along because it is functionally dependent on
+   * `doc_id`: rows of (doc_id, lang, tok, m) are 1:1 with (doc_id, tok, m),
+   * so the unigram consumer just projects it away — same multiplicities,
+   * zero extra corpus passes. Identical logical plans also mean Spark's
+   * CacheManager (which keys by plan) serves the second operator's scan from
+   * the first's cache even mid-flight.
+   *
+   * [[bigramSurprisal]] deliberately does NOT derive from this relation: a
+   * multiplicity table has no token ADJACENCY, and persisting raw token
+   * arrays instead (which would serve both) is a strictly larger cache than
+   * the two aggregates it would replace.
+   */
+  private[operators] def docTermTable(spark: SparkSession, dir: String): DataFrame =
+    persistBounded("doctok", t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("m")))
+
   /** Shared stopword lists (tiny, inlined into the plan as literals). */
   val StopEn = Seq("the", "a", "of", "and", "to", "in")
   val StopDe = Seq("der", "die", "das", "und", "nicht")
@@ -113,14 +136,13 @@ object TextOps {
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // One tokenize pass (see the persist note in [[bigramSurprisal]]): both
-    // count tables derive from the persisted per-doc term multiplicities.
+    // count tables derive from the persisted per-doc term multiplicities —
+    // the [[docTermTable]] relation SHARED with unigramSurprisal.
     // tf = sum of m over docs; df = row count per tok, which equals
     // countDistinct(doc_id) because (doc_id, tok) is unique in docTok and
     // lang is functionally dependent on doc_id. nDocs stays a separate scan:
     // it reads zero text bytes (count-only, column-pruned).
-    val docTok = persistBounded("tfidf", t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("m")))
+    val docTok = docTermTable(spark, dir)
     val nDocs = t(spark, dir, "documents").agg(count(col("text")).as("nd"))
     val tf = docTok.groupBy("lang", "tok").agg(sum("m").as("tf"))
     val df = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -241,14 +263,15 @@ object TextOps {
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     // Same one-corpus-pass shape as [[bigramSurprisal]] (see the persist
     // note there): per-doc token multiplicities are aggregated once and
-    // persisted; tf, nt, and the rarity join all derive from that relation,
-    // so the tokenize+explode lineage runs exactly once instead of three
-    // concurrent times. Multiplicity weighting keeps per-occurrence
-    // semantics bit-exact: sum(rarity over occurrences) == sum(m * rarity),
-    // count(1) == sum(m), max unchanged.
-    val docTok = persistBounded("unigram", t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m")))
+    // persisted — the [[docTermTable]] relation SHARED with tfidfTopTerms
+    // (lang projected away; (doc_id, lang, tok) rows are 1:1 with
+    // (doc_id, tok) since lang is functionally dependent on doc_id). tf,
+    // nt, and the rarity join all derive from it, so the tokenize+explode
+    // lineage runs exactly once instead of three concurrent times — and
+    // zero times when tfidf already built it this session. Multiplicity
+    // weighting keeps per-occurrence semantics bit-exact: sum(rarity over
+    // occurrences) == sum(m * rarity), count(1) == sum(m), max unchanged.
+    val docTok = docTermTable(spark, dir).select("doc_id", "tok", "m")
     val tf = docTok.groupBy("tok").agg(sum("m").as("tf"))
     val nt = tf.agg(sum("tf").as("nt"))
     docTok.join(tf, "tok")

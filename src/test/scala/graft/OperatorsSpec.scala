@@ -1041,7 +1041,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
     assert(OpCache.pinnedCount == 0)
     DedupOps.ngramJaccard(spark, dir).count()   // pins q26_grams
-    TextOps.tfidfTopTerms(spark, dir).count()   // pins tfidf
+    TextOps.tfidfTopTerms(spark, dir).count()   // pins doctok
     assert(OpCache.pinnedCount >= 2)
     OpCache.releaseAll()
     assert(OpCache.pinnedCount == 0)
@@ -1049,6 +1049,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sharedState.cacheManager.isEmpty)
     OpCache.releaseAll() // idempotent
     assert(OpCache.pinnedCount == 0)
+  }
+
+  test("tfidf + unigramSurprisal share ONE tokenized-corpus relation per session (r11)") {
+    OpCache.releaseAll()
+    spark.catalog.clearCache()
+    // both consume TextOps.docTermTable: composing them must pin exactly one
+    // relation (slot "doctok"), not re-tokenize the corpus per operator —
+    // and both must still produce their oracle-pinned results from it
+    val tf = TextOps.tfidfTopTerms(spark, dir)
+    assert(tf.count() > 0)
+    assert(OpCache.pinnedCount == 1)
+    val un = TextOps.unigramSurprisal(spark, dir)
+    assert(un.count() > 0)
+    assert(OpCache.pinnedCount == 1) // same slot, same plan: no second pin
+    // the second operator's scan is served from the first's cache
+    assert(un.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    OpCache.releaseAll()
+    spark.catalog.clearCache()
   }
 
   test("q28 threshold is a parameter: default = thresholdForDim(64) = 0.35, monotone in the knob (r10)") {
