@@ -52,12 +52,33 @@ object WhisperIO {
   /** Hadoop configuration honoring the application's `spark.hadoop.*` keys
    * (S3 credentials, HDFS nameservices, ...) on BOTH driver and executors —
    * a bare `new Configuration()` would silently drop them. Driver side uses
-   * the session's hadoopConf; executor side rebuilds from SparkEnv's conf. */
+   * the session's hadoopConf; executor side rebuilds from SparkEnv's conf.
+   *
+   * MEMOIZED per (active session | executor JVM): the scan's hot paths call
+   * this once per FILE (header planning) and once per UNIT (decode open),
+   * and `sessionState.newHadoopConf()` clones the full Configuration — XML
+   * resource re-parse — per call. At 100k files that clone dominated the
+   * whole planning wall (scale_check11_files: ~1.6 ms/file before, see
+   * BENCH_NOTES r11). Concurrent READS of one Configuration are safe (its
+   * store is a synchronized Properties); the scan never writes to it. A new
+   * active session (different hadoop conf) refreshes the memo; executor
+   * JVMs key on null and build once from SparkEnv. */
+  @volatile private var cachedConf: (AnyRef, Configuration) = null
   def hadoopConf(): Configuration = {
-    import org.apache.spark.sql.SparkSession
-    SparkSession.getActiveSession match {
-      case Some(s) => s.sessionState.newHadoopConf()
-      case None =>
+    val key: AnyRef = org.apache.spark.sql.SparkSession.getActiveSession.orNull
+    val c = cachedConf
+    if (c != null && (c._1 eq key)) c._2
+    else {
+      val conf = buildHadoopConf(key)
+      cachedConf = (key, conf)
+      conf
+    }
+  }
+
+  private def buildHadoopConf(sessionOrNull: AnyRef): Configuration =
+    sessionOrNull match {
+      case s: org.apache.spark.sql.SparkSession => s.sessionState.newHadoopConf()
+      case _ =>
         val conf = new Configuration()
         val env = org.apache.spark.SparkEnv.get
         if (env != null) {
@@ -67,7 +88,6 @@ object WhisperIO {
         }
         conf
     }
-  }
 
   /** Extract paths from reader options: single `path` or JSON `paths` array
    * (DataFrameReader.load(paths*) passes the latter). Globs and directories
