@@ -168,6 +168,8 @@ object SparkEntry {
     "q108_stream_static_join" -> (graft.streaming.StreamReplay.enrichStaticReplay(_, _)),
     // ANN recall@10: IVF 4-probe hit rate vs exact ground truth, in-plan
     "q105_ann_recall" -> (VectorOps.annRecall(_, _)),
+    // Gopher repetition filters: dup/top n-gram fractions, n = 2,3,4
+    "q109_ngram_repetition" -> (TextOps.ngramRepetition(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1003,6 +1005,30 @@ object SparkEntry {
         |CAST(sum(rarity) // count(*) AS BIGINT) AS mean_rarity_ppm,
         |CAST(max(rarity) AS BIGINT) AS max_rarity_ppm
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q109: per-(doc, n) duplicate-n-gram fraction and top-n-gram token
+    // fraction, n = 2,3,4 — exact integer permille on both engines; DuckDB
+    // builds each n's grams with the q89/q90 range+slice idiom
+    "q109_ngram_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(arr) AS n_toks, 2 AS n,
+        |    unnest(list_transform(range(1, len(arr)), i -> array_to_string(arr[i:i+1], ' '))) AS g
+        |  FROM tok WHERE len(arr) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, len(arr), 3,
+        |    unnest(list_transform(range(1, len(arr) - 1), i -> array_to_string(arr[i:i+2], ' ')))
+        |  FROM tok WHERE len(arr) >= 3
+        |  UNION ALL
+        |  SELECT doc_id, len(arr), 4,
+        |    unnest(list_transform(range(1, len(arr) - 2), i -> array_to_string(arr[i:i+3], ' ')))
+        |  FROM tok WHERE len(arr) >= 4),
+        |c AS (SELECT doc_id, n_toks, n, g, count(*) AS c FROM g GROUP BY doc_id, n_toks, n, g),
+        |a AS (SELECT doc_id, n_toks, n, sum(c) AS n_grams, count(*) AS n_distinct, max(c) AS top_c
+        |  FROM c GROUP BY doc_id, n_toks, n)
+        |SELECT doc_id, n, CAST(n_grams AS BIGINT) AS n_grams,
+        |CAST((n_grams - n_distinct) * 1000 // n_grams AS BIGINT) AS dup_frac_mille,
+        |CAST(top_c * n * 1000 // n_toks AS BIGINT) AS top_frac_mille
+        |FROM a ORDER BY doc_id, n""".stripMargin,
     "q90_contamination_overlap" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
         |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),

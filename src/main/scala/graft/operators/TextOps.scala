@@ -117,6 +117,51 @@ object TextOps {
       .orderBy("doc_id")
 
   /**
+   * Gopher-style n-gram repetition filters (Rae et al. 2021, Table A1,
+   * generalizing [[repetition]]'s unigram profile to n = 2, 3, 4): per
+   * (doc, n), the duplicate-n-gram fraction (occurrences whose gram appears
+   * more than once) and the top-n-gram token fraction (tokens covered by
+   * the single most frequent n-gram — `top_c * n / n_tokens`). Boilerplate
+   * and template-stamped documents light up on the LONGER n before the
+   * unigram profile moves; pipelines gate on thresholds per n. Note
+   * `top_frac_mille` counts gram occurrences times n, so a top gram that
+   * OVERLAPS itself ("a a a" at n=2) scores above 1000 — it is a repetition
+   * score, monotone in coverage, not a capped fraction (spec-pinned).
+   *
+   * Shape: all three gram lengths materialize in ONE map-side generator
+   * pass (an indexed `transform` per n, concatenated — no self-joins, no
+   * second corpus scan), then the same two partial-aggregating doc-keyed
+   * shuffles as [[repetition]]. Fractions are exact integer permille
+   * (`div`) so the oracle hashes bit-identically; `max(c)` needs no
+   * tie-break (the maximum count is unique even when the argmax gram
+   * isn't). At 100 TB: grams never leave their doc's task until the
+   * (doc_id, n, gram)-keyed partial agg, so shuffle volume is bounded by
+   * per-doc DISTINCT grams, not occurrences.
+   */
+  def ngramRepetition(spark: SparkSession, dir: String, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), s"ngram lengths must be >= 2, got $ns")
+    val gen = ns.map { n =>
+      s"""if(size(toks) >= $n,
+         |  transform(slice(toks, 1, size(toks) - ${n - 1}),
+         |    (x, i) -> named_struct('n', $n, 'g', concat_ws(' ', slice(toks, i + 1, $n)))),
+         |  array())""".stripMargin
+    }.mkString("concat(", ", ", ")")
+    val grams = t(spark, dir, "documents")
+      .withColumn("toks", expr("split(text, ' ')"))
+      .select(col("doc_id"), expr("size(toks)").as("n_toks"), explode(expr(gen)).as("b"))
+      .select(col("doc_id"), col("n_toks"), col("b.n").as("n"), col("b.g").as("g"))
+    grams
+      .groupBy("doc_id", "n_toks", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_toks", "n")
+      .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+      .selectExpr(
+        "doc_id", "n", "n_grams",
+        "(n_grams - n_distinct) * 1000 div n_grams as dup_frac_mille",
+        "top_c * n * 1000 div n_toks as top_frac_mille")
+      .orderBy("doc_id", "n")
+  }
+
+  /**
    * TF-IDF-style top terms per language: corpus term frequency joined with
    * document frequency, scored `tf * (N*1e6 div df)` — integer rarity
    * weighting instead of `ln(N/df)` so both engines agree exactly (libm logs

@@ -1051,6 +1051,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(OpCache.pinnedCount == 0)
   }
 
+  test("ngramRepetition: hand-checked dup/top fractions per (doc, n) (r11)") {
+    import spark.implicits._
+    // fixture corpus: Tables.t reads $dir/documents.parquet
+    val tmp = java.nio.file.Files.createTempDirectory("q109fix").toString
+    Seq(
+      (1L, "a a a b"), // n=2: 3 grams, top "a a" x2; n=3: 2 distinct; n=4: 1
+      (2L, "x y"),     // only n=2 emits (too short for 3,4)
+      (3L, "a a a")    // overlapping top gram: top_frac_mille EXCEEDS 1000
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.ngramRepetition(spark, tmp)
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val want = Set(
+      // (doc_id, n, n_grams, dup_frac_mille, top_frac_mille)
+      (1L, 2, 3L, 333L, 1000L), // dup: (3-2)*1000 div 3; top: 2*2*1000 div 4
+      (1L, 3, 2L, 0L, 750L),    // top: 1*3*1000 div 4
+      (1L, 4, 1L, 0L, 1000L),
+      (2L, 2, 1L, 0L, 1000L),
+      (3L, 2, 2L, 500L, 1333L), // "a a" twice in 3 tokens: overlap > 1000
+      (3L, 3, 1L, 0L, 1000L)
+    )
+    assert(got == want)
+  }
+
   test("tfidf + unigramSurprisal share ONE tokenized-corpus relation per session (r11)") {
     OpCache.releaseAll()
     spark.catalog.clearCache()
