@@ -122,14 +122,28 @@ object WhisperIO {
     matches.flatMap { st =>
       if (st.isDirectory) {
         // Graphite trees nest metrics (dir/sub/metric.wsp): recurse the
-        // whole subtree, not just the first level
+        // whole subtree, not just the first level. Recursion is a manual
+        // listStatusIterator walk, NOT fs.listFiles(path, recursive=true):
+        // listFiles wraps every entry in a LocatedFileStatus whose
+        // constructor eagerly loads POSIX permissions, and on a local FS
+        // without native hadoop libs that FORKS a shell per file
+        // (RawLocalFileSystem.loadPermissionInfoByNonNativeIO) — measured
+        // minutes-to-hours against a million-file tree (BENCH_NOTES r11).
+        // Plain FileStatus keeps permissions lazy; the walk reads only
+        // path + isDirectory, one directory listing per dir.
         val out = mutable.ArrayBuffer[String]()
-        val it = fs.listFiles(st.getPath, /* recursive = */ true)
-        while (it.hasNext) {
-          val f = it.next()
-          val name = f.getPath.getName
-          if (f.isFile && (name.endsWith(".wsp") || name.endsWith(".wsp.gz")))
-            out += f.getPath.toString
+        val stack = mutable.Stack(st.getPath)
+        while (stack.nonEmpty) {
+          val it = fs.listStatusIterator(stack.pop())
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.isDirectory) stack.push(f.getPath)
+            else {
+              val name = f.getPath.getName
+              if (name.endsWith(".wsp") || name.endsWith(".wsp.gz"))
+                out += f.getPath.toString
+            }
+          }
         }
         out.toSeq
       } else Seq(st.getPath.toString)
@@ -188,7 +202,16 @@ object WhisperIO {
 
 class WhisperTable(paths: Seq[String], rawPatterns: Seq[String], options: WhisperOptions)
     extends Table with SupportsRead {
-  override def name(): String = s"whisper(${paths.mkString(",")})"
+  // The table name rides in every plan string, RDD operation scope (JSON
+  // with a 20 MB Jackson cap), UI label, and event-log line — embedding a
+  // million expanded paths made it a 20+ MB string and broke df.rdd at 1M
+  // files (BENCH_NOTES r11). Name by the user's PATTERNS (bounded input),
+  // capped, with the expanded file count alongside.
+  override def name(): String = {
+    val shown = rawPatterns.take(3).mkString(",")
+    val more = if (rawPatterns.size > 3) s",... +${rawPatterns.size - 3} patterns" else ""
+    s"whisper($shown$more; ${paths.size} files)"
+  }
   override def schema(): StructType = options.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
