@@ -111,9 +111,19 @@ object WhisperIO {
   /** Glob/directory expansion. `lenient` skips the no-match error — a
    * stream tailing a glob must tolerate a window with no files yet. */
   def expandPatterns(patterns: Seq[String], lenient: Boolean = false): Seq[String] =
-    patterns.flatMap(p => expand(p, lenient))
+    expandStatuses(patterns, lenient).map(_._1)
 
-  private def expand(pattern: String, lenient: Boolean): Seq[String] = {
+  /** Expansion keeping each file's modification time (ms) — free metadata
+   * from the directory walk the streaming tail prunes idle files by. */
+  def expandStatuses(patterns: Seq[String], lenient: Boolean = false): Seq[(String, Long)] = {
+    if (sys.env.contains("GRAFT_DEBUG_EXPAND")) {
+      val st = Thread.currentThread.getStackTrace.drop(2).take(6).mkString(" <- ")
+      System.err.println(s"[expandStatuses] t=${System.currentTimeMillis()} $st")
+    }
+    patterns.flatMap(p => expand(p, lenient))
+  }
+
+  private def expand(pattern: String, lenient: Boolean): Seq[(String, Long)] = {
     val p = new HPath(pattern)
     val fs = p.getFileSystem(hadoopConf())
     val matches: Seq[FileStatus] =
@@ -130,8 +140,8 @@ object WhisperIO {
         // (RawLocalFileSystem.loadPermissionInfoByNonNativeIO) — measured
         // minutes-to-hours against a million-file tree (BENCH_NOTES r11).
         // Plain FileStatus keeps permissions lazy; the walk reads only
-        // path + isDirectory, one directory listing per dir.
-        val out = mutable.ArrayBuffer[String]()
+        // path + isDirectory + mtime, one directory listing per dir.
+        val out = mutable.ArrayBuffer[(String, Long)]()
         val stack = mutable.Stack(st.getPath)
         while (stack.nonEmpty) {
           val it = fs.listStatusIterator(stack.pop())
@@ -141,13 +151,13 @@ object WhisperIO {
             else {
               val name = f.getPath.getName
               if (name.endsWith(".wsp") || name.endsWith(".wsp.gz"))
-                out += f.getPath.toString
+                out += ((f.getPath.toString, f.getModificationTime))
             }
           }
         }
         out.toSeq
-      } else Seq(st.getPath.toString)
-    }.sorted
+      } else Seq((st.getPath.toString, st.getModificationTime))
+    }.sortBy(_._1)
   }
 
   /** Header-only metadata read (gzip-aware). Mirrors `WhisperFile.read` +

@@ -58,26 +58,67 @@ class WhisperMicroBatchStream(
 
   override def commit(end: Offset): Unit = {}
 
+  /** Per-stream header-metadata cache. A whisper header (archive count/
+   * offsets/spp/points) is a CREATE-TIME CONSTANT of the fixed-size
+   * preallocated format — graphite writes points in place and never touches
+   * the header — so re-reading 16+12N bytes per file per TRIGGER is pure
+   * waste that scales with tree size, not with new data (measured: the
+   * per-trigger planning wall at 100k files is the header sweep,
+   * BENCH_NOTES r11). Keyed by path for the stream's lifetime: files that
+   * APPEAR mid-stream are read on their first trigger; a file recreated
+   * in-place with different retention (a manual whisper-resize, outside the
+   * format's write model) is picked up on stream restart. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.format.WhisperCodec.FileMeta]()
+
+  /** Memoized plan for the CURRENT batch window. Spark re-evaluates
+   * MicroBatchScanExec.inputPartitions several times per trigger (physical
+   * planning probes supportsColumnar on one exec instance, execution runs
+   * on another, progress reporting on a third — each a fresh lazy val), and
+   * every evaluation re-ran the full directory walk: measured 3-5 globs of
+   * a 100k-file tree PER TRIGGER (BENCH_NOTES r11). The same (start, end)
+   * offsets must describe the same batch — replay determinism the offset
+   * contract already requires — so plan once per window. */
+  @volatile private var lastPlan: (Long, Long, Array[InputPartition]) = null
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[WhisperOffset].ts
     val hi = end.asInstanceOf[WhisperOffset].ts
     if (hi <= lo) return Array.empty
+    val cached = lastPlan
+    if (cached != null && cached._1 == lo && cached._2 == hi) return cached._3
     // re-expand the user's glob/dir patterns at every trigger so .wsp files
     // that appear after stream start are tailed too (lenient: an empty match
-    // is an empty micro-batch, not an error)
-    val paths = WhisperIO.expandPatterns(rawPatterns, lenient = true)
+    // is an empty micro-batch, not an error). The walk's FileStatus mtimes
+    // are free; a file idle since before the window start (mtime + slop <=
+    // lo) cannot hold points inside (lo, hi] under the tail's write-behind
+    // model — a point's write wall-time tracks its timestamp (scaladoc
+    // above: "a slot for time T is final once T has passed") — so idle
+    // files drop out at PLAN time. On a mostly-idle graphite tree this
+    // turns the steady-state empty trigger from a full-tree point scan
+    // into a directory walk (measured 12 s -> sub-second at 100k files,
+    // BENCH_NOTES r11). streamMtimeSlop=-1 restores scan-everything.
+    val statuses = WhisperIO.expandStatuses(rawPatterns, lenient = true)
+    val slop = options.streamMtimeSlopSeconds
+    val paths =
+      if (slop < 0) statuses.map(_._1)
+      else statuses.collect { case (p, mtimeMs) if mtimeMs / 1000L + slop > lo => p }
     // same plan-time archive/file pruning AND small-unit bin-packing as the
     // batch scan -- a streaming tail over a large graphite tree pays the
     // per-unit scheduler tax EVERY trigger, so packing matters more here
     // probeOrdered=false: a micro-batch prunes by its pushed time window and
     // never consumes cross-chunk ordering, so skip the per-trigger rotation
     // probe (oversized timeSort archives stay one unit here)
-    val units = WhisperPlanning.plan(paths, options, preds, probeOrdered = false)
+    val units = WhisperPlanning.plan(paths, options, preds, probeOrdered = false,
+      metaFor = (p, gz) =>
+        metaCache.computeIfAbsent(p, path => WhisperIO.readMetaHeaderOnly(path, gz)))
       .map(_.asInstanceOf[WhisperInputPartition])
-    WhisperPlanning.binPack(units, options).map {
+    val planned = WhisperPlanning.binPack(units, options).map {
       case m: WhisperMultiPartition => WhisperStreamMultiPartition(m.units, lo, hi): InputPartition
       case p: WhisperInputPartition => WhisperStreamPartition(p, lo, hi): InputPartition
     }
+    lastPlan = (lo, hi, planned)
+    planned
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

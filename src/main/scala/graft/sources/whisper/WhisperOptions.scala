@@ -43,7 +43,13 @@ final case class WhisperOptions(
     streamStartTimestamp: Long,
     streamNowOverride: Long,
     binThreshold: Int = 128,
-    orderedSplit: Boolean = true
+    orderedSplit: Boolean = true,
+    // streaming only: a file whose mtime + slop precedes the micro-batch
+    // window start is pruned at PLAN time (an idle file cannot hold points
+    // inside the window under the tail's write-behind model, where a point's
+    // write wall-time tracks its timestamp). The slop absorbs carbon
+    // write-behind lag + clock skew; -1 disables pruning.
+    streamMtimeSlopSeconds: Long = 3600L
 ) {
   require(dtype == "double" || dtype == "float", s"dtype must be double|float, got $dtype")
   require(
@@ -91,6 +97,8 @@ object WhisperOptions {
     // rotation-probed ordered chunking of oversized timeSort archives; false =
     // one partition per archive (escape hatch for rings that violate the
     // dense-rotation invariant under the sort-elision fast path)
-    orderedSplit = map.getBoolean("orderedSplit", true)
+    orderedSplit = map.getBoolean("orderedSplit", true),
+    // streaming only: plan-time idle-file pruning slop (seconds; -1 disables)
+    streamMtimeSlopSeconds = map.getLong("streamMtimeSlop", 3600L)
   )
 }

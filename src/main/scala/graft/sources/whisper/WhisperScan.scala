@@ -321,15 +321,23 @@ private[whisper] object WhisperPlanning {
   /** `probeOrdered=false` (the streaming tail) skips the per-archive
    * rotation probe: micro-batches prune by pushed time-window predicates and
    * never consume cross-chunk ordering, so oversized `timeSort` archives
-   * stay one partition there exactly as before r10. */
+   * stay one partition there exactly as before r10.
+   *
+   * `metaFor` lets a caller supply cached header metadata: whisper headers
+   * (archive count/offsets/spp/points) are CREATE-TIME CONSTANTS of the
+   * fixed-size preallocated format — point writes mutate slots in place and
+   * never touch the header — so the streaming tail caches them per stream
+   * and pays the per-file header read once, not once per trigger. */
   def plan(
       paths: Seq[String],
       options: WhisperOptions,
       preds: Seq[WPred],
-      probeOrdered: Boolean = true): Array[InputPartition] = {
+      probeOrdered: Boolean = true,
+      metaFor: (String, Boolean) => graft.format.WhisperCodec.FileMeta =
+        (p, gz) => WhisperIO.readMetaHeaderOnly(p, gz)): Array[InputPartition] = {
     val perFile = paths.par.map { path =>
       val gz = options.gzipFor(path)
-      val meta = WhisperIO.readMetaHeaderOnly(path, gz)
+      val meta = metaFor(path, gz)
       meta.archives.filter(a => partitionSurvives(preds, path, a.index)).flatMap { a =>
         // an archive too big for one in-memory buffer MUST split even with
         // timeSort on (ordering then holds per chunk, not per archive);

@@ -412,7 +412,40 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(growing.toString + "/*.wsp"), opts, Seq.empty, opts.schema, 0L)
     val n1 = stream.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L)).length
     WhisperWriter.writeFile(growing.resolve("b.wsp"), smallSpec)
-    val n2 = stream.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L)).length
-    assert(n1 == 1 && n2 == 2, s"got $n1 then $n2")
+    // replaying the SAME batch window must be deterministic (the offset
+    // contract; Spark re-evaluates one batch's partitions several times per
+    // trigger) — the new file must NOT appear in the already-planned window
+    val replay = stream.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L)).length
+    // ...it appears in the NEXT window, as at a real trigger
+    val n2 = stream.planInputPartitions(WhisperOffset(1700000000L), WhisperOffset(1800000000L)).length
+    assert(n1 == 1 && replay == 1 && n2 == 2, s"got $n1 / $replay / $n2")
+  }
+
+  test("streaming tail prunes idle files at plan time (mtime + slop <= window start)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val tree = Files.createTempDirectory("whisper-idle")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 50, lastTimestamp = 1600000000L, rotation = 0)))
+    WhisperWriter.writeFile(tree.resolve("active.wsp"), spec)  // mtime = now
+    WhisperWriter.writeFile(tree.resolve("idle.wsp"), spec)
+    // idle since 1970: under the tail's write-behind model it cannot hold
+    // points inside any modern window
+    Files.setLastModifiedTime(tree.resolve("idle.wsp"),
+      java.nio.file.attribute.FileTime.from(java.time.Instant.ofEpochSecond(1000)))
+    def plan(extra: (String, String)*): Int = {
+      val m = new java.util.HashMap[String, String]()
+      extra.foreach { case (k, v) => m.put(k, v) }
+      val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
+      new WhisperMicroBatchStream(Seq(tree.toString + "/*.wsp"), opts, Seq.empty, opts.schema, 0L)
+        .planInputPartitions(WhisperOffset(1600000000L), WhisperOffset(1600010000L)).length
+    }
+    assert(plan() == 1, "default slop must prune the 1970-idle file")
+    assert(plan("streamMtimeSlop" -> "-1") == 2, "slop -1 must disable pruning")
+    // batch 0 (lo = 0) always plans everything: mtime + slop > 0
+    val opts = WhisperOptions(new CaseInsensitiveStringMap(new java.util.HashMap[String, String]()))
+    val all = new WhisperMicroBatchStream(
+      Seq(tree.toString + "/*.wsp"), opts, Seq.empty, opts.schema, 0L)
+      .planInputPartitions(WhisperOffset(0L), WhisperOffset(1600010000L)).length
+    assert(all == 2, "the backfill batch must include idle history")
   }
 }
