@@ -81,6 +81,22 @@ def main():
     print("\nsummary:", dict(c), f"n={len(rows)}")
     alg = [r[0] for r in rows if r[6].startswith("ALGORITHMIC")]
     print("algorithmic gaps to fix/justify:", alg or "none")
+    # Sub-wall growth watch (mirrors Bench.scala r11 / ADVICE r10): a query
+    # the materiality gates route to OVERHEAD whose NAIVE ratio at least
+    # doubled between the scale points still surfaces for adjudication —
+    # fast-but-superlinear slopes must not vanish into the noise guard. A
+    # one-off entry is box noise; a PERSISTENT cross-round entry is the
+    # adjudication trigger.
+    watch = []
+    for q in sorted(sb_hi):
+        s_hi, d_hi = sb_hi.get(q, -1), db_hi.get(q, -1)
+        s_lo, d_lo = sb_lo.get(q, -1), db_lo.get(q, -1)
+        if min(s_hi, d_hi) <= 0 or s_lo <= 0 or d_lo <= 0:
+            continue
+        ds_material = s_hi >= 0.5 and max(s_hi - s_lo, 0) >= max(MATERIAL_S, 0.5 * s_lo)
+        if s_hi / d_hi >= 2 and not ds_material and s_hi / d_hi >= 2 * (s_lo / d_lo):
+            watch.append(q)
+    print("ratio growth watch (sub-wall, naive ratio doubled lo->hi):", watch or "none")
 
 
 if __name__ == "__main__":
