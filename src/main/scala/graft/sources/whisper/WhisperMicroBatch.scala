@@ -67,7 +67,10 @@ class WhisperMicroBatchStream(
    * BENCH_NOTES r11). Keyed by path for the stream's lifetime: files that
    * APPEAR mid-stream are read on their first trigger; a file recreated
    * in-place with different retention (a manual whisper-resize, outside the
-   * format's write model) is picked up on stream restart. */
+   * format's write model) is picked up on stream restart. Memory: one
+   * FileMeta (~100 B) per ACTIVE path — idle-pruned files never reach the
+   * planner's metaFor, so on a mostly-idle tree the cache tracks the live
+   * working set, not the tree. */
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.format.WhisperCodec.FileMeta]()
 

@@ -421,6 +421,25 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n1 == 1 && replay == 1 && n2 == 2, s"got $n1 / $replay / $n2")
   }
 
+  test("export CLI path: whisper tree -> one parquet dataset, full-fidelity round trip") {
+    // the Main.export composition, driven at the library level (Main.main
+    // would build its own session): read tree -> write parquet -> re-read,
+    // and the parquet copy must carry the identical point set and schema
+    val tree = Files.createTempDirectory("whisper-export")
+    for (i <- 0 until 5)
+      WhisperWriter.writeFile(tree.resolve(s"m$i.wsp"), FileSpec(archives = Seq(
+        ArchiveSpec(10, 200, filled = 150, lastTimestamp = 1600000000L, rotation = i * 7))))
+    val out = Files.createTempDirectory("whisper-export-out").toString + "/pq"
+    val src = spark.read.format("whisper").load(tree.toString)
+    src.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.schema.fieldNames.toSet == src.schema.fieldNames.toSet)
+    def fp(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("count(*) AS n", "bit_xor(xxhash64(file, archive, position, timestamp, value)) AS h")
+      .head()
+    assert(fp(back) == fp(src)) // identical point set, column for column
+  }
+
   test("streaming tail prunes idle files at plan time (mtime + slop <= window start)") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val tree = Files.createTempDirectory("whisper-idle")
