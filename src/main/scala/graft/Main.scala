@@ -30,6 +30,42 @@ object Main {
       |       graft.Main curate <tables-dir> <out-dir>
       |       graft.Main export <tree-or-glob> <out-dir> [targetPartitions]""".stripMargin
 
+  /** The `export` mode's pipeline (spec-driven at the library level):
+   * whisper tree → ONE parquet dataset; returns the exported row count.
+   *
+   * `targetPartitions = None` mirrors the scan's bin-packed partitions —
+   * correct but one (small) parquet file per scan task (a 1M-file tree
+   * wrote 3,908 x ~24 KB files, recreating the small-files problem on the
+   * lake side). `Some(n)`: repartitionByRange(file, timestamp) + a
+   * within-partition sort buys metric-major clustering, long RLE runs,
+   * and a user-chosen file count for one extra shuffle — the right trade
+   * for a one-time migration.
+   *
+   * A compacted partition holds ~tree_size/n distinct metric paths; past
+   * ~25k of them the `file` column's dictionary outgrows parquet's default
+   * 1 MB dictionary-page cap and silently falls back to PLAIN — measured
+   * 125 MB of a 157 MB export where the dictionary form is ~0.1 MB
+   * (BENCH_NOTES r11). A path dictionary is the point of this column;
+   * give it room. */
+  private[graft] def exportTree(
+      spark: SparkSession,
+      tree: String,
+      out: String,
+      targetPartitions: Option[Int]): Long = {
+    val df = spark.read.format("whisper").load(tree)
+    val shaped = targetPartitions match {
+      case Some(n) =>
+        import org.apache.spark.sql.functions.col
+        df.repartitionByRange(n, col("file"), col("timestamp"))
+          .sortWithinPartitions("file", "archive", "timestamp")
+      case None => df
+    }
+    shaped.write.mode("overwrite")
+      .option("parquet.dictionary.page.size", 64L * 1024 * 1024)
+      .parquet(out)
+    spark.read.parquet(out).count()
+  }
+
   private def session(app: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -54,32 +90,7 @@ object Main {
     case Seq("export", tree, out, rest @ _*) if rest.length <= 1 =>
       val spark = session("graft-export")
       try {
-        val df = spark.read.format("whisper").load(tree)
-        // Optional [targetPartitions]: without it the output mirrors the
-        // scan's bin-packed partitions — correct but one (small) parquet
-        // file per scan task (a 1M-file tree wrote 3,908 x ~24 KB files,
-        // recreating the small-files problem on the lake side). With it,
-        // repartitionByRange(file, timestamp) + a within-partition sort
-        // buys metric-major clustering, long RLE runs, and a user-chosen
-        // file count for one extra shuffle — the right trade for a
-        // one-time migration.
-        val shaped = rest.headOption.map(_.toInt) match {
-          case Some(n) =>
-            import org.apache.spark.sql.functions.col
-            df.repartitionByRange(n, col("file"), col("timestamp"))
-              .sortWithinPartitions("file", "archive", "timestamp")
-          case None => df
-        }
-        // A compacted partition holds ~tree_size/n distinct metric paths;
-        // past ~25k of them the `file` column's dictionary outgrows
-        // parquet's default 1 MB dictionary-page cap and silently falls
-        // back to PLAIN — measured 125 MB of a 157 MB export where the
-        // dictionary form is ~0.1 MB (BENCH_NOTES r11). A path dictionary
-        // is the point of this column; give it room.
-        shaped.write.mode("overwrite")
-          .option("parquet.dictionary.page.size", 64L * 1024 * 1024)
-          .parquet(out)
-        val n = spark.read.parquet(out).count()
+        val n = exportTree(spark, tree, out, rest.headOption.map(_.toInt))
         println(s"exported $n points -> $out")
       } finally spark.stop()
     case paths if paths.nonEmpty && paths.head != "curate" && paths.head != "export" =>

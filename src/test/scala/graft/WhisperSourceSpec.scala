@@ -422,22 +422,26 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("export CLI path: whisper tree -> one parquet dataset, full-fidelity round trip") {
-    // the Main.export composition, driven at the library level (Main.main
-    // would build its own session): read tree -> write parquet -> re-read,
-    // and the parquet copy must carry the identical point set and schema
+    // Main.exportTree driven at the library level (Main.main builds and
+    // stops its own session, which getOrCreate would alias to this one):
+    // both output shapes must carry the identical point set and schema
     val tree = Files.createTempDirectory("whisper-export")
     for (i <- 0 until 5)
       WhisperWriter.writeFile(tree.resolve(s"m$i.wsp"), FileSpec(archives = Seq(
         ArchiveSpec(10, 200, filled = 150, lastTimestamp = 1600000000L, rotation = i * 7))))
-    val out = Files.createTempDirectory("whisper-export-out").toString + "/pq"
     val src = spark.read.format("whisper").load(tree.toString)
-    src.write.mode("overwrite").parquet(out)
-    val back = spark.read.parquet(out)
-    assert(back.schema.fieldNames.toSet == src.schema.fieldNames.toSet)
     def fp(df: org.apache.spark.sql.DataFrame) = df
       .selectExpr("count(*) AS n", "bit_xor(xxhash64(file, archive, position, timestamp, value)) AS h")
       .head()
-    assert(fp(back) == fp(src)) // identical point set, column for column
+    val want = fp(src)
+    for (target <- Seq(None, Some(2))) { // scan-mirrored AND range-compacted
+      val out = Files.createTempDirectory("whisper-export-out").toString + "/pq"
+      assert(Main.exportTree(spark, tree.toString, out, target) == 750L)
+      val back = spark.read.parquet(out)
+      assert(back.schema.fieldNames.toSet == src.schema.fieldNames.toSet)
+      assert(fp(back) == want, s"round-trip fingerprint mismatch for target=$target")
+      if (target == Some(2)) assert(back.rdd.getNumPartitions == 2)
+    }
   }
 
   test("streaming tail prunes idle files at plan time (mtime + slop <= window start)") {
