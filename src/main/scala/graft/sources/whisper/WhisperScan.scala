@@ -335,7 +335,20 @@ private[whisper] object WhisperPlanning {
       probeOrdered: Boolean = true,
       metaFor: (String, Boolean) => graft.format.WhisperCodec.FileMeta =
         (p, gz) => WhisperIO.readMetaHeaderOnly(p, gz)): Array[InputPartition] = {
-    val perFile = paths.par.map { path =>
+    // File-only predicates decide BEFORE the header read: a pushed
+    // `file = '...'` / `file IN (...)` must not cost one header I/O per
+    // tree entry when it keeps a handful — at 1M files a single-metric
+    // query otherwise reads a million headers to plan one partition
+    // (and a file excluded this way is never opened at all, so plan time
+    // no longer depends on the READABILITY of irrelevant files). Archive
+    // predicates still prune per archive after the read, as before.
+    val livePaths = paths.filter { p =>
+      preds.forall {
+        case f @ (FileCmp(_, _) | FileIn(_)) => f.eval(p, -1, 0L, 0L, 0.0)
+        case _                               => true
+      }
+    }
+    val perFile = livePaths.par.map { path =>
       val gz = options.gzipFor(path)
       val meta = metaFor(path, gz)
       meta.archives.filter(a => partitionSurvives(preds, path, a.index)).flatMap { a =>

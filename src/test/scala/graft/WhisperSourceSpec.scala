@@ -421,6 +421,29 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n1 == 1 && replay == 1 && n2 == 2, s"got $n1 / $replay / $n2")
   }
 
+  test("file predicate prunes paths BEFORE the header read (r11)") {
+    // a pushed file='...' must not cost one header I/O per tree entry: the
+    // witness is a file whose header is GARBAGE — if planning still read
+    // it, the scan would blow up; with path-level pruning it is never
+    // opened, so the query succeeds and plans exactly the kept file
+    val tree = Files.createTempDirectory("whisper-prefilter")
+    val good = tree.resolve("good.wsp")
+    WhisperWriter.writeFile(good, FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 60, lastTimestamp = 1600000000L, rotation = 3))))
+    Files.write(tree.resolve("corrupt.wsp"),
+      Array.fill[Byte](64)(0x7f)) // nonsense aggregation type: parseMeta throws
+    // the native file column carries the EXPANDED (fs-qualified) path
+    val goodQualified = graft.sources.whisper.WhisperIO
+      .expandPatterns(Seq(tree.toString + "/*.wsp")).find(_.contains("good.wsp")).get
+    val df = spark.read.format("whisper").load(tree.toString + "/*.wsp")
+      .where(col("file") === goodQualified)
+    assert(df.count() == 60L)
+    assert(df.rdd.getNumPartitions == 1)
+    // sanity: without the predicate the corrupt header IS read and rejected
+    val all = spark.read.format("whisper").load(tree.toString + "/*.wsp")
+    assertThrows[Throwable](all.count())
+  }
+
   test("export CLI path: whisper tree -> one parquet dataset, full-fidelity round trip") {
     // Main.exportTree driven at the library level (Main.main builds and
     // stops its own session, which getOrCreate would alias to this one):
