@@ -1074,6 +1074,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("ngramRepetition matches a from-scratch reimplementation on a random corpus (r11)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1109)
+    // small alphabet forces heavy gram collisions (the operator's subject);
+    // lengths 1..12 cover below/at/above every n
+    val docs = (0 until 60).map { i =>
+      val len = 1 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(len)(("abcd" (rnd.nextInt(4))).toString).mkString(" "))
+    }
+    val want = (for {
+      (id, text) <- docs
+      toks = text.split(" ").toSeq
+      n <- 2 to 4
+      g = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      if g.nonEmpty
+    } yield {
+      val counts = g.groupBy(identity).map(_._2.size.toLong)
+      (id, n, g.size.toLong,
+        (g.size - counts.size) * 1000L / g.size,
+        counts.max * n * 1000L / toks.size)
+    }).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("q109rand").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.ngramRepetition(spark, tmp)
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("tfidf + unigramSurprisal share ONE tokenized-corpus relation per session (r11)") {
     OpCache.releaseAll()
     spark.catalog.clearCache()
