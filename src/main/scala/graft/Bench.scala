@@ -28,6 +28,43 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Box-health verdict, pure so it is unit-testable (BenchVerdictSpec
+   * forces each contamination mode through it):
+   *
+   *  - canary: the ref-scale whisper scan is data-invariant (same 82 MB
+   *    fixture at every sf), timed once per pass; its min-of-passes on a
+   *    quiet box has sat in 0.26-0.55 s across r4-r9 (BENCH_NOTES). Band
+   *    pinned at 0.55 s; min > 1.5x band = some contention window covered
+   *    EVERY pass (r10's contaminated record: 0.856; r6's: 3.009).
+   *  - pass spread: max/min of the full-suite pass totals. The min-of-
+   *    passes protocol absorbs ONE slow pass, but a spread > 2x means at
+   *    least one pass was majority-contaminated and the mins themselves
+   *    are suspect (r10: 105/60/215 s around a 38.65 s "total").
+   *  - a MISSING canary sample (subset run excluding the whisper scan, or
+   *    the fixture failed validation) is verdict "unknown", NOT
+   *    "contaminated": there is no evidence either way, and gating retry
+   *    loops must not burn their tries on a perfectly clean subset run
+   *    (ADVICE r11). Consumers gate on the explicit "contaminated" only.
+   */
+  final case class BoxHealth(
+      canaryMin: Double, canaryBand: Double, canaryOk: Boolean,
+      passSpread: Double, spreadOk: Boolean, verdict: String)
+
+  private[graft] def boxVerdict(
+      canaryMin: Double, canaryBand: Double, passTotals: Seq[Double]): BoxHealth = {
+    val canaryPresent = canaryMin >= 0
+    val canaryOk = canaryPresent && canaryMin <= 1.5 * canaryBand
+    val passSpread =
+      if (passTotals.isEmpty || passTotals.exists(_ <= 0)) -1.0
+      else passTotals.max / passTotals.min
+    val spreadOk = passSpread > 0 && passSpread <= 2.0
+    val verdict =
+      if (!canaryPresent) "unknown"
+      else if (canaryOk && spreadOk) "clean"
+      else "contaminated"
+    BoxHealth(canaryMin, canaryBand, canaryOk, passSpread, spreadOk, verdict)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -124,13 +161,47 @@ object Bench {
     }
 
     // Timed passes: full suite per pass, ref-scan appended to each pass.
-    val samples = Array.fill(passes)(collection.mutable.LinkedHashMap.empty[String, Double])
-    val whisperSamples = collection.mutable.ArrayBuffer.empty[Double]
-    val whisperGzSamples = collection.mutable.ArrayBuffer.empty[Double]
-    for (p <- 0 until passes) {
-      names.foreach(n => samples(p)(n) = timeOne(n))
-      whisperSamples += timeWhisper()
-      whisperGzSamples += timeWhisperGz()
+    // If the attempt's own box-health verdict comes back "contaminated",
+    // the MEASUREMENT retries in-process after a quiet wait (up to
+    // SPARK_GRAFT_BENCH_RETRIES extra attempts, default 2) — r11's official
+    // capture shipped self-labeled contaminated because the retry loop
+    // lived one layer up in roundclose.sh and the driver invokes Bench
+    // directly (VERDICT r11 #5). "unknown" (no canary sample) never
+    // retries: there is no evidence of contamination to wait out. The
+    // attempt count rides in the record; a still-contaminated final
+    // attempt ships with its honest verdict exactly as before.
+    type PassSamples = Array[collection.mutable.LinkedHashMap[String, Double]]
+    def timedPasses(): (PassSamples, Seq[Double], Seq[Double]) = {
+      val samples = Array.fill(passes)(collection.mutable.LinkedHashMap.empty[String, Double])
+      val w = collection.mutable.ArrayBuffer.empty[Double]
+      val wGz = collection.mutable.ArrayBuffer.empty[Double]
+      for (p <- 0 until passes) {
+        names.foreach(n => samples(p)(n) = timeOne(n))
+        w += timeWhisper()
+        wGz += timeWhisperGz()
+      }
+      (samples, w.toSeq, wGz.toSeq)
+    }
+    val canaryBand = sys.env.getOrElse("SPARK_GRAFT_CANARY_BAND", "0.55").toDouble
+    def verdictOf(s: PassSamples, w: Seq[Double]): BoxHealth = {
+      val ok = w.filter(_ >= 0)
+      boxVerdict(
+        if (ok.nonEmpty) ok.min else -1.0,
+        canaryBand,
+        s.toSeq.map(_.values.filter(_ >= 0).sum))
+    }
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    val quietWaitMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_WAIT_MS", "120000").toLong
+    var attempts = 1
+    var (samples, whisperSamples, whisperGzSamples) = timedPasses()
+    while (verdictOf(samples, whisperSamples).verdict == "contaminated" && attempts <= maxRetries) {
+      System.err.println(
+        s"[bench] attempt $attempts self-reports contamination " +
+        s"(${verdictOf(samples, whisperSamples)}); waiting ${quietWaitMs / 1000}s for a quieter window")
+      Thread.sleep(quietWaitMs)
+      attempts += 1
+      val next = timedPasses()
+      samples = next._1; whisperSamples = next._2; whisperGzSamples = next._3
     }
 
     // Streaming replays, timed AFTER the batch passes (see the partition
@@ -182,29 +253,14 @@ object Bench {
     // Box-health verdict (VERDICT r10 #1): three rounds of official captures
     // (r2's contention band, r6, r10's 38.65 s record with a 215 s pass)
     // shipped environment noise as measurement and were adjudicated by hand
-    // after the fact. The record now carries a machine-readable verdict the
-    // close protocol can gate on:
-    //  - canary: the ref-scale whisper scan is data-invariant (same 82 MB
-    //    fixture at every sf), timed once per pass; its min-of-passes on a
-    //    quiet box has sat in 0.26-0.55 s across r4-r9 (BENCH_NOTES). Band
-    //    pinned at 0.55 s; min > 1.5x band = some contention window covered
-    //    EVERY pass (r10's contaminated record: 0.856; r6's: 3.009).
-    //  - pass spread: max/min of the full-suite pass totals. The min-of-
-    //    passes protocol absorbs ONE slow pass, but a spread > 2x means at
-    //    least one pass was majority-contaminated and the mins themselves
-    //    are suspect (r10: 105/60/215 s around a 38.65 s "total").
-    val canaryBand = sys.env.getOrElse("SPARK_GRAFT_CANARY_BAND", "0.55").toDouble
-    val canaryMin = if (whisperOk.nonEmpty) whisperOk.min else -1.0
-    val canaryOk = canaryMin >= 0 && canaryMin <= 1.5 * canaryBand
-    val passSpread =
-      if (passTotals.isEmpty || passTotals.exists(_ <= 0)) -1.0
-      else passTotals.max / passTotals.min
-    val spreadOk = passSpread > 0 && passSpread <= 2.0
-    val boxVerdict = if (canaryOk && spreadOk) "clean" else "contaminated"
+    // after the fact. The record carries a machine-readable verdict the
+    // close protocol gates on — computed by the pure [[boxVerdict]]
+    // (scaladoc there), with the in-process retry above already spent.
+    val bh = verdictOf(samples, whisperSamples)
     val boxHealthJson =
-      s""","box_health":{"canary_band_s":$canaryBand,"canary_min_s":${f3(canaryMin)},""" +
-      s""""canary_band_ok":$canaryOk,"pass_spread":${f3(passSpread)},""" +
-      s""""pass_spread_ok":$spreadOk,"verdict":"$boxVerdict"}"""
+      s""","box_health":{"canary_band_s":$canaryBand,"canary_min_s":${f3(bh.canaryMin)},""" +
+      s""""canary_band_ok":${bh.canaryOk},"pass_spread":${f3(bh.passSpread)},""" +
+      s""""pass_spread_ok":${bh.spreadOk},"attempts":$attempts,"verdict":"${bh.verdict}"}"""
     val whisperJson =
       (if (whisperOk.nonEmpty)
         s""","whisper_ref_scan_sec":${f3(whisperOk.min)},"whisper_ref_rows":${WhisperWorkload.RefScaleRows}"""

@@ -60,20 +60,42 @@ object WhisperIO {
    * resource re-parse — per call. At 100k files that clone dominated the
    * whole planning wall (scale_check11_files: ~1.6 ms/file before, see
    * BENCH_NOTES r11). Concurrent READS of one Configuration are safe (its
-   * store is a synchronized Properties); the scan never writes to it. A new
-   * active session (different hadoop conf) refreshes the memo; executor
-   * JVMs key on null and build once from SparkEnv. */
-  @volatile private var cachedConf: (AnyRef, Configuration) = null
+   * store is a synchronized Properties); the scan never writes to it.
+   *
+   * The memo is a small per-session map (weak session keys — a stopped
+   * session's entry is GC-reclaimable), so two sessions interleaving on one
+   * driver each keep their own conf instead of thrashing a single slot
+   * (ADVICE r11). The conf is FROZEN at a session's first whisper scan:
+   * runtime `spark.conf.set("spark.hadoop.*", ...)` changes after that
+   * (e.g. rotating object-store credentials mid-session) are not picked up
+   * automatically — call [[invalidateHadoopConf]] after such a change (the
+   * alternative, fingerprinting the session's runtime conf per call, would
+   * reintroduce the per-file cost the memo exists to remove). Executor JVMs
+   * key on null and build once from SparkEnv. */
+  private val confCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, Configuration]())
+  private val NullKey = new Object // WeakHashMap key for the executor-JVM case
   def hadoopConf(): Configuration = {
-    val key: AnyRef = org.apache.spark.sql.SparkSession.getActiveSession.orNull
-    val c = cachedConf
-    if (c != null && (c._1 eq key)) c._2
+    val key: AnyRef = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(NullKey)
+    val cached = confCache.get(key)
+    if (cached != null) cached
     else {
       val conf = buildHadoopConf(key)
-      cachedConf = (key, conf)
+      confCache.put(key, conf)
       conf
     }
   }
+
+  /** Drop the memoized hadoop conf for the active session (all sessions when
+   * none is active) so the next whisper I/O rebuilds it from the session's
+   * CURRENT runtime conf — the explicit refresh hook for mid-session
+   * `spark.hadoop.*` changes such as credential rotation. */
+  def invalidateHadoopConf(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => confCache.remove(s)
+      case None    => confCache.clear()
+    }
 
   private def buildHadoopConf(sessionOrNull: AnyRef): Configuration =
     sessionOrNull match {
@@ -108,22 +130,24 @@ object WhisperIO {
     raw.toSeq
   }
 
+  /** One expanded file: path plus the two FileStatus fields the directory
+   * walk yields for free — mtime (ms; the streaming tail's idle-prune key)
+   * and length (bytes; create-time-constant for the preallocated format, so
+   * it doubles as the header-cache staleness key: a file rewritten in place
+   * with a different retention layout changes length exactly then). */
+  final case class FileEntry(path: String, mtimeMs: Long, len: Long)
+
   /** Glob/directory expansion. `lenient` skips the no-match error — a
    * stream tailing a glob must tolerate a window with no files yet. */
   def expandPatterns(patterns: Seq[String], lenient: Boolean = false): Seq[String] =
-    expandStatuses(patterns, lenient).map(_._1)
+    expandStatuses(patterns, lenient).map(_.path)
 
-  /** Expansion keeping each file's modification time (ms) — free metadata
-   * from the directory walk the streaming tail prunes idle files by. */
-  def expandStatuses(patterns: Seq[String], lenient: Boolean = false): Seq[(String, Long)] = {
-    if (sys.env.contains("GRAFT_DEBUG_EXPAND")) {
-      val st = Thread.currentThread.getStackTrace.drop(2).take(6).mkString(" <- ")
-      System.err.println(s"[expandStatuses] t=${System.currentTimeMillis()} $st")
-    }
+  /** Expansion keeping each file's modification time and length — free
+   * metadata from the directory walk (see [[FileEntry]]). */
+  def expandStatuses(patterns: Seq[String], lenient: Boolean = false): Seq[FileEntry] =
     patterns.flatMap(p => expand(p, lenient))
-  }
 
-  private def expand(pattern: String, lenient: Boolean): Seq[(String, Long)] = {
+  private def expand(pattern: String, lenient: Boolean): Seq[FileEntry] = {
     val p = new HPath(pattern)
     val fs = p.getFileSystem(hadoopConf())
     val matches: Seq[FileStatus] =
@@ -140,8 +164,8 @@ object WhisperIO {
         // (RawLocalFileSystem.loadPermissionInfoByNonNativeIO) — measured
         // minutes-to-hours against a million-file tree (BENCH_NOTES r11).
         // Plain FileStatus keeps permissions lazy; the walk reads only
-        // path + isDirectory + mtime, one directory listing per dir.
-        val out = mutable.ArrayBuffer[(String, Long)]()
+        // path + isDirectory + mtime + length, one directory listing per dir.
+        val out = mutable.ArrayBuffer[FileEntry]()
         val stack = mutable.Stack(st.getPath)
         while (stack.nonEmpty) {
           val it = fs.listStatusIterator(stack.pop())
@@ -151,13 +175,13 @@ object WhisperIO {
             else {
               val name = f.getPath.getName
               if (name.endsWith(".wsp") || name.endsWith(".wsp.gz"))
-                out += ((f.getPath.toString, f.getModificationTime))
+                out += FileEntry(f.getPath.toString, f.getModificationTime, f.getLen)
             }
           }
         }
         out.toSeq
-      } else Seq((st.getPath.toString, st.getModificationTime))
-    }.sortBy(_._1)
+      } else Seq(FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
+    }.sortBy(_.path)
   }
 
   /** Header-only metadata read (gzip-aware). Mirrors `WhisperFile.read` +

@@ -64,15 +64,21 @@ class WhisperMicroBatchStream(
    * the header — so re-reading 16+12N bytes per file per TRIGGER is pure
    * waste that scales with tree size, not with new data (measured: the
    * per-trigger planning wall at 100k files is the header sweep,
-   * BENCH_NOTES r11). Keyed by path for the stream's lifetime: files that
-   * APPEAR mid-stream are read on their first trigger; a file recreated
-   * in-place with different retention (a manual whisper-resize, outside the
-   * format's write model) is picked up on stream restart. Memory: one
-   * FileMeta (~100 B) per ACTIVE path — idle-pruned files never reach the
-   * planner's metaFor, so on a mostly-idle tree the cache tracks the live
-   * working set, not the tree. */
+   * BENCH_NOTES r11). Keyed by (path, file length): length is a
+   * create-time constant of the preallocated format — point writes mutate
+   * slots in place and never change it — and changes exactly when the file
+   * is rewritten with a different retention layout (a manual
+   * whisper-resize), so a recreated file's stale archive offsets are
+   * dropped on the first trigger that sees the new length instead of
+   * serving garbage until stream restart (ADVICE r11). The directory walk
+   * already carries each file's length ([[WhisperIO.FileEntry]]); no extra
+   * I/O. Files that APPEAR mid-stream are read on their first trigger.
+   * Memory: one FileMeta (~100 B) per ACTIVE path — idle-pruned files never
+   * reach the planner's metaFor, so on a mostly-idle tree the cache tracks
+   * the live working set, not the tree (a resize leaves one dead old-key
+   * entry, reclaimed at stream stop). */
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.format.WhisperCodec.FileMeta]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), graft.format.WhisperCodec.FileMeta]()
 
   /** Memoized plan for the CURRENT batch window. Spark re-evaluates
    * MicroBatchScanExec.inputPartitions several times per trigger (physical
@@ -103,9 +109,11 @@ class WhisperMicroBatchStream(
     // BENCH_NOTES r11). streamMtimeSlop=-1 restores scan-everything.
     val statuses = WhisperIO.expandStatuses(rawPatterns, lenient = true)
     val slop = options.streamMtimeSlopSeconds
-    val paths =
-      if (slop < 0) statuses.map(_._1)
-      else statuses.collect { case (p, mtimeMs) if mtimeMs / 1000L + slop > lo => p }
+    val live =
+      if (slop < 0) statuses
+      else statuses.filter(e => e.mtimeMs / 1000L + slop > lo)
+    val paths = live.map(_.path)
+    val lenOf: Map[String, Long] = live.map(e => e.path -> e.len).toMap
     // same plan-time archive/file pruning AND small-unit bin-packing as the
     // batch scan -- a streaming tail over a large graphite tree pays the
     // per-unit scheduler tax EVERY trigger, so packing matters more here
@@ -114,7 +122,8 @@ class WhisperMicroBatchStream(
     // probe (oversized timeSort archives stay one unit here)
     val units = WhisperPlanning.plan(paths, options, preds, probeOrdered = false,
       metaFor = (p, gz) =>
-        metaCache.computeIfAbsent(p, path => WhisperIO.readMetaHeaderOnly(path, gz)))
+        metaCache.computeIfAbsent((p, lenOf.getOrElse(p, -1L)),
+          key => WhisperIO.readMetaHeaderOnly(key._1, gz)))
       .map(_.asInstanceOf[WhisperInputPartition])
     val planned = WhisperPlanning.binPack(units, options).map {
       case m: WhisperMultiPartition => WhisperStreamMultiPartition(m.units, lo, hi): InputPartition

@@ -47,9 +47,17 @@ final case class WhisperOptions(
     // streaming only: a file whose mtime + slop precedes the micro-batch
     // window start is pruned at PLAN time (an idle file cannot hold points
     // inside the window under the tail's write-behind model, where a point's
-    // write wall-time tracks its timestamp). The slop absorbs carbon
-    // write-behind lag + clock skew; -1 disables pruning.
-    streamMtimeSlopSeconds: Long = 3600L
+    // write wall-time tracks its timestamp). OPT-IN (-1 = no pruning, the
+    // default): the prune assumes (a) points are never written with
+    // timestamps more than `slop` ahead of the writer's wall clock, and
+    // (b) the file server's clock lags the driver's (which derives window
+    // offsets from ITS wall clock) by less than `slop` — whisper the FORMAT
+    // permits any timestamp, so a tree violating either assumption would
+    // silently lose data under a default-on prune (ADVICE r11). Set it
+    // explicitly (3600 is the measured sweet spot for carbon-style
+    // write-behind trees: empty trigger 12 s -> sub-second at 100k files,
+    // BENCH_NOTES r11) once those assumptions are known to hold.
+    streamMtimeSlopSeconds: Long = -1L
 ) {
   require(dtype == "double" || dtype == "float", s"dtype must be double|float, got $dtype")
   require(
@@ -98,7 +106,8 @@ object WhisperOptions {
     // one partition per archive (escape hatch for rings that violate the
     // dense-rotation invariant under the sort-elision fast path)
     orderedSplit = map.getBoolean("orderedSplit", true),
-    // streaming only: plan-time idle-file pruning slop (seconds; -1 disables)
-    streamMtimeSlopSeconds = map.getLong("streamMtimeSlop", 3600L)
+    // streaming only: plan-time idle-file pruning slop (seconds); OPT-IN —
+    // -1 (default) scans everything, see the case-class field note
+    streamMtimeSlopSeconds = map.getLong("streamMtimeSlop", -1L)
   )
 }

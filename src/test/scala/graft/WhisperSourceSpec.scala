@@ -421,6 +421,31 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n1 == 1 && replay == 1 && n2 == 2, s"got $n1 / $replay / $n2")
   }
 
+  test("stream header cache invalidates when a file is recreated with a different layout") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // The per-stream header cache is keyed on (path, file length): whisper
+    // file length is a create-time constant (point writes mutate slots in
+    // place), so it changes exactly when the file is rewritten with a
+    // different retention layout — the one event that makes cached archive
+    // offsets stale (ADVICE r11). A resize mid-stream must yield the NEW
+    // archive count on the next trigger, not decode garbage off old offsets.
+    val tree = Files.createTempDirectory("whisper-resize")
+    val f = tree.resolve("m.wsp")
+    WhisperWriter.writeFile(f, FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 50, lastTimestamp = 1600000000L, rotation = 0))))
+    val opts = WhisperOptions(new CaseInsensitiveStringMap(new java.util.HashMap[String, String]()))
+    val stream = new WhisperMicroBatchStream(
+      Seq(tree.toString + "/*.wsp"), opts, Seq.empty, opts.schema, 0L)
+    val n1 = stream.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L)).length
+    // in-place re-layout: 2 archives now — different length, different offsets
+    WhisperWriter.writeFile(f, FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 50, lastTimestamp = 1600000000L, rotation = 0),
+      ArchiveSpec(60, 400, filled = 100, lastTimestamp = 1600000000L, rotation = 0))))
+    val n2 = stream.planInputPartitions(WhisperOffset(1700000000L), WhisperOffset(1800000000L)).length
+    assert(n1 == 1 && n2 == 2,
+      s"resized file must re-read its header (got $n1 then $n2 planned archive units)")
+  }
+
   test("file predicate prunes paths BEFORE the header read (r11)") {
     // a pushed file='...' must not cost one header I/O per tree entry: the
     // witness is a file whose header is GARBAGE — if planning still read
@@ -485,7 +510,10 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       new WhisperMicroBatchStream(Seq(tree.toString + "/*.wsp"), opts, Seq.empty, opts.schema, 0L)
         .planInputPartitions(WhisperOffset(1600000000L), WhisperOffset(1600010000L)).length
     }
-    assert(plan() == 1, "default slop must prune the 1970-idle file")
+    // pruning is OPT-IN (ADVICE r11): the default must scan everything —
+    // the prune's write-behind/clock-skew assumptions are the user's to assert
+    assert(plan() == 2, "default (-1) must not prune")
+    assert(plan("streamMtimeSlop" -> "3600") == 1, "opted-in slop must prune the 1970-idle file")
     assert(plan("streamMtimeSlop" -> "-1") == 2, "slop -1 must disable pruning")
     // batch 0 (lo = 0) always plans everything: mtime + slop > 0
     val opts = WhisperOptions(new CaseInsensitiveStringMap(new java.util.HashMap[String, String]()))

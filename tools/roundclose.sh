@@ -57,12 +57,15 @@ echo "== [6/6] bench lo ($SF_LO) + hi ($SF_HI)"
 # Bench self-reports box health (canary band + pass spread — Bench.scala);
 # a contaminated record is environment noise signed as measurement (the
 # r2/r6/r10 failure mode), so the close REFUSES to bless one: retry up to
-# 3x with a quiet wait, fail the close if the box never settles.
+# 3x with a quiet wait, fail the close if the box never settles. Gate on
+# the EXPLICIT "contaminated" verdict only — "unknown" (no canary sample,
+# e.g. a subset run) is not evidence of contamination and Bench itself now
+# retries in-process before its record ever lands here (r12).
 run_bench() { # $1=sf dir, $2=digest out
   local try
   for try in 1 2 3; do
     SPARK_GRAFT_SF_DIR="$1" sbt -batch "runMain graft.Bench" 2>&1 | grep -E '^\{' >"$2"
-    if python3 -c "import json,sys; d=json.load(open('$2')); sys.exit(0 if d.get('box_health',{}).get('verdict')=='clean' else 1)"; then
+    if python3 -c "import json,sys; d=json.load(open('$2')); sys.exit(1 if d.get('box_health',{}).get('verdict')=='contaminated' else 0)"; then
       return 0
     fi
     echo "!! bench record self-reports contamination (try $try/3): $(python3 -c "import json; print(json.load(open('$2')).get('box_health'))")"
