@@ -45,6 +45,16 @@ object StreamReplay {
   private val replayPartitions: Int =
     sys.env.getOrElse("SPARK_GRAFT_REPLAY_PARTITIONS", "4").toInt
 
+  /** The watermark pull the outer-join replays cut by: max event timestamp
+   * of one type, as EXACT epoch MICROS. The oracle cuts at epoch_us, and a
+   * `getTimestamp.getTime` pull would ms-truncate the cutoff up to 999 us
+   * below the oracle's — a purchase in that sliver would mismatch
+   * (ADVICE r10; the exactness is property-pinned by R12FixProps over
+   * generated sub-ms slivers). */
+  private[graft] def maxEventTsUs(ev: DataFrame, kind: String): Long =
+    ev.filter(col("event_type") === kind)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.operators.Tables.t(spark, dir, "events").schema
     // events.parquet is a FILE; FileStreamSource requires a directory
@@ -163,15 +173,10 @@ object StreamReplay {
    * -1 (both engines), keeping the 4-key total order well-defined. */
   def intervalJoinLeftOuterReplay(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.operators.Tables.t(spark, dir, "events")
-    // max pulled as exact epoch MICROS: the oracle cuts at epoch_us, and a
-    // getTimestamp.getTime pull would ms-truncate the cutoff up to 999us
-    // below the oracle's — a purchase in that sliver would mismatch
-    // (ADVICE r10). The margin itself is 1h, so the engine's own ms-precision
-    // watermark arithmetic stays far inside it either way.
-    def maxTsUs(kind: String): Long =
-      ev.filter(col("event_type") === kind)
-        .agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val wmUs = math.min(maxTsUs("purchase"), maxTsUs("error")) - 2L * 3600 * 1000 * 1000
+    // exact-micros pull ([[maxEventTsUs]]); the margin itself is 1h, so the
+    // engine's own ms-precision watermark arithmetic stays far inside it
+    val wmUs = math.min(maxEventTsUs(ev, "purchase"), maxEventTsUs(ev, "error")) -
+      2L * 3600 * 1000 * 1000
     val cutoffUs = wmUs - 3600L * 1000 * 1000
     val s = eventsStream(spark, dir)
     val joined = StreamingOps.intervalJoinLeftOuter(
@@ -197,11 +202,9 @@ object StreamReplay {
    * keeping the 4-key total order well-defined. */
   def intervalJoinFullOuterReplay(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.operators.Tables.t(spark, dir, "events")
-    // exact-micros watermark pull, same reason as the left-outer replay
-    def maxTsUs(kind: String): Long =
-      ev.filter(col("event_type") === kind)
-        .agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val wmUs = math.min(maxTsUs("purchase"), maxTsUs("error")) - 2L * 3600 * 1000 * 1000
+    // exact-micros pull ([[maxEventTsUs]]), same reason as the left-outer replay
+    val wmUs = math.min(maxEventTsUs(ev, "purchase"), maxEventTsUs(ev, "error")) -
+      2L * 3600 * 1000 * 1000
     val hourUs = 3600L * 1000 * 1000
     val s = eventsStream(spark, dir)
     val joined = StreamingOps.intervalJoinFullOuter(
