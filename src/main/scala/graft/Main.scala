@@ -28,7 +28,9 @@ object Main {
   private val Usage =
     """usage: graft.Main <path.wsp[.gz]> [more paths...]
       |       graft.Main curate <tables-dir> <out-dir>
-      |       graft.Main export <tree-or-glob> <out-dir> [targetPartitions]""".stripMargin
+      |       graft.Main export <tree-or-glob> <out-dir> [targetPartitions]
+      |       graft.Main export-delta <tree-or-glob> <out-dir> [targetPartitions] [mtimeSlopSeconds]
+      |       graft.Main manifest <tree-or-glob> <out.jsonl[.gz]>""".stripMargin
 
   /** The `export` mode's pipeline (spec-driven at the library level):
    * whisper tree → ONE parquet dataset; returns the exported row count.
@@ -46,24 +48,120 @@ object Main {
    * 1 MB dictionary-page cap and silently falls back to PLAIN — measured
    * 125 MB of a 157 MB export where the dictionary form is ~0.1 MB
    * (BENCH_NOTES r11). A path dictionary is the point of this column;
-   * give it room. */
+   * give it room.
+   *
+   * Incremental form (VERDICT r11 #4): `(sinceTs, untilTs]` bounds the
+   * exported TIME WINDOW — the same timestamp-watermark contract the
+   * streaming tail's offsets use, so daily delta runs ship only new points
+   * instead of rescanning 100 TB. Window predicates push into the whisper
+   * scan (slot pruning during decode); `append = true` adds the increment
+   * to the existing dataset directory, whose union with the base is then
+   * exactly the full export (round-trip spec). `mtimeFloor >= 0`
+   * additionally skips files idle since before it at PLAN time — opt-in,
+   * same write-behind assumptions as `streamMtimeSlop` (a delta over a
+   * mostly-idle million-file tree otherwise still pays a header read per
+   * file). */
   private[graft] def exportTree(
       spark: SparkSession,
       tree: String,
       out: String,
-      targetPartitions: Option[Int]): Long = {
-    val df = spark.read.format("whisper").load(tree)
+      targetPartitions: Option[Int],
+      sinceTs: Long = Long.MinValue,
+      untilTs: Long = Long.MaxValue,
+      append: Boolean = false,
+      mtimeFloor: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val reader = spark.read.format("whisper")
+    val df0 =
+      (if (mtimeFloor >= 0) reader.option("mtimeFloor", mtimeFloor.toString) else reader)
+        .load(tree)
+    // each bound applied independently: timestamp_seconds(Long.MinValue)
+    // overflows the micros representation, so an unbounded side means NO
+    // predicate, not a sentinel comparison
+    def windowed(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val lo = if (sinceTs == Long.MinValue) d
+        else d.filter(col("timestamp") > timestamp_seconds(org.apache.spark.sql.functions.lit(sinceTs)))
+      if (untilTs == Long.MaxValue) lo
+      else lo.filter(col("timestamp") <= timestamp_seconds(org.apache.spark.sql.functions.lit(untilTs)))
+    }
+    val df = windowed(df0)
     val shaped = targetPartitions match {
       case Some(n) =>
-        import org.apache.spark.sql.functions.col
         df.repartitionByRange(n, col("file"), col("timestamp"))
           .sortWithinPartitions("file", "archive", "timestamp")
       case None => df
     }
-    shaped.write.mode("overwrite")
+    shaped.write.mode(if (append) "append" else "overwrite")
       .option("parquet.dictionary.page.size", 64L * 1024 * 1024)
       .parquet(out)
-    spark.read.parquet(out).count()
+    // returned count = THIS run's window, read back from the lake side (a
+    // pushed-predicate parquet count): the whisper tree is scanned exactly
+    // once per export, which is the whole point of the delta path
+    windowed(spark.read.parquet(out)).count()
+  }
+
+  /** Export watermark: the upper time bound the dataset at `out` covers,
+   * kept in an underscore-prefixed JSON file parquet readers ignore. The
+   * watermark is wall-clock "now" at export start (the streaming tail's
+   * offset model: a slot for time T is final once T has passed), so
+   * `exportDelta` resumes exactly where the last run's window ended. */
+  private val WatermarkFile = "_graft_export_watermark.json"
+
+  private[graft] def readWatermark(spark: SparkSession, out: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(out, WatermarkFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try {
+        in.readFully(0L, buf)
+        val txt = new String(buf, "UTF-8")
+        Some(""""until_ts":\s*(-?\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+          .getOrElse(sys.error(s"malformed export watermark at $p: $txt")))
+      } finally in.close()
+    }
+  }
+
+  private[graft] def writeWatermark(spark: SparkSession, out: String, untilTs: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(out, WatermarkFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val o = fs.create(p, true)
+    try o.write(s"""{"until_ts": $untilTs}""".getBytes("UTF-8")) finally o.close()
+  }
+
+  /** Full export + watermark: the base a later [[exportDelta]] resumes from. */
+  private[graft] def exportFull(
+      spark: SparkSession,
+      tree: String,
+      out: String,
+      targetPartitions: Option[Int],
+      untilTs: Long): Long = {
+    val n = exportTree(spark, tree, out, targetPartitions, untilTs = untilTs)
+    writeWatermark(spark, out, untilTs)
+    n
+  }
+
+  /** Watermark-resumable delta: appends points in (last watermark, untilTs]
+   * to the dataset and advances the watermark. `mtimeSlop >= 0` opts in to
+   * idle-file pruning at `watermark - slop` (the streamMtimeSlop contract).
+   * Returns the appended row count. */
+  private[graft] def exportDelta(
+      spark: SparkSession,
+      tree: String,
+      out: String,
+      targetPartitions: Option[Int],
+      untilTs: Long,
+      mtimeSlop: Long = -1L): Long = {
+    val since = readWatermark(spark, out).getOrElse(
+      sys.error(s"no export watermark at $out — run a full export first"))
+    require(untilTs >= since, s"untilTs $untilTs precedes the watermark $since")
+    val n = exportTree(spark, tree, out, targetPartitions,
+      sinceTs = since, untilTs = untilTs, append = true,
+      mtimeFloor = if (mtimeSlop >= 0) since - mtimeSlop else -1L)
+    writeWatermark(spark, out, untilTs)
+    n
   }
 
   private def session(app: String): SparkSession = {
@@ -87,13 +185,31 @@ object Main {
         kept.write.mode("overwrite").parquet(out)
         println(s"curated ${spark.read.parquet(out).count()} surviving docs -> $out")
       } finally spark.stop()
+    case Seq("manifest", tree, out) =>
+      // Header manifest for plan-time reuse ([[sources.whisper.WhisperManifest]]):
+      // driver-only — the walk + concurrent header sweep need no executors.
+      // Readers opt in with .option("headerManifest", out).
+      val n = sources.whisper.WhisperManifest.write(Seq(tree), out)
+      println(s"manifested $n whisper headers -> $out")
     case Seq("export", tree, out, rest @ _*) if rest.length <= 1 =>
       val spark = session("graft-export")
       try {
-        val n = exportTree(spark, tree, out, rest.headOption.map(_.toInt))
+        // watermark = "now" at export start (write-behind model: a slot for
+        // time T is final once T passed), the point export-delta resumes from
+        val n = exportFull(spark, tree, out, rest.headOption.map(_.toInt),
+          untilTs = System.currentTimeMillis() / 1000L)
         println(s"exported $n points -> $out")
       } finally spark.stop()
-    case paths if paths.nonEmpty && paths.head != "curate" && paths.head != "export" =>
+    case Seq("export-delta", tree, out, rest @ _*) if rest.length <= 2 =>
+      val spark = session("graft-export-delta")
+      try {
+        val n = exportDelta(spark, tree, out,
+          rest.headOption.map(_.toInt),
+          untilTs = System.currentTimeMillis() / 1000L,
+          mtimeSlop = rest.lift(1).map(_.toLong).getOrElse(-1L))
+        println(s"appended $n points -> $out")
+      } finally spark.stop()
+    case paths if paths.nonEmpty && !Seq("curate", "export", "export-delta", "manifest").contains(paths.head) =>
       val spark = session("whisper-info")
       try paths.foreach(WhisperMeta.printInfo(spark, _))
       finally spark.stop()

@@ -42,7 +42,15 @@ class WhisperDataSource extends TableProvider with DataSourceRegister {
   ): Table = {
     val map = new CaseInsensitiveStringMap(properties)
     val patterns = WhisperIO.rawPatterns(map)
-    new WhisperTable(WhisperIO.expandPatterns(patterns), patterns, WhisperOptions(map))
+    val options = WhisperOptions(map)
+    val entries = WhisperIO.expandStatuses(patterns,
+      parallelism = options.planningParallelism, shard = options.shard)
+    // opt-in idle-file floor (mtimeFloor): plan-time prune on the walk's
+    // free mtimes — the incremental-export fast path over mostly-idle trees
+    val live =
+      if (options.mtimeFloorSeconds < 0) entries
+      else entries.filter(_.mtimeMs / 1000L >= options.mtimeFloorSeconds)
+    new WhisperTable(live, patterns, options)
   }
 }
 
@@ -142,46 +150,103 @@ object WhisperIO {
   def expandPatterns(patterns: Seq[String], lenient: Boolean = false): Seq[String] =
     expandStatuses(patterns, lenient).map(_.path)
 
-  /** Expansion keeping each file's modification time and length — free
-   * metadata from the directory walk (see [[FileEntry]]). */
-  def expandStatuses(patterns: Seq[String], lenient: Boolean = false): Seq[FileEntry] =
-    patterns.flatMap(p => expand(p, lenient))
+  /** Stable shard assignment: hash of a path component NAME (scheme- and
+   * qualification-independent), MurmurHash3 so sibling names spread evenly. */
+  private def inShard(name: String, shard: Option[(Int, Int)]): Boolean =
+    shard match {
+      case None => true
+      case Some((i, n)) => math.floorMod(scala.util.hashing.MurmurHash3.stringHash(name), n) == i
+    }
 
-  private def expand(pattern: String, lenient: Boolean): Seq[FileEntry] = {
+  /** Run `f` over `xs` with a DEDICATED bounded pool. Planning I/O is
+   * latency-bound on remote stores (a header read / directory list is a
+   * 10-50 ms GET); the default ForkJoinPool is sized for CPU work and is
+   * shared with everything else on the driver, so latency hiding gets its
+   * own short-lived pool sized by `planningParallelism`. */
+  private[graft] def parMap[A, B](xs: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+    if (xs.length <= 1 || parallelism <= 1) xs.map(f)
+    else {
+      val pool = new java.util.concurrent.ForkJoinPool(math.min(parallelism, xs.length))
+      try {
+        val pc = new scala.collection.parallel.immutable.ParVector(xs.toVector)
+        pc.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+        pc.map(f).seq
+      } finally pool.shutdown()
+    }
+
+  /** Expansion keeping each file's modification time and length — free
+   * metadata from the directory walk (see [[FileEntry]]).
+   *
+   * `parallelism` > 1 walks sibling directories concurrently (one listing
+   * per directory is a GET on object stores; a deep serial walk of a
+   * million-file tree would pay them one at a time). `shard` = Some((i, n))
+   * keeps only the i-th of n stable hash-shards of each matched root's
+   * TOP-LEVEL entries — n readers split one tree at walk granularity, each
+   * listing only its own subtrees. */
+  def expandStatuses(
+      patterns: Seq[String],
+      lenient: Boolean = false,
+      parallelism: Int = 1,
+      shard: Option[(Int, Int)] = None): Seq[FileEntry] =
+    patterns.flatMap(p => expand(p, lenient, parallelism, shard))
+
+  private def expand(
+      pattern: String,
+      lenient: Boolean,
+      parallelism: Int,
+      shard: Option[(Int, Int)]): Seq[FileEntry] = {
     val p = new HPath(pattern)
     val fs = p.getFileSystem(hadoopConf())
     val matches: Seq[FileStatus] =
       Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     require(lenient || matches.nonEmpty, s"whisper path matches no files: $pattern")
-    matches.flatMap { st =>
-      if (st.isDirectory) {
-        // Graphite trees nest metrics (dir/sub/metric.wsp): recurse the
-        // whole subtree, not just the first level. Recursion is a manual
-        // listStatusIterator walk, NOT fs.listFiles(path, recursive=true):
-        // listFiles wraps every entry in a LocatedFileStatus whose
-        // constructor eagerly loads POSIX permissions, and on a local FS
-        // without native hadoop libs that FORKS a shell per file
-        // (RawLocalFileSystem.loadPermissionInfoByNonNativeIO) — measured
-        // minutes-to-hours against a million-file tree (BENCH_NOTES r11).
-        // Plain FileStatus keeps permissions lazy; the walk reads only
-        // path + isDirectory + mtime + length, one directory listing per dir.
+    // Graphite trees nest metrics (dir/sub/metric.wsp): recurse the whole
+    // subtree, not just the first level. Recursion is a manual listStatus
+    // walk, NOT fs.listFiles(path, recursive=true): listFiles wraps every
+    // entry in a LocatedFileStatus whose constructor eagerly loads POSIX
+    // permissions, and on a local FS without native hadoop libs that FORKS
+    // a shell per file (RawLocalFileSystem.loadPermissionInfoByNonNativeIO)
+    // — measured minutes-to-hours against a million-file tree
+    // (BENCH_NOTES r11). Plain FileStatus keeps permissions lazy; the walk
+    // reads only path + isDirectory + mtime + length, one directory listing
+    // per dir. The walk is LEVEL-SYNCHRONOUS: each level's directories list
+    // concurrently through [[parMap]] (trees are wide, so the pool fills
+    // from level 1), results merged between levels.
+    val (dirMatches, fileMatches) = matches.partition(_.isDirectory)
+    val files = mutable.ArrayBuffer[FileEntry]()
+    files ++= fileMatches.collect {
+      case st if inShard(st.getPath.getName, shard) =>
+        FileEntry(st.getPath.toString, st.getModificationTime, st.getLen)
+    }
+    def keep(f: FileStatus): Boolean = {
+      val name = f.getPath.getName
+      name.endsWith(".wsp") || name.endsWith(".wsp.gz")
+    }
+    // depth 0 = the matched roots themselves (never sharded); their direct
+    // children are the shard key — a file's shard is decided by its
+    // top-level ancestor's name (or its own, when directly under a root)
+    var level: Seq[HPath] = dirMatches.map(_.getPath)
+    var depth = 0
+    while (level.nonEmpty) {
+      val listed = parMap(level, parallelism) { d =>
+        val dirs = mutable.ArrayBuffer[HPath]()
         val out = mutable.ArrayBuffer[FileEntry]()
-        val stack = mutable.Stack(st.getPath)
-        while (stack.nonEmpty) {
-          val it = fs.listStatusIterator(stack.pop())
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.isDirectory) stack.push(f.getPath)
-            else {
-              val name = f.getPath.getName
-              if (name.endsWith(".wsp") || name.endsWith(".wsp.gz"))
-                out += FileEntry(f.getPath.toString, f.getModificationTime, f.getLen)
-            }
+        val it = fs.listStatusIterator(d)
+        while (it.hasNext) {
+          val f = it.next()
+          val sharded = depth > 0 || inShard(f.getPath.getName, shard)
+          if (sharded) {
+            if (f.isDirectory) dirs += f.getPath
+            else if (keep(f)) out += FileEntry(f.getPath.toString, f.getModificationTime, f.getLen)
           }
         }
-        out.toSeq
-      } else Seq(FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
-    }.sortBy(_.path)
+        (dirs.toSeq, out.toSeq)
+      }
+      listed.foreach { case (_, fe) => files ++= fe }
+      level = listed.flatMap(_._1)
+      depth += 1
+    }
+    files.toSeq.sortBy(_.path)
   }
 
   /** Header-only metadata read (gzip-aware). Mirrors `WhisperFile.read` +
@@ -222,10 +287,16 @@ object WhisperIO {
    * reported as -1 — partition planning never consults it. At 100 TB / many
    * thousands of files this is the difference between planning in seconds
    * and planning in hours. */
-  def readMetaHeaderOnly(pathStr: String, gzip: Boolean): FileMeta = {
+  def readMetaHeaderOnly(pathStr: String, gzip: Boolean): FileMeta =
+    readMetaHeaderOnly(pathStr, gzip, knownLen = -2L)
+
+  /** `knownLen >= 0` (the directory walk's FileStatus length — free) skips
+   * the per-file getFileStatus round trip: on an object store that is one
+   * GET per file saved, HALVING the planning sweep's request count. */
+  def readMetaHeaderOnly(pathStr: String, gzip: Boolean, knownLen: Long): FileMeta = {
     val p = new HPath(pathStr)
     val fs = p.getFileSystem(hadoopConf())
-    val onDiskSize = fs.getFileStatus(p).getLen
+    val onDiskSize = if (knownLen >= 0) knownLen else fs.getFileStatus(p).getLen
     val in = fs.open(p)
     try {
       if (gzip) WhisperCodec.readMeta(new GZIPInputStream(in), pathStr, -1L)
@@ -234,7 +305,7 @@ object WhisperIO {
   }
 }
 
-class WhisperTable(paths: Seq[String], rawPatterns: Seq[String], options: WhisperOptions)
+class WhisperTable(paths: Seq[WhisperIO.FileEntry], rawPatterns: Seq[String], options: WhisperOptions)
     extends Table with SupportsRead {
   // The table name rides in every plan string, RDD operation scope (JSON
   // with a 20 MB Jackson cap), UI label, and event-log line — embedding a

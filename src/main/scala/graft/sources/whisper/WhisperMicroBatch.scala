@@ -1,7 +1,5 @@
 package graft.sources.whisper
 
-import scala.collection.parallel.CollectionConverters._
-
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
@@ -107,23 +105,42 @@ class WhisperMicroBatchStream(
     // turns the steady-state empty trigger from a full-tree point scan
     // into a directory walk (measured 12 s -> sub-second at 100k files,
     // BENCH_NOTES r11). streamMtimeSlop=-1 restores scan-everything.
-    val statuses = WhisperIO.expandStatuses(rawPatterns, lenient = true)
+    // streamShard "i/n": this stream walks only its own hash-shard of each
+    // matched root's top-level subtrees — n streams split one huge tree at
+    // WALK granularity (the 1M-file steady-state floor is the directory
+    // walk itself, VERDICT r11 #3); planningParallelism lists sibling
+    // directories concurrently for the same reason headers read concurrently
+    val statuses = WhisperIO.expandStatuses(rawPatterns, lenient = true,
+      parallelism = options.planningParallelism, shard = options.shard)
     val slop = options.streamMtimeSlopSeconds
     val live =
       if (slop < 0) statuses
       else statuses.filter(e => e.mtimeMs / 1000L + slop > lo)
-    val paths = live.map(_.path)
-    val lenOf: Map[String, Long] = live.map(e => e.path -> e.len).toMap
     // same plan-time archive/file pruning AND small-unit bin-packing as the
     // batch scan -- a streaming tail over a large graphite tree pays the
     // per-unit scheduler tax EVERY trigger, so packing matters more here
     // probeOrdered=false: a micro-batch prunes by its pushed time window and
     // never consumes cross-chunk ordering, so skip the per-trigger rotation
     // probe (oversized timeSort archives stay one unit here)
-    val units = WhisperPlanning.plan(paths, options, preds, probeOrdered = false,
-      metaFor = (p, gz) =>
-        metaCache.computeIfAbsent((p, lenOf.getOrElse(p, -1L)),
-          key => WhisperIO.readMetaHeaderOnly(key._1, gz)))
+    // header source chain: per-stream cache -> manifest (if configured) ->
+    // fresh ranged read; all keyed/stale-checked on the walk's file length.
+    // get + putIfAbsent, NOT computeIfAbsent: the miss path does header I/O,
+    // and computeIfAbsent would run it holding the bin lock — serializing
+    // same-bin keys (defeating the parallel planner's latency hiding) and
+    // tripping CHM's "Recursive update" guard under concurrent planning
+    // (observed in the r12 fuzz run). A raced duplicate read is idempotent.
+    val manifestMetaFor = WhisperPlanning.manifestAwareMetaFor(options)
+    val units = WhisperPlanning.plan(live, options, preds, probeOrdered = false,
+      metaFor = (e, gz) => {
+        val key = (e.path, e.len)
+        val hit = metaCache.get(key)
+        if (hit != null) hit
+        else {
+          val m = manifestMetaFor(e, gz)
+          val prev = metaCache.putIfAbsent(key, m)
+          if (prev != null) prev else m
+        }
+      })
       .map(_.asInstanceOf[WhisperInputPartition])
     val planned = WhisperPlanning.binPack(units, options).map {
       case m: WhisperMultiPartition => WhisperStreamMultiPartition(m.units, lo, hi): InputPartition

@@ -44,6 +44,32 @@ final case class WhisperOptions(
     streamNowOverride: Long,
     binThreshold: Int = 128,
     orderedSplit: Boolean = true,
+    // Header planning is LATENCY-bound on remote object stores (a header
+    // read is a ~10-50 ms GET); this many concurrent header/list operations
+    // hide that latency. Local filesystems are indifferent to the extra
+    // threads (syscall-bound, measured r12), so one default serves both.
+    planningParallelism: Int = 64,
+    // Path to a header manifest written by `graft.Main manifest` (or
+    // [[WhisperManifest.write]]): planning takes header metadata from the
+    // manifest instead of one ranged read per file — headers are
+    // create-time constants, so a manifest turns million-file remote
+    // planning from a GET-per-file sweep into one manifest load + the
+    // directory walk. Entries are staleness-keyed on file length; a file
+    // whose length changed since the manifest (re-layout) is read fresh.
+    headerManifest: String = "",
+    // Batch twin of the streaming idle prune, OPT-IN (-1 = off): files whose
+    // mtime (seconds) is BELOW this floor are dropped at plan time — no
+    // header read, no scan. The caller asserts the same write-behind/clock
+    // assumptions as streamMtimeSlop; incremental export passes
+    // `watermark - slop` so a delta run over a mostly-idle tree reads only
+    // recently-written files.
+    mtimeFloorSeconds: Long = -1L,
+    // "i/n": this reader owns shard i of n, assigned by a stable hash of
+    // each top-level subtree under the matched roots (files directly under
+    // a root hash by their own name). n streams over one tree each walk
+    // only ~1/n of it — the r11 answer to the million-file steady-state
+    // discovery floor, now first-class. Empty = no sharding.
+    streamShard: String = "",
     // streaming only: a file whose mtime + slop precedes the micro-batch
     // window start is pruned at PLAN time (an idle file cannot hold points
     // inside the window under the tail's write-behind model, where a point's
@@ -64,6 +90,19 @@ final case class WhisperOptions(
     Seq("infer", "none", "gzip").contains(compression),
     s"compression must be infer|none|gzip, got $compression"
   )
+  require(planningParallelism >= 1, s"planningParallelism must be >= 1, got $planningParallelism")
+
+  /** Parsed `streamShard`: Some((i, n)) with 0 <= i < n, or None. */
+  val shard: Option[(Int, Int)] = streamShard.trim match {
+    case "" => None
+    case s =>
+      val parts = s.split('/')
+      require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
+        s"streamShard must be 'i/n' (e.g. 0/4), got '$s'")
+      val (i, n) = (parts(0).toInt, parts(1).toInt)
+      require(n >= 1 && i >= 0 && i < n, s"streamShard needs 0 <= i < n, got '$s'")
+      if (n == 1) None else Some((i, n))
+  }
 
   def timestampType: DataType = if (toDatetime) TimestampType else IntegerType
   def valueType: DataType = if (dtype == "float") FloatType else DoubleType
@@ -106,6 +145,16 @@ object WhisperOptions {
     // one partition per archive (escape hatch for rings that violate the
     // dense-rotation invariant under the sort-elision fast path)
     orderedSplit = map.getBoolean("orderedSplit", true),
+    // concurrent header/list operations during planning (latency hiding on
+    // remote stores; local FS indifferent)
+    planningParallelism = map.getInt("planningParallelism", 64),
+    // header manifest path (graft.Main manifest) — skips per-file header
+    // reads at plan time; length-keyed staleness
+    headerManifest = map.getOrDefault("headerManifest", ""),
+    // batch plan-time idle-file floor (epoch seconds); OPT-IN, -1 = off
+    mtimeFloorSeconds = map.getLong("mtimeFloor", -1L),
+    // "i/n" subtree sharding for parallel tailing of one huge tree
+    streamShard = map.getOrDefault("streamShard", ""),
     // streaming only: plan-time idle-file pruning slop (seconds); OPT-IN —
     // -1 (default) scans everything, see the case-class field note
     streamMtimeSlopSeconds = map.getLong("streamMtimeSlop", -1L)

@@ -4,7 +4,6 @@ import java.util.zip.GZIPInputStream
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
-import scala.collection.parallel.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -176,7 +175,7 @@ object WPred {
   }
 }
 
-class WhisperScanBuilder(paths: Seq[String], rawPatterns: Seq[String], options: WhisperOptions)
+class WhisperScanBuilder(paths: Seq[WhisperIO.FileEntry], rawPatterns: Seq[String], options: WhisperOptions)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -204,7 +203,7 @@ class WhisperScanBuilder(paths: Seq[String], rawPatterns: Seq[String], options: 
 }
 
 class WhisperScan(
-    paths: Seq[String],
+    paths: Seq[WhisperIO.FileEntry],
     rawPatterns: Seq[String],
     options: WhisperOptions,
     preds: Seq[WPred],
@@ -237,9 +236,14 @@ class WhisperScan(
     s"WhisperScan(files=${paths.size}, pushed=[${pushedV1.mkString(", ")}], cols=${requiredSchema.fieldNames.mkString(",")})"
 
   /** Header reads are tiny but latency-bound; plan many files concurrently
-   * (matters when a glob matches thousands of files on remote storage). */
+   * through a dedicated pool sized by `planningParallelism` (measured to
+   * hide 10-50 ms object-store-class GETs, LatencyPlanningSpec /
+   * BENCH_NOTES r12). With a `headerManifest`, current entries skip the
+   * header read entirely (length-keyed staleness; see [[WhisperManifest]]). */
   private lazy val unitPartitions: Array[WhisperInputPartition] =
-    WhisperPlanning.plan(paths, options, preds).map(_.asInstanceOf[WhisperInputPartition])
+    WhisperPlanning.plan(paths, options, preds,
+      metaFor = WhisperPlanning.manifestAwareMetaFor(options))
+      .map(_.asInstanceOf[WhisperInputPartition])
 
   private lazy val plannedPartitions: Array[InputPartition] =
     prePlanned.getOrElse(WhisperPlanning.binPack(unitPartitions, options))
@@ -318,6 +322,28 @@ private[whisper] object WhisperPlanning {
       case _                                                   => true
     }
 
+  /** Default header source for batch planning: the manifest when the
+   * `headerManifest` option names one AND its entry's length matches the
+   * walk's (stale/absent entries fall back to a fresh ranged read — a stale
+   * manifest can cost extra reads, never wrong plans); otherwise a header
+   * read that reuses the walk's length, skipping the per-file getFileStatus
+   * round trip. */
+  def manifestAwareMetaFor(
+      options: WhisperOptions): (WhisperIO.FileEntry, Boolean) => graft.format.WhisperCodec.FileMeta = {
+    if (options.headerManifest.isEmpty)
+      (e, gz) => WhisperIO.readMetaHeaderOnly(e.path, gz, e.len)
+    else {
+      // loaded lazily so a fully-pruned plan (file predicates keep nothing)
+      // never pays the manifest parse
+      lazy val manifest = WhisperManifest.load(options.headerManifest)
+      (e, gz) =>
+        manifest.get(e.path) match {
+          case Some(entry) if entry.len == e.len => entry.meta
+          case _ => WhisperIO.readMetaHeaderOnly(e.path, gz, e.len)
+        }
+    }
+  }
+
   /** `probeOrdered=false` (the streaming tail) skips the per-archive
    * rotation probe: micro-batches prune by pushed time-window predicates and
    * never consume cross-chunk ordering, so oversized `timeSort` archives
@@ -329,12 +355,12 @@ private[whisper] object WhisperPlanning {
    * never touch the header — so the streaming tail caches them per stream
    * and pays the per-file header read once, not once per trigger. */
   def plan(
-      paths: Seq[String],
+      paths: Seq[WhisperIO.FileEntry],
       options: WhisperOptions,
       preds: Seq[WPred],
       probeOrdered: Boolean = true,
-      metaFor: (String, Boolean) => graft.format.WhisperCodec.FileMeta =
-        (p, gz) => WhisperIO.readMetaHeaderOnly(p, gz)): Array[InputPartition] = {
+      metaFor: (WhisperIO.FileEntry, Boolean) => graft.format.WhisperCodec.FileMeta =
+        (e, gz) => WhisperIO.readMetaHeaderOnly(e.path, gz, e.len)): Array[InputPartition] = {
     // File-only predicates decide BEFORE the header read: a pushed
     // `file = '...'` / `file IN (...)` must not cost one header I/O per
     // tree entry when it keeps a handful — at 1M files a single-metric
@@ -342,15 +368,16 @@ private[whisper] object WhisperPlanning {
     // (and a file excluded this way is never opened at all, so plan time
     // no longer depends on the READABILITY of irrelevant files). Archive
     // predicates still prune per archive after the read, as before.
-    val livePaths = paths.filter { p =>
+    val liveEntries = paths.filter { e =>
       preds.forall {
-        case f @ (FileCmp(_, _) | FileIn(_)) => f.eval(p, -1, 0L, 0L, 0.0)
+        case f @ (FileCmp(_, _) | FileIn(_)) => f.eval(e.path, -1, 0L, 0L, 0.0)
         case _                               => true
       }
     }
-    val perFile = livePaths.par.map { path =>
+    val perFile = WhisperIO.parMap(liveEntries, options.planningParallelism) { entry =>
+      val path = entry.path
       val gz = options.gzipFor(path)
-      val meta = metaFor(path, gz)
+      val meta = metaFor(entry, gz)
       meta.archives.filter(a => partitionSurvives(preds, path, a.index)).flatMap { a =>
         // an archive too big for one in-memory buffer MUST split even with
         // timeSort on (ordering then holds per chunk, not per archive);
@@ -383,7 +410,7 @@ private[whisper] object WhisperPlanning {
         else whole
       }
     }
-    perFile.seq.flatten.toArray
+    perFile.flatten.toArray
   }
 
   /** Bin-pack small units into shared partitions once the unit count

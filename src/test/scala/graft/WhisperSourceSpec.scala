@@ -492,6 +492,56 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental export: base + watermark-resumed deltas == one full export (r12)") {
+    // The round-trip identity that makes delta export trustworthy: windows
+    // (-inf, w0], (w0, w1], (w1, inf) tile time, so appending each window to
+    // the dataset reconstructs the full export exactly — same fingerprint.
+    val tree = Files.createTempDirectory("whisper-export-inc")
+    val w0 = 1600000000L - 600L // watermark cuts mid-history
+    val w1 = 1600000000L - 200L
+    for (i <- 0 until 4)
+      WhisperWriter.writeFile(tree.resolve(s"m$i.wsp"), FileSpec(archives = Seq(
+        ArchiveSpec(10, 200, filled = 150, lastTimestamp = 1600000000L, rotation = i * 3))))
+    def fp(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("count(*) AS n", "bit_xor(xxhash64(file, archive, position, timestamp, value)) AS h")
+      .head()
+    val full = Files.createTempDirectory("whisper-export-full").toString + "/pq"
+    assert(Main.exportTree(spark, tree.toString, full, Some(2)) == 600L)
+    val want = fp(spark.read.parquet(full))
+
+    val inc = Files.createTempDirectory("whisper-export-base").toString + "/pq"
+    val nBase = Main.exportFull(spark, tree.toString, inc, Some(2), untilTs = w0)
+    assert(Main.readWatermark(spark, inc).contains(w0))
+    val nD1 = Main.exportDelta(spark, tree.toString, inc, Some(2), untilTs = w1)
+    val nD2 = Main.exportDelta(spark, tree.toString, inc, Some(2), untilTs = 1600000001L)
+    assert(Main.readWatermark(spark, inc).contains(1600000001L))
+    assert(nBase + nD1 + nD2 == 600L, s"windows must tile: $nBase + $nD1 + $nD2")
+    assert(nD1 > 0 && nD2 > 0, "watermarks chosen mid-history must yield non-empty deltas")
+    assert(fp(spark.read.parquet(inc)) == want,
+      "base + deltas fingerprint differs from the one-shot full export")
+    // an empty delta (no new points) appends nothing and still advances
+    assert(Main.exportDelta(spark, tree.toString, inc, Some(2), untilTs = 1600005000L) == 0L)
+    assert(fp(spark.read.parquet(inc)) == want)
+  }
+
+  test("export-delta with mtime pruning skips idle files at plan time (opt-in)") {
+    val tree = Files.createTempDirectory("whisper-export-prune")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 80, lastTimestamp = 1600000000L, rotation = 0)))
+    WhisperWriter.writeFile(tree.resolve("hot.wsp"), spec)  // mtime = now
+    WhisperWriter.writeFile(tree.resolve("cold.wsp"), spec)
+    Files.setLastModifiedTime(tree.resolve("cold.wsp"),
+      java.nio.file.attribute.FileTime.from(java.time.Instant.ofEpochSecond(1000)))
+    // floor above cold's mtime: only hot.wsp is planned at all
+    val df = spark.read.format("whisper")
+      .option("mtimeFloor", "2000").load(tree.toString + "/*.wsp")
+    assert(df.select("file").distinct().count() == 1L)
+    assert(df.count() == 80L)
+    // floor off: both files
+    assert(spark.read.format("whisper").load(tree.toString + "/*.wsp")
+      .select("file").distinct().count() == 2L)
+  }
+
   test("streaming tail prunes idle files at plan time (mtime + slop <= window start)") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val tree = Files.createTempDirectory("whisper-idle")
