@@ -217,23 +217,45 @@ object Bench {
     // IVF recall/latency tuning curve (VERDICT r10 #6): q105 pins only the
     // (k=10, nprobe=4, panel=8) point; the reason the operator exists is the
     // recall-vs-nprobe trade-off, so the record carries the whole dial —
-    // mean recall@10 over the panel plus wall per setting, one run each
-    // (the walls are index-build-dominated and only ordinal here; the
-    // recall values are deterministic). Skipped when the embeddings table
-    // is absent or the subset filter excludes q105.
+    // mean recall@10 over the panel plus wall per setting, min-of-2 per
+    // point (r11's one-run walls put box noise in the official record and
+    // flagged an anomaly the r12 adjudication traced to spread). Skipped
+    // when the embeddings table is absent or the subset excludes q105.
+    //
+    // The r11 anomaly ("nprobe=16 beats 4 on recall AND wall"), adjudicated
+    // r12 (tools/prof_s12_ann.scala, BENCH_NOTES r12): every nprobe runs
+    // the IDENTICAL 10-job plan — the wall at bench scale is scheduling
+    // floor, and nprobe=16 is exhaustive search (all 16 lists = the whole
+    // corpus), so its recall=1.0 is the displacement tautology, not a
+    // knee. The bench panel is the WEAK-similarity regime (synthetic 2k
+    // corpus, queries without true near-dups); at deployment density
+    // (replicated corpora, the r4 law re-measured under the q105 panel
+    // discipline) nprobe=4 reaches recall 0.900 at 3x and 1.000 at 10x
+    // while touching 25% of the inverted lists — the pruning the operator
+    // exists for. Default stays 4; the reason ships machine-readable.
+    val annReason = "default nprobe=4 kept: identical 10-job plans at every nprobe make " +
+      "bench-scale wall pure scheduling floor (nprobe=16 is exhaustive scan, its recall=1.0 " +
+      "tautological); at deployment near-dup density the panel measures recall@10 0.900 (3x) " +
+      "and 1.000 (10x) at nprobe=4 while probing 4/16 lists (prof_s12_ann, BENCH_NOTES r12)"
     val annTuningJson =
       if (!allNames.contains("q105_ann_recall")) ""
       else try {
         import org.apache.spark.sql.functions.{sum => fsum}
         val pts = Seq(1, 2, 4, 8, 16).map { np =>
-          val t0 = System.nanoTime()
-          val hits = graft.operators.VectorOps.annRecall(spark, sfDir, k = 10, nprobe = np, panel = 8)
-            .agg(fsum("hits")).head().getLong(0)
-          val dt = (System.nanoTime() - t0) / 1e9
-          dropState()
-          s"""{"nprobe":$np,"recall_at_10":${f3(hits / 80.0)},"wall_s":${f3(dt)}}"""
+          var recall = -1.0
+          val walls = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            val hits = graft.operators.VectorOps.annRecall(spark, sfDir, k = 10, nprobe = np, panel = 8)
+              .agg(fsum("hits")).head().getLong(0)
+            recall = hits / 80.0
+            val dt = (System.nanoTime() - t0) / 1e9
+            dropState()
+            dt
+          }
+          s"""{"nprobe":$np,"recall_at_10":${f3(recall)},"wall_s":${f3(walls.min)}}"""
         }
-        s""","ann_tuning":[${pts.mkString(",")}]"""
+        s""","ann_tuning":[${pts.mkString(",")}]""" +
+          s""","ann_default":{"nprobe":4,"reason":"$annReason"}"""
       } catch { case _: Throwable => dropState(); "" }
 
     val official: Seq[(String, Double)] = names.map { n =>
