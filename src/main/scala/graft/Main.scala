@@ -107,7 +107,7 @@ object Main {
    * `exportDelta` resumes exactly where the last run's window ended. */
   private val WatermarkFile = "_graft_export_watermark.json"
 
-  private[graft] def readWatermark(spark: SparkSession, out: String): Option[Long] = {
+  def readWatermark(spark: SparkSession, out: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(out, WatermarkFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
@@ -124,7 +124,7 @@ object Main {
     }
   }
 
-  private[graft] def writeWatermark(spark: SparkSession, out: String, untilTs: Long): Unit = {
+  def writeWatermark(spark: SparkSession, out: String, untilTs: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(out, WatermarkFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val o = fs.create(p, true)
@@ -132,7 +132,7 @@ object Main {
   }
 
   /** Full export + watermark: the base a later [[exportDelta]] resumes from. */
-  private[graft] def exportFull(
+  def exportFull(
       spark: SparkSession,
       tree: String,
       out: String,
@@ -147,7 +147,7 @@ object Main {
    * to the dataset and advances the watermark. `mtimeSlop >= 0` opts in to
    * idle-file pruning at `watermark - slop` (the streamMtimeSlop contract).
    * Returns the appended row count. */
-  private[graft] def exportDelta(
+  def exportDelta(
       spark: SparkSession,
       tree: String,
       out: String,

@@ -170,6 +170,7 @@ object SparkEntry {
     "q105_ann_recall" -> (VectorOps.annRecall(_, _)),
     // Gopher repetition filters: dup/top n-gram fractions, n = 2,3,4
     "q109_ngram_repetition" -> (TextOps.ngramRepetition(_, _)),
+    "q110_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1029,6 +1030,22 @@ object SparkEntry {
         |CAST((n_grams - n_distinct) * 1000 // n_grams AS BIGINT) AS dup_frac_mille,
         |CAST(top_c * n * 1000 // n_toks AS BIGINT) AS top_frac_mille
         |FROM a ORDER BY doc_id, n""".stripMargin,
+    // q110: BM25 with odds-ratio idf — exact scaled-integer arithmetic on
+    // both engines (k1 = 6/5, b = 3/4 cleared of denominators; see
+    // TextOps.bm25TopK); ties broken by doc_id so the LIMIT set is total
+    "q110_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |mm AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS dl FROM mm GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        |q AS (SELECT * FROM (VALUES ('join'), ('vector'), ('window'), ('slow'), ('spark')) AS v(tok)),
+        |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM mm JOIN q USING (tok) GROUP BY tok),
+        |sc AS (SELECT mm.doc_id,
+        |  CAST((2*n_docs - 2*df + 1) * 44 * m * t_tot * 1000000 //
+        |       ((2*df + 1) * (20 * m * t_tot + 6 * t_tot + 18 * dl * n_docs)) AS BIGINT) AS contrib
+        |  FROM mm JOIN q USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms, CAST(sum(contrib) AS BIGINT) AS score_ppm
+        |FROM sc GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
     "q90_contamination_overlap" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
         |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),

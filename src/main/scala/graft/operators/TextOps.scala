@@ -201,6 +201,58 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** The fixed retrieval query [[bm25TopK]] ranks against: five
+   * mid-frequency corpus terms (mixed df so the idf factor differentiates). */
+  val Bm25Query = Seq("join", "vector", "window", "slow", "spark")
+
+  /**
+   * BM25 relevance ranking (Robertson et al., Okapi at TREC-3, 1994) of the
+   * corpus against a fixed query — THE lexical-retrieval baseline next to
+   * the dense ANN family (q27/q75), with k1 = 1.2, b = 0.75 and the
+   * ODDS-RATIO idf (the Robertson–Spärck Jones odds WITHOUT the log): every
+   * factor is then a ratio of exact integers, so one ppm quantization per
+   * (doc, term) makes the score bit-identical across engines — the same
+   * scaled-integer discipline q53/q83 use instead of `ln`. Per term the
+   * odds idf is a monotone transform of the log idf (same ranking
+   * direction); cross-term weighting differs from the log form and is
+   * pinned as this operator's documented scoring law.
+   *
+   *   contrib_ppm(doc, t) = (2N − 2df + 1) · 44·tf·T · 10⁶
+   *                         div ((2df + 1) · (20·tf·T + 6·T + 18·dl·N))
+   *
+   * where dl = doc token count, T = corpus token count, N = doc count; the
+   * integer constants are k1 = 6/5 and b = 3/4 cleared of denominators
+   * (num/den scaled by 20·T). Overflow bound: the numerator is
+   * ≲ 2N·44·tf·T·10⁶ — fine in Long while N·tf·T < 10¹¹; petabyte corpora
+   * lift the same formula to decimal(38,0).
+   *
+   * Shape: derives entirely from the shared [[docTermTable]] relation (ONE
+   * corpus tokenize pass, shared with q53/q83 — composing all three in a
+   * session tokenizes once). The query-term df table and the (T, N) totals
+   * broadcast (≤ |query| rows); the per-(doc, term) scoring rows are the
+   * FILTERED corpus (only query-term hits survive the isin pushdown), the
+   * dl join and the final groupBy share the doc_id shuffle key, and the
+   * top-k is TakeOrderedAndProject — never a global sort.
+   */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docTok = docTermTable(spark, dir).select("doc_id", "tok", "m")
+    val dl = docTok.groupBy("doc_id").agg(sum("m").as("dl"))
+    val tot = dl.agg(sum("dl").as("t_tot"), count(lit(1)).as("n_docs"))
+    val hits = docTok.filter(col("tok").isin(Bm25Query: _*))
+    val dfTab = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    hits
+      .join(broadcast(dfTab), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib_ppm", expr(
+        "(2*n_docs - 2*df + 1) * 44 * m * t_tot * 1000000 div " +
+          "((2*df + 1) * (20 * m * t_tot + 6 * t_tot + 18 * dl * n_docs))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"), sum("contrib_ppm").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /**
    * Per-source curation report: the data-governance rollup a crawl
    * pipeline publishes per ingest source — volume, language spread, and

@@ -61,6 +61,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q26 crosses the per-occurrence gram table with the 1-row corpus-count
     // aggregate (the r9 scaled df cap's in-plan N — same pattern as q53)
     "q26_dedup_ngram_jaccard",
+    // q110 crosses the query-term hits with the 1-row (T, N) totals
+    // aggregate — the q53/q83 in-plan-N pattern
+    "q110_bm25_topk",
     // 16-row broadcast centroid table crossed onto every vector: the IVF
     // assignment IS a deliberate tiny-broadcast nested loop (arg-min over
     // the centroid set per row)
