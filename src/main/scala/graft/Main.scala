@@ -146,7 +146,17 @@ object Main {
   /** Watermark-resumable delta: appends points in (last watermark, untilTs]
    * to the dataset and advances the watermark. `mtimeSlop >= 0` opts in to
    * idle-file pruning at `watermark - slop` (the streamMtimeSlop contract).
-   * Returns the appended row count. */
+   * Returns the appended row count.
+   *
+   * Failure semantics: the parquet append commits atomically (Spark's file
+   * committer publishes only on job commit), and the watermark advances
+   * AFTER it — so a crash before commit loses nothing and a rerun covers
+   * the same window, while a crash in the sliver between commit and
+   * watermark write duplicates that window on rerun. Duplicates are
+   * detectable (same (file, archive, position, timestamp) keys) and the
+   * window is user-chosen, so the recovery is `DELETE` of the window +
+   * rerun; exactly-once would need a lake format with transactional
+   * manifests (Delta/Iceberg), which the plain-parquet target forgoes. */
   def exportDelta(
       spark: SparkSession,
       tree: String,
