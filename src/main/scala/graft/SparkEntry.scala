@@ -171,6 +171,8 @@ object SparkEntry {
     // Gopher repetition filters: dup/top n-gram fractions, n = 2,3,4
     "q109_ngram_repetition" -> (TextOps.ngramRepetition(_, _)),
     "q110_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
+    "q111_rrf_fusion" -> ((s, d) => TextOps.rrfFusion(s, d)),
+    "q112_weighted_sample" -> ((s, d) => SamplingOps.weightedSample(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1046,6 +1048,53 @@ object SparkEntry {
         |  FROM mm JOIN q USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms, CAST(sum(contrib) AS BIGINT) AS score_ppm
         |FROM sc GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    // q111: RRF over the BM25 top-50 (q110's CTE at poolK=50) and the
+    // quality-prior top-50 (q21's formula); 1e6 div (60 + rank) exact ppm
+    "q111_rrf_fusion" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |mm AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS dl FROM mm GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        |q AS (SELECT * FROM (VALUES ('join'), ('vector'), ('window'), ('slow'), ('spark')) AS v(tok)),
+        |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM mm JOIN q USING (tok) GROUP BY tok),
+        |sc AS (SELECT mm.doc_id,
+        |  CAST((2*n_docs - 2*df + 1) * 44 * m * t_tot * 1000000 //
+        |       ((2*df + 1) * (20 * m * t_tot + 6 * t_tot + 18 * dl * n_docs)) AS BIGINT) AS contrib
+        |  FROM mm JOIN q USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+        |bm AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm
+        |  FROM sc GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 50),
+        |ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank_bm25 FROM bm),
+        |qual AS (SELECT doc_id,
+        |  CAST(round(least(1.0, length(text)/500.0)
+        |    * (1.0 - CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text))
+        |    * (0.5 + 0.5 * CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |        / len(string_split(text,' '))) * 1000.0, 0) AS BIGINT) AS quality_score_k
+        |  FROM documents),
+        |qb AS (SELECT doc_id, quality_score_k FROM qual ORDER BY quality_score_k DESC, doc_id LIMIT 50),
+        |rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY quality_score_k DESC, doc_id) AS BIGINT) AS rank_quality FROM qb),
+        |fused AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+        |  COALESCE(rank_bm25, 0) AS rank_bm25, COALESCE(rank_quality, 0) AS rank_quality,
+        |  CAST((CASE WHEN rank_bm25 IS NULL THEN 0 ELSE 1000000 // (60 + rank_bm25) END)
+        |     + (CASE WHEN rank_quality IS NULL THEN 0 ELSE 1000000 // (60 + rank_quality) END) AS BIGINT) AS rrf_ppm
+        |  FROM ra FULL OUTER JOIN rb USING (doc_id))
+        |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+        |  CAST(rank_quality AS BIGINT) AS rank_quality, rrf_ppm
+        |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    // q112: priority sampling — u = first 60 md5 bits as bigint (Spark conv
+    // == DuckDB '0x'||hex cast, verified bit-identical), priority
+    // w*1e12 // (u//1e6 + 1), top-k a deterministic total order
+    "q112_weighted_sample" ->
+      """WITH qual AS (SELECT doc_id,
+        |  CAST(round(least(1.0, length(text)/500.0)
+        |    * (1.0 - CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text))
+        |    * (0.5 + 0.5 * CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |        / len(string_split(text,' '))) * 1000.0, 0) AS BIGINT) AS weight
+        |  FROM documents),
+        |pri AS (SELECT doc_id, weight,
+        |  CAST(weight * 1000000000000 //
+        |    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 15))::BIGINT // 1000000) + 1) AS BIGINT) AS pri
+        |  FROM qual)
+        |SELECT doc_id, weight, pri FROM pri ORDER BY pri DESC, doc_id LIMIT 25""".stripMargin,
     "q90_contamination_overlap" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
         |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),

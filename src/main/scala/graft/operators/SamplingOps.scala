@@ -438,4 +438,33 @@ object SamplingOps {
       .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
       .orderBy("lang", "rn")
   }
+
+  /**
+   * Deterministic WEIGHTED sampling without replacement — priority sampling
+   * (Duffield, Lund & Thorup, JACM 2007): each doc draws a reproducible
+   * uniform u from its content-stable hash and gets priority w/u; the top-k
+   * priorities are the sample, so a doc's inclusion probability scales with
+   * its weight (here the q21 quality score — "sample the corpus, preferring
+   * quality" is THE curation subsampling step) while any fixed doc's fate
+   * is a pure function of its own id — reruns, engines, and incremental
+   * extensions of the corpus agree on every doc that stays.
+   *
+   * Exactness: u is the first 60 bits of md5 as an integer (the same
+   * parse on both engines: Spark `conv(hex,16,10)`, DuckDB
+   * `('0x'||hex)::BIGINT` — verified bit-identical), and the priority is
+   * scaled-integer division (`w * 10^12 div (u div 10^6 + 1)`), never a
+   * float — max value ~10^15, no overflow, no rounding divergence. The
+   * top-k is TakeOrderedAndProject over a map-side projection: no shuffle
+   * at all until the k winners; at 100 TB the scan streams and only
+   * (tasks × k) rows move.
+   */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score_k").as("weight"))
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(cast(doc_id as string) || 'ws'), 1, 15), 16, 10) as bigint)"))
+      .withColumn("pri", expr("weight * 1000000000000 div (u div 1000000 + 1)"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "weight", "pri")
 }

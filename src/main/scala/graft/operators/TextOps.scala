@@ -254,6 +254,43 @@ object TextOps {
   }
 
   /**
+   * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of two
+   * heterogeneous rankings — the standard hybrid-retrieval combiner (its
+   * modern use: fuse a lexical BM25 list with a dense-ANN list; here the
+   * second ranking is the corpus quality prior, the fusion a curation
+   * pipeline runs to surface documents that are both RELEVANT and
+   * high-quality). fused(d) = Σ_r 1 / (K + rank_r(d)) over the rankings
+   * that retrieved d, K = 60 (the paper's constant), emitted as exact
+   * integer ppm (`1000000 div (60 + rank)`) so both engines hash
+   * identically.
+   *
+   * Shape: both input rankings are top-`poolK` relations (bounded — the
+   * candidate pools of a fusion step are retriever outputs, never the
+   * corpus), so the rank windows and the full-outer join run on ≤ poolK
+   * rows; everything upstream is the q110/q21 machinery unchanged. Ranks
+   * are total orders ((score DESC, doc_id) / (quality DESC, doc_id)), so
+   * the fused set is deterministic.
+   */
+  def rrfFusion(spark: SparkSession, dir: String, k: Int = 20, poolK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.orderBy(col("score_ppm").desc, col("doc_id"))
+    val wB = Window.orderBy(col("quality_score_k").desc, col("doc_id"))
+    val a = bm25TopK(spark, dir, poolK)
+      .select(col("doc_id"), row_number().over(wA).cast("bigint").as("rank_bm25"))
+    val b = qualityScore(spark, dir)
+      .orderBy(col("quality_score_k").desc, col("doc_id")).limit(poolK)
+      .select(col("doc_id"), row_number().over(wB).cast("bigint").as("rank_quality"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("rank_bm25", "rank_quality"))
+      .withColumn("rrf_ppm", expr(
+        "if(rank_bm25 > 0, 1000000 div (60 + rank_bm25), 0) + " +
+          "if(rank_quality > 0, 1000000 div (60 + rank_quality), 0)"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "rank_bm25", "rank_quality", "rrf_ppm")
+  }
+
+  /**
    * Per-source curation report: the data-governance rollup a crawl
    * pipeline publishes per ingest source — volume, language spread, and
    * mean quality (integer division over the summed quantized score, so the

@@ -62,8 +62,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // aggregate (the r9 scaled df cap's in-plan N — same pattern as q53)
     "q26_dedup_ngram_jaccard",
     // q110 crosses the query-term hits with the 1-row (T, N) totals
-    // aggregate — the q53/q83 in-plan-N pattern
-    "q110_bm25_topk",
+    // aggregate — the q53/q83 in-plan-N pattern; q111 fuses q110's ranking
+    // so it inherits the same crossJoin
+    "q110_bm25_topk", "q111_rrf_fusion",
     // 16-row broadcast centroid table crossed onto every vector: the IVF
     // assignment IS a deliberate tiny-broadcast nested loop (arg-min over
     // the centroid set per row)
@@ -92,7 +93,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partition and neither side can broadcast, so a shuffle/merge join on
     // bucket is exactly the intended scale shape (AQE may still demote to
     // broadcast at tiny sf; both outcomes are correct)
-    "q88_semantic_dedup")
+    "q88_semantic_dedup",
+    // q111's FULL OUTER fusion join: Spark has no broadcast strategy for
+    // full-outer, so SMJ is the only shape — over two <= poolK(50)-row
+    // ranking relations, size-bounded by construction
+    "q111_rrf_fusion")
 
   test("no query plans a Cartesian product; BNLJ/SMJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
