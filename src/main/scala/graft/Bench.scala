@@ -488,6 +488,13 @@ object Bench {
         "corpus scans gave 25-141 s wall variance at 100x, post-fix 11-17 s stable (BENCH_NOTES r8)"),
       "q84_mm_png_decode" -> ("oracle asymmetry: Spark decodes 500 real PNGs (ImageIO, batched mapPartitions); " +
         "the DuckDB oracle replays closed-form synthesis constants and never touches a codec"),
+      "q26_dedup_ngram_jaccard" -> ("constant-factor row cost, not growth: the r8 partial-agg df table + " +
+        "equi-join plan (window-free) measured LINEAR to 100x corpus with shuffle bytes linear " +
+        "(17.5 s at 100x, BENCH_NOTES r8; r11 plan audit: 'the right plan for pair-reporting exact " +
+        "Jaccard'); the marginal ratio is the per-row JVM-vs-C++ constant, q12's family"),
+      "q111_rrf_fusion" -> ("one-corpus-pass persist family: runs q110's BM25 (shared docTermTable " +
+        "cache build, the dominant cost at bench sf) plus the q21 quality pass; the fusion itself " +
+        "joins two <= 50-row ranking relations — fixed small-sf cache cost that cluster scale amortizes"),
       "q109_ngram_repetition" -> ("constant-factor row cost, not growth: ONE generator pass over all " +
         "2/3/4-grams (work linear in corpus grams; both engines' walls grow SUBLINEARLY on 10x data - " +
         "Spark 4.6x, DuckDB 6.3x), two doc-keyed partial-agg shuffles bounded by per-doc distinct grams; " +
