@@ -87,6 +87,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectFunction((
+      FunctionIdentifier("punct_count"),
+      info("punct_count", "punct_count(string) - code points outside [A-Za-z0-9 ], == regexp_count(s, '[^A-Za-z0-9 ]')"),
+      (exprs: Seq[Expression]) => graft.functions.PunctCount(exprs.head)
+    ))
+    ext.injectFunction((
       FunctionIdentifier("minhash8"),
       info("minhash8", "minhash8(array<string>) - 8-slot md5 MinHash signature"),
       (exprs: Seq[Expression]) => MinHash8(exprs.head)

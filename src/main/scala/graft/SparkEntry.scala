@@ -1043,8 +1043,10 @@ object SparkEntry {
         |q AS (SELECT * FROM (VALUES ('join'), ('vector'), ('window'), ('slow'), ('spark')) AS v(tok)),
         |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM mm JOIN q USING (tok) GROUP BY tok),
         |sc AS (SELECT mm.doc_id,
-        |  CAST((2*n_docs - 2*df + 1) * 44 * m * t_tot * 1000000 //
-        |       ((2*df + 1) * (20 * m * t_tot + 6 * t_tot + 18 * dl * n_docs)) AS BIGINT) AS contrib
+        |  CAST((44000000 * m * 1000000 //
+        |        (20000000 * m + 6000000 + 18 * (dl * 1000000 // (t_tot // n_docs))))
+        |     * least((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1), 1000000000000) // 1000000
+        |    AS BIGINT) AS contrib
         |  FROM mm JOIN q USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms, CAST(sum(contrib) AS BIGINT) AS score_ppm
         |FROM sc GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
@@ -1058,8 +1060,10 @@ object SparkEntry {
         |q AS (SELECT * FROM (VALUES ('join'), ('vector'), ('window'), ('slow'), ('spark')) AS v(tok)),
         |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM mm JOIN q USING (tok) GROUP BY tok),
         |sc AS (SELECT mm.doc_id,
-        |  CAST((2*n_docs - 2*df + 1) * 44 * m * t_tot * 1000000 //
-        |       ((2*df + 1) * (20 * m * t_tot + 6 * t_tot + 18 * dl * n_docs)) AS BIGINT) AS contrib
+        |  CAST((44000000 * m * 1000000 //
+        |        (20000000 * m + 6000000 + 18 * (dl * 1000000 // (t_tot // n_docs))))
+        |     * least((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1), 1000000000000) // 1000000
+        |    AS BIGINT) AS contrib
         |  FROM mm JOIN q USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
         |bm AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm
         |  FROM sc GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 50),

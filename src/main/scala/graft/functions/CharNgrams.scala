@@ -75,3 +75,56 @@ object CharNgrams {
     new GenericArrayData(out)
   }
 }
+
+/**
+ * `punct_count(string)` — the number of Unicode code points NOT in
+ * `[A-Za-z0-9 ]`, i.e. exactly `regexp_count(text, '[^A-Za-z0-9 ]')`
+ * (both Java regex and RE2 match a negated character class one code point
+ * at a time), in one generated-code byte scan.
+ *
+ * Why a kernel: Spark implements `regexp_count` as
+ * `size(regexp_extract_all(...))` — it MATERIALIZES every match as a
+ * string in an array. For the quality-scoring family (q21/q43/q62/q68/
+ * q98/q111/q112) that regex was 97% of the whole formula's cost at scale
+ * (24.1 s of 27 s over 500k docs, prof_quality r12). This scan is
+ * zero-allocation: class members are ASCII, whose UTF-8 encodings are
+ * single bytes that can never appear as continuation bytes, so counting
+ * matching BYTES counts matching code points, and the total code-point
+ * count is `numChars`.
+ */
+case class PunctCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "punct_count"
+
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"punct_count needs string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PunctCount.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PunctCount.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PunctCount = copy(child = newChild)
+}
+
+object PunctCount {
+  def compute(s: UTF8String): Int = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    var keep = 0
+    var i = 0
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+          (b >= '0' && b <= '9') || b == ' ') keep += 1
+      i += 1
+    }
+    s.numChars() - keep
+  }
+}

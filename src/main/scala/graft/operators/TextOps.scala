@@ -63,7 +63,11 @@ object TextOps {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .withColumn("toks", expr("split(text, ' ')"))
-      .withColumn("punct_r", expr("cast(regexp_count(text, '[^A-Za-z0-9 ]') as double) / length(text)"))
+      // punct_count == regexp_count(text, '[^A-Za-z0-9 ]') exactly
+      // (property-pinned), but as one codegen byte scan instead of Spark's
+      // match-materializing regexp_extract_all rewrite — the regex was 97%
+      // of this formula's wall at 500k docs (prof_quality, BENCH_NOTES r12)
+      .withColumn("punct_r", expr("cast(punct_count(text) as double) / length(text)"))
       .withColumn(
         "stop_r",
         expr(s"cast(size(filter(toks, x -> x in ${inList(StopEn)})) as double) / size(toks)")
@@ -217,14 +221,23 @@ object TextOps {
    * direction); cross-term weighting differs from the log form and is
    * pinned as this operator's documented scoring law.
    *
-   *   contrib_ppm(doc, t) = (2N − 2df + 1) · 44·tf·T · 10⁶
-   *                         div ((2df + 1) · (20·tf·T + 6·T + 18·dl·N))
+   * The law quantizes PER STAGE so every intermediate stays far inside
+   * Long at ANY realistic corpus size (the single-expression form
+   * 44·tf·T·10⁶·(2N−2df+1) overflowed at a mere 30x replica corpus —
+   * caught by the r12 scale probe under Spark 4's default ANSI mode):
    *
-   * where dl = doc token count, T = corpus token count, N = doc count; the
-   * integer constants are k1 = 6/5 and b = 3/4 cleared of denominators
-   * (num/den scaled by 20·T). Overflow bound: the numerator is
-   * ≲ 2N·44·tf·T·10⁶ — fine in Long while N·tf·T < 10¹¹; petabyte corpora
-   * lift the same formula to decimal(38,0).
+   *   avgdl      = T div N                         (corpus tokens / docs)
+   *   r_ppm      = dl·10⁶ div avgdl                (doc length vs mean; ≤10¹² for a 1M-token doc)
+   *   den_ppm    = 2·10⁷·tf + 6·10⁶ + 18·r_ppm     (20·tf + 6 + 18·dl/avgdl, ppm-scaled)
+   *   tfnorm_ppm = 44·10⁶·tf·10⁶ div den_ppm       (≤ 2.2·10⁶ always; k1=6/5, b=3/4 cleared)
+   *   idf_ppm    = min((2N−2df+1)·10⁶ div (2df+1), 10¹²)  (odds idf, saturated —
+   *                an ultra-rare term's influence caps, the role the log plays in classic BM25)
+   *   contrib    = tfnorm_ppm·idf_ppm div 10⁶      (≤ 2.2·10¹²; ×|query| terms per doc)
+   *
+   * where dl = doc token count, T = corpus token count, N = doc count.
+   * Each `div` is deterministic integer division on both engines, so
+   * cross-engine exactness holds by construction; magnitude bounds hold to
+   * ~10¹² docs / ~10¹⁸ tokens. Measured linear 1x→100x (BENCH_NOTES r12).
    *
    * Shape: derives entirely from the shared [[docTermTable]] relation (ONE
    * corpus tokenize pass, shared with q53/q83 — composing all three in a
@@ -245,8 +258,9 @@ object TextOps {
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
       .withColumn("contrib_ppm", expr(
-        "(2*n_docs - 2*df + 1) * 44 * m * t_tot * 1000000 div " +
-          "((2*df + 1) * (20 * m * t_tot + 6 * t_tot + 18 * dl * n_docs))"))
+        "(44000000 * m * 1000000 div " +
+          "(20000000 * m + 6000000 + 18 * (dl * 1000000 div (t_tot div n_docs)))) * " +
+          "least((2*n_docs - 2*df + 1) * 1000000 div (2*df + 1), 1000000000000) div 1000000"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_terms"), sum("contrib_ppm").as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("doc_id"))

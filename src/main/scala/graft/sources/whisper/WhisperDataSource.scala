@@ -197,6 +197,9 @@ object WhisperIO {
       shard: Option[(Int, Int)]): Seq[FileEntry] = {
     val p = new HPath(pattern)
     val fs = p.getFileSystem(hadoopConf())
+    // globStatus is already list-based for wildcard components (measured on
+    // the SlowFs counters: zero per-match stats for a trailing glob), so no
+    // custom matcher is warranted here
     val matches: Seq[FileStatus] =
       Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     require(lenient || matches.nonEmpty, s"whisper path matches no files: $pattern")

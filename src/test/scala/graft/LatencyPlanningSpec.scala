@@ -64,9 +64,10 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts >= 1)
     // exactly one open per file (the ranged header read); the walk's length
     // rides into readMetaHeaderOnly, so no EXPLICIT per-file getFileStatus.
-    // RawLocalFileSystem.open delegates to getFileStatus internally (1 per
-    // open) and the glob stats each top-level match (8), so the budget is
-    // 2*opens + 8 — an explicit per-file stat regression lands at 3x+8
+    // Counted stats are pure RawLocal DELEGATION artifacts: open() stats its
+    // target (64) and listStatus() stats each child (64 files + 8 dirs) —
+    // real object stores return listing metadata batched. Budget = 136
+    // exactly; an explicit per-file stat regression lands at +64
     assert(SlowFs.opens.get() == 64, s"expected 64 header opens, got ${SlowFs.opens.get()}")
     assert(SlowFs.stats.get() <= 2 * 64 + 8,
       s"explicit per-file getFileStatus crept back: ${SlowFs.stats.get()} stats for 64 opens")

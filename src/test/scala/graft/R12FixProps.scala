@@ -88,6 +88,26 @@ object R12FixProps extends Properties("R12Fixes") {
       bounded.min == exact.min
     }
 
+  // --- punct_count kernel == the regex it replaces, on arbitrary Unicode ---
+
+  private val genUnicodeText: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumChar,
+    2 -> Gen.const(' '),
+    2 -> Gen.oneOf('!', '.', ',', '@', '\n', '\t'),
+    1 -> Gen.oneOf('ü', 'é', '中', '→'),            // multi-byte BMP
+    1 -> Gen.const("😀"),                 // supplementary (4-byte UTF-8)
+    1 -> Gen.const("𝕏")                             // another supplementary
+  ).map(_.toString)).map(_.mkString)
+
+  property("punct_count equals regexp_count(s, '[^A-Za-z0-9 ]') per code point") =
+    forAll(genUnicodeText) { s =>
+      val kernel = graft.functions.PunctCount.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val regex = java.util.regex.Pattern.compile("[^A-Za-z0-9 ]")
+        .matcher(s).results().count().toInt
+      kernel == regex
+    }
+
   // --- 2. microsecond-exact watermark pull around the cut ---
 
   private lazy val spark: SparkSession = SparkSession.builder()
