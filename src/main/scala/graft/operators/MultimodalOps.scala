@@ -309,11 +309,18 @@ object MultimodalOps {
 
   def videoAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    val p = videoAssetCache.computeIfAbsent(dir, _ => {
+    // get + putIfAbsent, not computeIfAbsent: the miss path runs a Spark
+    // job, and a CHM mapping function that blocks both serializes same-bin
+    // keys and can trip the JDK "Recursive update" guard under concurrent
+    // callers (the r12 manifest/header-cache lesson). A raced duplicate
+    // materialization is idempotent; the loser's temp dir is just unused.
+    val hit = videoAssetCache.get(dir)
+    val p = if (hit != null) hit else {
       val path = java.nio.file.Files.createTempDirectory("graft_video_assets").toString
       videoAssets(spark, dir).write.mode("overwrite").parquet(path)
-      path
-    })
+      val prev = videoAssetCache.putIfAbsent(dir, path)
+      if (prev != null) prev else path
+    }
     spark.read.parquet(p).as[Asset]
   }
 

@@ -170,8 +170,21 @@ object VectorOps {
    * must call [[invalidateIndexCache]] after the rewrite. */
   def invalidateIndexCache(dir: String): Unit = ivfCache.remove(dir)
 
-  private def ivfIndex(spark: SparkSession, dir: String): IvfIndex =
-    ivfCache.computeIfAbsent(dir, _ => {
+  private def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    // get + putIfAbsent, not computeIfAbsent: the miss path runs Spark
+    // jobs (centroid pulls), and a blocking CHM mapping function both
+    // serializes same-bin keys and can trip the JDK "Recursive update"
+    // guard under concurrent callers (r12 lesson); duplicate builds are
+    // deterministic-identical, so a race is harmless.
+    val hit = ivfCache.get(dir)
+    if (hit != null) return hit
+    val built = buildIvfIndex(spark, dir)
+    val prev = ivfCache.putIfAbsent(dir, built)
+    if (prev != null) prev else built
+  }
+
+  private def buildIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    {
       val e = embeddings(spark, dir)
       val r = e.agg(
         count(lit(1)).as("n"),
@@ -199,7 +212,8 @@ object VectorOps {
           trainPqCodebook(seeds.map(_._2.map(e6)), sample, PQ_ITERS)
         }
       IvfIndex(math.max(n / 16, 1L), cents, qv, codebook)
-    })
+    }
+  }
 
   /** PQ geometry: 32 subspaces × 2 dims × 64 codewords (6-bit codes,
    * 32·6 = 192 bits ≈ 24 bytes per vector — 21× smaller than the 512-byte

@@ -122,7 +122,14 @@ object WhisperManifest {
   /** [[loadRaw]] memoized by (path, manifest length, manifest mtime):
    * planning may run many times per session over the same manifest, and a
    * million-entry parse should be paid once, not per query. A rewritten
-   * manifest (new length/mtime) reloads. */
+   * manifest (new length/mtime) reloads.
+   *
+   * get + putIfAbsent, NOT computeIfAbsent: the miss path is manifest I/O,
+   * and a ConcurrentHashMap mapping function that blocks trips the JDK's
+   * "Recursive update" guard when another key lands in the same bin while
+   * the reservation is held (observed twice this round — here and in the
+   * micro-batch header cache) besides serializing same-bin loads. A raced
+   * duplicate parse is idempotent. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, Entry]]()
 
@@ -130,6 +137,13 @@ object WhisperManifest {
     val p = new HPath(path)
     val fs = p.getFileSystem(WhisperIO.hadoopConf())
     val st = fs.getFileStatus(p)
-    cache.computeIfAbsent((path, st.getLen, st.getModificationTime), _ => loadRaw(path))
+    val key = (path, st.getLen, st.getModificationTime)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val m = loadRaw(path)
+      val prev = cache.putIfAbsent(key, m)
+      if (prev != null) prev else m
+    }
   }
 }
