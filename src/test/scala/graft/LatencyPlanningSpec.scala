@@ -153,6 +153,28 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shard walks re-list shared directories ($l0 + $l1 vs full $fullListings)")
   }
 
+  test("streaming tail plans its FIRST trigger from the manifest (zero header opens)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions}
+    // the per-stream header cache already makes triggers 2+ free; the
+    // manifest removes the COLD-START sweep too — a stream over a million
+    // remote files must not pay a GET per file at its first trigger
+    val tree = mkTree(nDirs = 4, filesPerDir = 6) // 24 files
+    val manifest = Files.createTempDirectory("slow-manifest-s").resolve("m.jsonl.gz").toString
+    SlowFs.reset(0)
+    assert(graft.sources.whisper.WhisperManifest.write(Seq(slow(tree)), manifest) == 24L)
+    val m = new java.util.HashMap[String, String]()
+    m.put("headerManifest", manifest)
+    m.put("binThreshold", "100000")
+    val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
+    val stream = new WhisperMicroBatchStream(Seq(slow(tree)), opts, Seq.empty, opts.schema, 0L)
+    SlowFs.reset(0)
+    val n = stream.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L)).length
+    assert(n == 24, s"expected 24 planned units, got $n")
+    assert(SlowFs.opens.get() == 0,
+      s"manifest-backed stream planning still opened ${SlowFs.opens.get()} headers on trigger 1")
+  }
+
   test("streaming tail honors streamShard and shards are replay-deterministic") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions}
