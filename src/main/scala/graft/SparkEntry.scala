@@ -1043,8 +1043,8 @@ object SparkEntry {
         |q AS (SELECT * FROM (VALUES ('join'), ('vector'), ('window'), ('slow'), ('spark')) AS v(tok)),
         |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM mm JOIN q USING (tok) GROUP BY tok),
         |sc AS (SELECT mm.doc_id,
-        |  CAST((44000000 * m * 1000000 //
-        |        (20000000 * m + 6000000 + 18 * (dl * 1000000 // (t_tot // n_docs))))
+        |  CAST((44000000 * least(m, 100000) * 1000000 //
+        |        (20000000 * least(m, 100000) + 6000000 + 18 * (dl * 1000000 // (t_tot // n_docs))))
         |     * least((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1), 1000000000000) // 1000000
         |    AS BIGINT) AS contrib
         |  FROM mm JOIN q USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot)
@@ -1060,8 +1060,8 @@ object SparkEntry {
         |q AS (SELECT * FROM (VALUES ('join'), ('vector'), ('window'), ('slow'), ('spark')) AS v(tok)),
         |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM mm JOIN q USING (tok) GROUP BY tok),
         |sc AS (SELECT mm.doc_id,
-        |  CAST((44000000 * m * 1000000 //
-        |        (20000000 * m + 6000000 + 18 * (dl * 1000000 // (t_tot // n_docs))))
+        |  CAST((44000000 * least(m, 100000) * 1000000 //
+        |        (20000000 * least(m, 100000) + 6000000 + 18 * (dl * 1000000 // (t_tot // n_docs))))
         |     * least((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1), 1000000000000) // 1000000
         |    AS BIGINT) AS contrib
         |  FROM mm JOIN q USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),

@@ -228,8 +228,14 @@ object TextOps {
    *
    *   avgdl      = T div N                         (corpus tokens / docs)
    *   r_ppm      = dl·10⁶ div avgdl                (doc length vs mean; ≤10¹² for a 1M-token doc)
-   *   den_ppm    = 2·10⁷·tf + 6·10⁶ + 18·r_ppm     (20·tf + 6 + 18·dl/avgdl, ppm-scaled)
-   *   tfnorm_ppm = 44·10⁶·tf·10⁶ div den_ppm       (≤ 2.2·10⁶ always; k1=6/5, b=3/4 cleared)
+   *   tf'        = min(tf, 10⁵)                    (tf saturation made explicit: tfnorm is
+   *                within 11 ppm of its k1+1 asymptote by tf = 10⁵, so the clamp changes
+   *                nothing a ranking can see while bounding the numerator below — a term
+   *                repeated 10⁵+ times in one doc is the spam case BM25 saturates by design)
+   *   den_ppm    = 2·10⁷·tf' + 6·10⁶ + 18·r_ppm    (20·tf + 6 + 18·dl/avgdl, ppm-scaled)
+   *   tfnorm_ppm = 44·10⁶·tf'·10⁶ div den_ppm      (≤ 2.2·10⁶ always; k1=6/5, b=3/4 cleared;
+   *                numerator ≤ 4.4·10¹⁸ < Long.Max BECAUSE of the clamp — unclamped, a
+   *                209,716-occurrence term overflowed)
    *   idf_ppm    = min((2N−2df+1)·10⁶ div (2df+1), 10¹²)  (odds idf, saturated —
    *                an ultra-rare term's influence caps, the role the log plays in classic BM25)
    *   contrib    = tfnorm_ppm·idf_ppm div 10⁶      (≤ 2.2·10¹²; ×|query| terms per doc)
@@ -258,8 +264,8 @@ object TextOps {
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
       .withColumn("contrib_ppm", expr(
-        "(44000000 * m * 1000000 div " +
-          "(20000000 * m + 6000000 + 18 * (dl * 1000000 div (t_tot div n_docs)))) * " +
+        "(44000000 * least(m, 100000) * 1000000 div " +
+          "(20000000 * least(m, 100000) + 6000000 + 18 * (dl * 1000000 div (t_tot div n_docs)))) * " +
           "least((2*n_docs - 2*df + 1) * 1000000 div (2*df + 1), 1000000000000) div 1000000"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_terms"), sum("contrib_ppm").as("score_ppm"))

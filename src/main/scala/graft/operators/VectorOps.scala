@@ -160,6 +160,12 @@ object VectorOps {
       queryVec: Array[Double],
       pqCodebook: Array[Array[Array[Long]]])
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+  // bumped by invalidateIndexCache: a build that STARTED before an
+  // invalidation must not re-install its (stale) result after it — without
+  // this, remove() followed by the in-flight build's put would serve the
+  // old index forever (the computeIfAbsent form blocked remove() on the bin
+  // until the build finished; get+put needs the epoch to keep that ordering)
+  private val ivfEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** STALENESS HAZARD: the memoized index is keyed by `dir` only, with no
    * file-mtime check — if the embeddings parquet under a dir is REWRITTEN
@@ -168,19 +174,28 @@ object VectorOps {
    * trade (an ANN index is built once and amortized; rebuilding per query
    * would dominate the search), but any harness that mutates a dir in-place
    * must call [[invalidateIndexCache]] after the rewrite. */
-  def invalidateIndexCache(dir: String): Unit = ivfCache.remove(dir)
+  def invalidateIndexCache(dir: String): Unit = {
+    ivfEpoch.incrementAndGet()
+    ivfCache.remove(dir)
+  }
 
   private def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
     // get + putIfAbsent, not computeIfAbsent: the miss path runs Spark
     // jobs (centroid pulls), and a blocking CHM mapping function both
     // serializes same-bin keys and can trip the JDK "Recursive update"
     // guard under concurrent callers (r12 lesson); duplicate builds are
-    // deterministic-identical, so a race is harmless.
+    // deterministic-identical, so a race is harmless. The epoch check
+    // keeps invalidation ordering: a build straddling an invalidation is
+    // returned to ITS caller but never cached.
     val hit = ivfCache.get(dir)
     if (hit != null) return hit
+    val epoch = ivfEpoch.get()
     val built = buildIvfIndex(spark, dir)
-    val prev = ivfCache.putIfAbsent(dir, built)
-    if (prev != null) prev else built
+    if (ivfEpoch.get() != epoch) built
+    else {
+      val prev = ivfCache.putIfAbsent(dir, built)
+      if (prev != null) prev else built
+    }
   }
 
   private def buildIvfIndex(spark: SparkSession, dir: String): IvfIndex = {

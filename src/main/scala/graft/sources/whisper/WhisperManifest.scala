@@ -119,31 +119,35 @@ object WhisperManifest {
     out.result()
   }
 
-  /** [[loadRaw]] memoized by (path, manifest length, manifest mtime):
-   * planning may run many times per session over the same manifest, and a
-   * million-entry parse should be paid once, not per query. A rewritten
-   * manifest (new length/mtime) reloads.
+  /** [[loadRaw]] memoized PER PATH with the manifest's (length, mtime) as
+   * the version stamp: planning may run many times per session over the
+   * same manifest, and a million-entry parse should be paid once, not per
+   * query. A rewritten manifest (new length/mtime) REPLACES the entry —
+   * keying the map by (path, len, mtime) instead would strand every
+   * superseded version's fully-parsed Map in the cache forever, a
+   * hundreds-of-MB leak per daily refresh on a long-lived driver.
    *
-   * get + putIfAbsent, NOT computeIfAbsent: the miss path is manifest I/O,
-   * and a ConcurrentHashMap mapping function that blocks trips the JDK's
+   * get + put, NOT computeIfAbsent: the miss path is manifest I/O, and a
+   * ConcurrentHashMap mapping function that blocks trips the JDK's
    * "Recursive update" guard when another key lands in the same bin while
    * the reservation is held (observed twice this round — here and in the
    * micro-batch header cache) besides serializing same-bin loads. A raced
-   * duplicate parse is idempotent. */
+   * duplicate parse is idempotent (last writer wins; both parsed the same
+   * version or a newer one, either of which is valid to serve). */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, Entry]]()
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Map[String, Entry])]()
 
   def load(path: String): Map[String, Entry] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(WhisperIO.hadoopConf())
     val st = fs.getFileStatus(p)
-    val key = (path, st.getLen, st.getModificationTime)
-    val hit = cache.get(key)
-    if (hit != null) hit
+    val version = (st.getLen, st.getModificationTime)
+    val hit = cache.get(path)
+    if (hit != null && hit._1 == version) hit._2
     else {
       val m = loadRaw(path)
-      val prev = cache.putIfAbsent(key, m)
-      if (prev != null) prev else m
+      cache.put(path, (version, m))
+      m
     }
   }
 }
