@@ -44,7 +44,10 @@ object Bench {
    *    the fixture failed validation) is verdict "unknown", NOT
    *    "contaminated": there is no evidence either way, and gating retry
    *    loops must not burn their tries on a perfectly clean subset run
-   *    (ADVICE r11). Consumers gate on the explicit "contaminated" only.
+   *    (ADVICE r11) — UNLESS the pass spread itself breaches (> 2x), which
+   *    is positive contamination evidence on its own; a failed canary
+   *    fixture must not launder a 10x spread into "unknown" (ADVICE r12).
+   *    Consumers gate on the explicit "contaminated" only.
    */
   final case class BoxHealth(
       canaryMin: Double, canaryBand: Double, canaryOk: Boolean,
@@ -59,7 +62,8 @@ object Bench {
       else passTotals.max / passTotals.min
     val spreadOk = passSpread > 0 && passSpread <= 2.0
     val verdict =
-      if (!canaryPresent) "unknown"
+      if (passSpread > 2.0) "contaminated" // spread evidence stands alone
+      else if (!canaryPresent) "unknown"
       else if (canaryOk && spreadOk) "clean"
       else "contaminated"
     BoxHealth(canaryMin, canaryBand, canaryOk, passSpread, spreadOk, verdict)

@@ -292,6 +292,14 @@ object TextOps {
    * the fused set is deterministic.
    */
   def rrfFusion(spark: SparkSession, dir: String, k: Int = 20, poolK: Int = 50): DataFrame = {
+    // The rank windows below are DELIBERATELY unpartitioned (a global rank
+    // needs a total order), which serializes poolK rows through one task —
+    // fine for retriever pools, catastrophic if a caller passes a
+    // corpus-sized poolK. Refuse early instead of silently single-tasking
+    // a million rows (VERDICT r12 watch item #1).
+    require(poolK >= 1 && poolK <= 10000,
+      s"poolK is a RETRIEVER POOL size (rank windows serialize poolK rows through one task); " +
+        s"got $poolK, allowed [1, 10000]")
     import org.apache.spark.sql.expressions.Window
     val wA = Window.orderBy(col("score_ppm").desc, col("doc_id"))
     val wB = Window.orderBy(col("quality_score_k").desc, col("doc_id"))

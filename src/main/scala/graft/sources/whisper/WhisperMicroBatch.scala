@@ -64,11 +64,20 @@ class WhisperMicroBatchStream(
    * per-trigger planning wall at 100k files is the header sweep,
    * BENCH_NOTES r11). Keyed by (path, file length): length is a
    * create-time constant of the preallocated format — point writes mutate
-   * slots in place and never change it — and changes exactly when the file
-   * is rewritten with a different retention layout (a manual
-   * whisper-resize), so a recreated file's stale archive offsets are
-   * dropped on the first trigger that sees the new length instead of
-   * serving garbage until stream restart (ADVICE r11). The directory walk
+   * slots in place and never change it — and changes on a retention
+   * re-layout (a manual whisper-resize) whenever the archive/point counts
+   * change, so a recreated file's stale archive offsets are dropped on the
+   * first trigger that sees the new length instead of serving garbage until
+   * stream restart (ADVICE r11). The length key shares the manifest's
+   * SAME-LENGTH re-layout hole (a resize changing only secondsPerPoint /
+   * xff / aggregation preserves length — ADVICE r12, [[WhisperManifest]]
+   * scaladoc): mid-stream, such a rewrite serves stale spp until restart;
+   * the blast radius is the idle/window archive pruning (over-prune can
+   * lose that file's rows for the stream's remaining life), and the
+   * operational answer is the same as the manifest's — same-length resizes
+   * need a stream restart (cache dies with the stream). A manifest-backed
+   * stream additionally gets the batch [[WhisperManifest.spotCheck]] on
+   * cache MISSES (new files), not on steady-state hits. The directory walk
    * already carries each file's length ([[WhisperIO.FileEntry]]); no extra
    * I/O. Files that APPEAR mid-stream are read on their first trigger.
    * Memory: one FileMeta (~100 B) per ACTIVE path — idle-pruned files never
@@ -129,7 +138,7 @@ class WhisperMicroBatchStream(
     // same-bin keys (defeating the parallel planner's latency hiding) and
     // tripping CHM's "Recursive update" guard under concurrent planning
     // (observed in the r12 fuzz run). A raced duplicate read is idempotent.
-    val manifestMetaFor = WhisperPlanning.manifestAwareMetaFor(options)
+    val manifestMetaFor = WhisperPlanning.manifestAwareMetaFor(options, live)
     val units = WhisperPlanning.plan(live, options, preds, probeOrdered = false,
       metaFor = (e, gz) => {
         val key = (e.path, e.len)

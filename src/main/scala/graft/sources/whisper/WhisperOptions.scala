@@ -57,6 +57,13 @@ final case class WhisperOptions(
     // directory walk. Entries are staleness-keyed on file length; a file
     // whose length changed since the manifest (re-layout) is read fresh.
     headerManifest: String = "",
+    // Content spot check per plan against the SAME-LENGTH re-layout hole
+    // (length staleness cannot see a resize that preserves archive/point
+    // counts — ADVICE r12, [[WhisperManifest]] scaladoc): re-read up to
+    // this many manifest-served headers and discard the manifest for the
+    // plan on any divergence. 0 disables (restores the r12 zero-header-
+    // opens plan at the cost of trusting the manifest blindly).
+    manifestSpotCheck: Int = 8,
     // Batch twin of the streaming idle prune, OPT-IN (-1 = off): files whose
     // mtime (seconds) is BELOW this floor are dropped at plan time — no
     // header read, no scan. The caller asserts the same write-behind/clock
@@ -151,6 +158,8 @@ object WhisperOptions {
     // header manifest path (graft.Main manifest) — skips per-file header
     // reads at plan time; length-keyed staleness
     headerManifest = map.getOrDefault("headerManifest", ""),
+    // per-plan content spot check of manifest-served headers (0 = off)
+    manifestSpotCheck = map.getInt("manifestSpotCheck", 8),
     // batch plan-time idle-file floor (epoch seconds); OPT-IN, -1 = off
     mtimeFloorSeconds = map.getLong("mtimeFloor", -1L),
     // "i/n" subtree sharding for parallel tailing of one huge tree

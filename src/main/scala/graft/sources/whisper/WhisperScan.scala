@@ -242,7 +242,7 @@ class WhisperScan(
    * header read entirely (length-keyed staleness; see [[WhisperManifest]]). */
   private lazy val unitPartitions: Array[WhisperInputPartition] =
     WhisperPlanning.plan(paths, options, preds,
-      metaFor = WhisperPlanning.manifestAwareMetaFor(options))
+      metaFor = WhisperPlanning.manifestAwareMetaFor(options, paths))
       .map(_.asInstanceOf[WhisperInputPartition])
 
   private lazy val plannedPartitions: Array[InputPartition] =
@@ -324,21 +324,43 @@ private[whisper] object WhisperPlanning {
 
   /** Default header source for batch planning: the manifest when the
    * `headerManifest` option names one AND its entry's length matches the
-   * walk's (stale/absent entries fall back to a fresh ranged read — a stale
-   * manifest can cost extra reads, never wrong plans); otherwise a header
-   * read that reuses the walk's length, skipping the per-file getFileStatus
-   * round trip. */
+   * walk's (stale/absent entries fall back to a fresh ranged read) AND the
+   * per-plan content spot check passes — length staleness alone cannot see
+   * a same-length re-layout (ADVICE r12; [[WhisperManifest.spotCheck]]), so
+   * up to `manifestSpotCheck` served headers are re-read and compared, and
+   * any divergence discards the manifest for the whole plan (every header
+   * read fresh — correct, just slower). Otherwise a header read that reuses
+   * the walk's length, skipping the per-file getFileStatus round trip.
+   *
+   * `candidates` is the walk's entry list the spot check samples from (the
+   * caller's pre-predicate set is fine; only manifest-SERVED entries are
+   * sampled). */
   def manifestAwareMetaFor(
-      options: WhisperOptions): (WhisperIO.FileEntry, Boolean) => graft.format.WhisperCodec.FileMeta = {
+      options: WhisperOptions,
+      candidates: Seq[WhisperIO.FileEntry]): (WhisperIO.FileEntry, Boolean) => graft.format.WhisperCodec.FileMeta = {
     if (options.headerManifest.isEmpty)
       (e, gz) => WhisperIO.readMetaHeaderOnly(e.path, gz, e.len)
     else {
-      // loaded lazily so a fully-pruned plan (file predicates keep nothing)
-      // never pays the manifest parse
-      lazy val manifest = WhisperManifest.load(options.headerManifest)
+      // EAGER, on the calling (driver) thread — deliberately NOT a lazy val
+      // inside the closure. The r12 lazy form deadlocked the planning pool
+      // (caught by this round's baseline run): the first ForkJoin worker to
+      // touch the lazy held its monitor through loadRaw's stream close,
+      // where Hadoop's IOStatisticsSnapshot.aggregate runs a PARALLEL java
+      // stream — nested ForkJoin work scheduled on the same pool whose
+      // every other worker was blocked on that very monitor, and the
+      // holder's helpJoin could only steal more blocked-on-the-monitor map
+      // tasks. Monitor-guarded I/O inside pool workers is the same pitfall
+      // family as CHM.computeIfAbsent I/O (three r12 incidents). Eager costs
+      // one memoized manifest stat per plan (and <= manifestSpotCheck header
+      // GETs), paid even by a plan whose file predicates then prune
+      // everything — correctness over that sliver of laziness.
+      val manifest = WhisperManifest.load(options.headerManifest)
+      val trusted = WhisperManifest.spotCheck(
+        options.headerManifest, manifest, candidates,
+        options.manifestSpotCheck, options.planningParallelism, options.gzipFor)
       (e, gz) =>
         manifest.get(e.path) match {
-          case Some(entry) if entry.len == e.len => entry.meta
+          case Some(entry) if entry.len == e.len && trusted => entry.meta
           case _ => WhisperIO.readMetaHeaderOnly(e.path, gz, e.len)
         }
     }

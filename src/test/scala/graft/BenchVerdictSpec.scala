@@ -46,6 +46,13 @@ class BenchVerdictSpec extends AnyFunSuite {
     assert(Bench.boxVerdict(-1.0, band, Seq(0.0, 5.0)).verdict == "unknown")
   }
 
+  test("contaminated, not unknown, when the canary is absent but the spread breaches (ADVICE r12)") {
+    // a failed canary fixture plus a 10x pass spread is positive evidence
+    // of contamination; "unknown" is reserved for NO signal either way
+    val v = Bench.boxVerdict(-1.0, band, Seq(10.0, 100.0, 12.0))
+    assert(v.verdict == "contaminated" && !v.canaryOk && !v.spreadOk)
+  }
+
   test("contaminated when canary present but pass totals unusable") {
     // all-error passes (totals 0) with a live canary: the record cannot
     // vouch for its mins, and the canary existing means the box WAS

@@ -96,14 +96,25 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     SlowFs.reset(25)
     val t0 = System.nanoTime()
+    // manifestSpotCheck=0: the pure zero-opens contract (r12). The default
+    // spot check trades <= 8 of those saved opens for same-length re-layout
+    // detection — pinned separately below.
     val df = spark.read.format("whisper")
       .option("headerManifest", manifest)
+      .option("manifestSpotCheck", "0")
       .load(slow(tree) + "/*")
     df.rdd.getNumPartitions
     val wall = (System.nanoTime() - t0) / 1e9
     assert(SlowFs.opens.get() == 0,
       s"manifest-backed planning still opened ${SlowFs.opens.get()} headers")
     assert(wall < 1.0, s"manifest planning took ${wall}s — more than a walk's worth")
+    // default spot check: a bounded handful of verification opens, not a sweep
+    SlowFs.reset(25)
+    spark.read.format("whisper")
+      .option("headerManifest", manifest)
+      .load(slow(tree) + "/*").rdd.getNumPartitions
+    assert(SlowFs.opens.get() >= 1 && SlowFs.opens.get() <= 8,
+      s"default spot check should open 1..8 headers, opened ${SlowFs.opens.get()}")
     // the data itself still decodes correctly through the manifest-built plan
     SlowFs.reset(0)
     assert(df.count() == 32L * 30)
@@ -124,6 +135,98 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val archives0 = df2.filter(org.apache.spark.sql.functions.col("file").endsWith("svc0/m0.wsp"))
       .select("archive").distinct().count()
     assert(archives0 == 2L, s"resized file planned with stale archive list ($archives0 archives)")
+  }
+
+  test("same-length re-layout: spot check discards the manifest; spotCheck=0 documents the hole (ADVICE r12)") {
+    val tree = mkTree(nDirs = 2, filesPerDir = 8) // 16 files
+    val manifest = Files.createTempDirectory("slow-manifest-rl").resolve("m.jsonl.gz").toString
+    SlowFs.reset(0)
+    assert(WhisperManifest.write(Seq(slow(tree) + "/*"), manifest) == 16L)
+    // systematic re-layout preserving LENGTH: same archive count, same point
+    // count, different secondsPerPoint — the exact hole length staleness
+    // cannot see (header 16+12, data 12*60, byte-identical sizes)
+    for (d <- 0 until 2; f <- 0 until 8)
+      WhisperWriter.writeFile(
+        java.nio.file.Paths.get(tree.toString, s"svc$d", s"m$f.wsp"),
+        FileSpec(archives = Seq(
+          ArchiveSpec(20, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0))))
+    // default spot check: divergence detected -> manifest discarded -> every
+    // header read fresh (16 opens) on top of the <= 8 sample reads
+    SlowFs.reset(0)
+    spark.read.format("whisper")
+      .option("headerManifest", manifest)
+      .load(slow(tree) + "/*").rdd.getNumPartitions
+    assert(SlowFs.opens.get() >= 17 && SlowFs.opens.get() <= 24,
+      s"re-layout under unchanged length must force a full fresh sweep " +
+        s"(16 fresh + 1..8 sample opens), opened ${SlowFs.opens.get()}")
+    // spotCheck=0 serves the stale headers blindly — the documented residual
+    // hole, pinned so the trade is visible, not accidental
+    SlowFs.reset(0)
+    spark.read.format("whisper")
+      .option("headerManifest", manifest)
+      .option("manifestSpotCheck", "0")
+      .load(slow(tree) + "/*").rdd.getNumPartitions
+    assert(SlowFs.opens.get() == 0)
+  }
+
+  test("manifest --update: O(changed) header re-reads; deleted entries dropped (VERDICT r12 #2)") {
+    val tree = mkTree(nDirs = 2, filesPerDir = 8) // 16 files
+    val manifest = Files.createTempDirectory("slow-manifest-u").resolve("m.jsonl.gz").toString
+    SlowFs.reset(0)
+    assert(WhisperManifest.write(Seq(slow(tree) + "/*"), manifest) == 16L)
+    // churn: one new file, one changed-length re-layout, one deletion
+    WhisperWriter.writeFile(
+      java.nio.file.Paths.get(tree.toString, "svc0", "new.wsp"),
+      FileSpec(archives = Seq(
+        ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0))))
+    WhisperWriter.writeFile(
+      java.nio.file.Paths.get(tree.toString, "svc0", "m1.wsp"),
+      FileSpec(archives = Seq(
+        ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0),
+        ArchiveSpec(60, 120, filled = 10, lastTimestamp = 1600000000L, rotation = 0))))
+    Files.delete(java.nio.file.Paths.get(tree.toString, "svc1", "m7.wsp"))
+    SlowFs.reset(0)
+    val (total, reread) = WhisperManifest.update(Seq(slow(tree) + "/*"), manifest)
+    assert(total == 16L, s"16 live files expected, manifest has $total")
+    assert(reread == 2L, s"only the new + re-laid-out files re-read, got $reread")
+    assert(SlowFs.opens.get() == 2L, s"update paid ${SlowFs.opens.get()} header opens, want 2")
+    // the refreshed manifest plans the whole tree with zero opens and the
+    // re-laid-out file's NEW archive list
+    SlowFs.reset(0)
+    val df = spark.read.format("whisper")
+      .option("headerManifest", manifest)
+      .option("manifestSpotCheck", "0")
+      .load(slow(tree) + "/*")
+    df.rdd.getNumPartitions
+    assert(SlowFs.opens.get() == 0, s"updated manifest still opened ${SlowFs.opens.get()} headers")
+    assert(df.filter(org.apache.spark.sql.functions.col("file").endsWith("svc0/m1.wsp"))
+      .select("archive").distinct().count() == 2L)
+  }
+
+  test("paged listings: a flat directory bills ceil(n/page) LIST round trips; wide dirs one (VERDICT r12 #1)") {
+    // S3-class stores page listings (~1000 entries/response, serial
+    // continuation tokens); the shim bills pages so the walk cost model is
+    // measured under the real request shape, not the one-nap-per-list
+    // idealization the r12 extrapolations used
+    val flat = Files.createTempDirectory("slow-flat")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0)))
+    for (f <- 0 until 250) WhisperWriter.writeFile(flat.resolve(s"m$f.wsp"), spec)
+    SlowFs.reset(0, pageSize = 100)
+    spark.read.format("whisper").load(slow(flat) + "/*").rdd.getNumPartitions
+    // glob expansion lists the directory once (3 pages of 100) and the
+    // recursion re-lists matched dirs — every list of the 250-entry dir
+    // costs 3 pages, never 1
+    val (l1, p1) = (SlowFs.lists.get(), SlowFs.listPages.get())
+    assert(p1 >= 3 && p1 >= l1, s"pagination not billed: $l1 lists -> $p1 pages")
+    assert(p1 % 3 == 0 || p1 > l1,
+      s"each listing of the 250-entry dir must bill 3 pages ($l1 lists -> $p1 pages)")
+    // wide tree at the same page size: each 8-entry dir is one page
+    val wide = mkTree(nDirs = 4, filesPerDir = 8)
+    SlowFs.reset(0, pageSize = 100)
+    spark.read.format("whisper").load(slow(wide) + "/*").rdd.getNumPartitions
+    assert(SlowFs.listPages.get() == SlowFs.lists.get(),
+      s"wide dirs must not page: ${SlowFs.lists.get()} lists vs ${SlowFs.listPages.get()} pages")
   }
 
   test("streamShard i/n: shards partition the file set and each walks only its subtrees") {
@@ -165,6 +268,7 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.sources.whisper.WhisperManifest.write(Seq(slow(tree)), manifest) == 24L)
     val m = new java.util.HashMap[String, String]()
     m.put("headerManifest", manifest)
+    m.put("manifestSpotCheck", "0") // the pure zero-opens contract
     m.put("binThreshold", "100000")
     val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
     val stream = new WhisperMicroBatchStream(Seq(slow(tree)), opts, Seq.empty, opts.schema, 0L)

@@ -10,17 +10,24 @@ import graft.sources.whisper.WhisperManifest
 
 /**
  * Measurement harness for the remote-storage planning envelope
- * (VERDICT r11 #1): times whisper planning over a [[SlowFs]] tree at
- * object-store-class per-operation latencies, direct vs manifest-backed,
- * and the sharded streaming walk. Results land in BENCH_NOTES r12.
+ * (VERDICT r11 #1, r12 #1): times whisper planning over a [[SlowFs]] tree at
+ * object-store-class per-operation latencies, direct vs manifest-backed vs
+ * sharded — and, since r13, under PAGED listings (S3-class stores return
+ * ~1000 entries per LIST round trip, continuation tokens serial), so the
+ * walk cost model is measured, not extrapolated. Results land in
+ * BENCH_NOTES (r12 baseline table, r13 paged-LIST table).
  *
  * Run: sbt "Test/runMain graft.LatencyProbe [nFiles...]"
+ *      (sizes >= 100k skip the direct header sweep and the 50 ms row to
+ *      keep the run minutes, not hours — at 10 ms x 1M headers / 64-way
+ *      pool the direct sweep alone is ~2.6 min and proves nothing new)
  */
 object LatencyProbe {
+  private val spec = FileSpec(archives = Seq(
+    ArchiveSpec(10, 120, filled = 60, lastTimestamp = 1600000000L, rotation = 7)))
+
   private def mkTree(nDirs: Int, filesPerDir: Int): JPath = {
     val tree = Files.createTempDirectory("latprobe")
-    val spec = FileSpec(archives = Seq(
-      ArchiveSpec(10, 120, filled = 60, lastTimestamp = 1600000000L, rotation = 7)))
     for (d <- 0 until nDirs) {
       val sub = tree.resolve(s"svc$d")
       Files.createDirectories(sub)
@@ -40,38 +47,73 @@ object LatencyProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def planWall(pattern: String, opts: Map[String, String]): (Double, Long, Long, Long) = {
-      SlowFs.reset(SlowFs.latencyMs)
+    def planWall(pattern: String, opts: Map[String, String]): (Double, Long, Long, Long, Long) = {
+      SlowFs.reset(SlowFs.latencyMs, SlowFs.listPageSize)
       val t0 = System.nanoTime()
       val r = opts.foldLeft(spark.read.format("whisper")) { case (a, (k, v)) => a.option(k, v) }
       r.load(pattern).rdd.getNumPartitions
-      ((System.nanoTime() - t0) / 1e9, SlowFs.opens.get(), SlowFs.stats.get(), SlowFs.lists.get())
+      ((System.nanoTime() - t0) / 1e9,
+        SlowFs.opens.get(), SlowFs.stats.get(), SlowFs.lists.get(), SlowFs.listPages.get())
     }
+    def row(n: Int, lat: Long, mode: String, r: (Double, Long, Long, Long, Long)): Unit =
+      println(f"$n%7d | $lat%3d | $mode%-10s | ${r._1}%8.2f | ${r._2}%7d | ${r._3}%7d | ${r._4}%6d | ${r._5}%6d")
 
-    println("files | latency_ms | mode | wall_s | opens | stats | lists")
+    println("  files | lat | mode       |   wall_s |   opens |   stats |  lists |  pages")
     for (n <- sizes) {
+      val big = n >= 100000
       val dirs = math.max(1, n / 100)
       val tree = mkTree(dirs, n / dirs)
       val pat = "slowfs:" + tree.toAbsolutePath + "/*"
       // JIT warm at zero latency (one-off per JVM, invariant in file count)
-      SlowFs.latencyMs = 0
+      SlowFs.latencyMs = 0; SlowFs.listPageSize = 1000
       planWall(pat, Map.empty)
       val manifest = Files.createTempDirectory("latprobe-m").resolve("m.jsonl.gz").toString
       WhisperManifest.write(Seq(pat), manifest)
-      for (lat <- Seq(0L, 10L, 50L)) {
+      // manifestSpotCheck=0 below pins the r12 zero-opens planning floor the
+      // cost model reasons about; the default (8) adds a constant <= 8 GETs
+      val mOpts = Map("headerManifest" -> manifest, "manifestSpotCheck" -> "0")
+      for (lat <- if (big) Seq(10L) else Seq(0L, 10L, 50L)) {
         SlowFs.latencyMs = lat
-        val (w1, o1, s1, l1) = planWall(pat, Map.empty)
-        println(f"$n%6d | $lat%3d | direct   | $w1%8.2f | $o1%6d | $s1%6d | $l1%5d")
-        val (w2, o2, s2, l2) = planWall(pat, Map("headerManifest" -> manifest))
-        println(f"$n%6d | $lat%3d | manifest | $w2%8.2f | $o2%6d | $s2%6d | $l2%5d")
-        val (w3, o3, s3, l3) = planWall(pat.stripSuffix("/*"), Map("streamShard" -> "0/4"))
-        println(f"$n%6d | $lat%3d | shard1/4 | $w3%8.2f | $o3%6d | $s3%6d | $l3%5d")
+        if (!big) row(n, lat, "direct", planWall(pat, Map.empty))
+        row(n, lat, "manifest", planWall(pat, mOpts))
+        row(n, lat, "shard1/4", planWall(pat.stripSuffix("/*"), Map("streamShard" -> "0/4")))
+        row(n, lat, "mani+shard", planWall(pat.stripSuffix("/*"),
+          mOpts + ("streamShard" -> "0/4")))
       }
       // serial reference point at the small size only (it is the slow case)
       if (n <= 1000) {
         SlowFs.latencyMs = 10
-        val (w, o, s, l) = planWall(pat, Map("planningParallelism" -> "1"))
-        println(f"$n%6d |  10 | serial   | $w%8.2f | $o%6d | $s%6d | $l%5d")
+        row(n, 10, "serial", planWall(pat, Map("planningParallelism" -> "1")))
+      }
+    }
+
+    // ---- paged-LIST section (VERDICT r12 #1): FLAT directories are where
+    // pagination bites — a directory of n entries costs ceil(n/page) SERIAL
+    // round trips that no pool can hide (continuation tokens chain), so the
+    // walk's residual floor on an S3-class store is set by the largest
+    // single directory, not the tree size. Wide trees (the graphite shape,
+    // ~100 entries/dir) never page at all at page=1000.
+    println("\n  files | lat | shape/mode       |   wall_s |   opens |  lists |  pages | floor_s(pages*lat)")
+    for (n <- sizes.filter(_ <= 200000)) {
+      val flat = Files.createTempDirectory("latprobe-flat")
+      for (f <- 0 until n) WhisperWriter.writeFile(flat.resolve(s"m$f.wsp"), spec)
+      val pat = "slowfs:" + flat.toAbsolutePath + "/*"
+      SlowFs.latencyMs = 0; SlowFs.listPageSize = 1000
+      planWall(pat, Map.empty) // warm
+      val manifest = Files.createTempDirectory("latprobe-fm").resolve("m.jsonl.gz").toString
+      WhisperManifest.write(Seq(pat), manifest)
+      val mOpts = Map("headerManifest" -> manifest, "manifestSpotCheck" -> "0")
+      for (page <- Seq(1000)) {
+        SlowFs.latencyMs = 10; SlowFs.listPageSize = page
+        val d = planWall(pat, Map.empty)
+        println(f"$n%7d |  10 | flat/direct      | ${d._1}%8.2f | ${d._2}%7d | ${d._4}%6d | ${d._5}%6d | ${d._5 * 10 / 1000.0}%6.2f")
+        val m = planWall(pat, mOpts)
+        println(f"$n%7d |  10 | flat/manifest    | ${m._1}%8.2f | ${m._2}%7d | ${m._4}%6d | ${m._5}%6d | ${m._5 * 10 / 1000.0}%6.2f")
+        // sharding a FLAT dir cannot prune the listing (every shard lists
+        // the whole directory; only header reads split) — measured so the
+        // operational guidance ("shard by subtree" needs subtrees) is pinned
+        val s = planWall(pat.stripSuffix("/*"), mOpts + ("streamShard" -> "0/4"))
+        println(f"$n%7d |  10 | flat/mani+shard  | ${s._1}%8.2f | ${s._2}%7d | ${s._4}%6d | ${s._5}%6d | ${s._5 * 10 / 1000.0}%6.2f")
       }
     }
     spark.stop()

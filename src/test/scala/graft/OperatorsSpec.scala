@@ -1168,6 +1168,80 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { VectorOps.annRecall(spark, dir, 0, 4, 8) }
   }
 
+  test("targetRecall knob: pinned-curve knee selection; default + exhaustive paths unchanged (VERDICT r12 #4)") {
+    import operators.VectorOps
+    // knee selection from the pinned measured curves
+    assert(VectorOps.nprobeForRecall(0.25, "weak") == 1)
+    assert(VectorOps.nprobeForRecall(0.5, "weak") == 4)
+    assert(VectorOps.nprobeForRecall(0.775, "weak") == 8)
+    assert(VectorOps.nprobeForRecall(0.8, "weak") == 16) // above every sub-exhaustive point
+    assert(VectorOps.nprobeForRecall(1.0, "weak") == 16)
+    assert(VectorOps.nprobeForRecall(0.9, "dense") == 4)
+    assert(VectorOps.nprobeForRecall(0.95, "dense") == 16)
+    intercept[IllegalArgumentException](VectorOps.nprobeForRecall(0.0))
+    intercept[IllegalArgumentException](VectorOps.nprobeForRecall(1.5))
+    intercept[IllegalArgumentException](VectorOps.nprobeForRecall(0.5, "unknown"))
+    // q75's oracle-pinned default is byte-identical to the explicit-nprobe core
+    assert(VectorOps.ivfTopK(spark, dir).collect().toSeq ==
+      VectorOps.ivfTopKNprobe(spark, dir, 4).collect().toSeq)
+    // target 1.0 selects exhaustive probing on either entry point
+    assert(VectorOps.ivfTopK(spark, dir, 1.0, "weak").collect().toSeq ==
+      VectorOps.ivfTopKNprobe(spark, dir, 16).collect().toSeq)
+    assert(VectorOps.ivfPqSearch(spark, dir, 1.0, "weak").collect().toSeq ==
+      VectorOps.ivfPqSearchNprobe(spark, dir, 16).collect().toSeq)
+    // weak panel, empirical floor: the selected nprobe for target 1.0 is
+    // exhaustive, whose recall@10 is 1.0 by the displacement argument
+    val hits16 = VectorOps.annRecall(spark, dir, 10, VectorOps.nprobeForRecall(1.0, "weak"), 8)
+      .agg(org.apache.spark.sql.functions.sum("hits")).head().getLong(0)
+    assert(hits16 == 80L)
+  }
+
+  test("targetRecall dense regime: selected nprobe meets 0.9 on a near-dup-dense panel") {
+    // the r12 density measurement's construction: a 10x replicated corpus
+    // where each replica is the base nudged by i*1e-3 — replicas are TRUE
+    // near-dups at cos~1 of their base rows, so the exact top-10 of each
+    // query concentrates in the query's own inverted lists (the regime the
+    // dense curve is pinned on; BENCH_NOTES r12 measured 1.000 @ nprobe=4)
+    import operators.{AnnIndex, VectorOps}
+    val np = VectorOps.nprobeForRecall(0.9, "dense")
+    assert(np == 4)
+    val embBase = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = (0 until 10).map { i =>
+      embBase.select(
+        (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        expr(s"transform(embedding, x -> cast(x + ${i}e-3f as float))").as("embedding"))
+    }.reduce(_ unionByName _)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .cache()
+    val n = e.count()
+    val cents = AnnIndex.ivfCentroids(e, "emb", "vec_id", 16, n)
+    val assigned = AnnIndex.ivfAssign(e.filter(col("vec_id") >= 8), "emb", "vec_id", cents).cache()
+    assigned.count()
+    val recalls = (0 until 8).map { q =>
+      val qv = e.filter(col("vec_id") === q).head().getSeq[Double](1).toArray
+      val corpus = e.filter(col("vec_id") >= 8)
+      val qLit = qv.map(x => s"${x}D").mkString("array(", ",", ")")
+      val cosCol = expr(s"dot_d(emb, $qLit) / (sqrt(dot_d(emb, emb)) * sqrt(dot_d($qLit, $qLit)))")
+      val exact = corpus.select(col("vec_id"), cosCol.as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val got = AnnIndex.ivfSearch(assigned, cents, "emb", qv, k = 10, nprobe = np)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact & got).size / 10.0
+    }
+    assigned.unpersist(); e.unpersist()
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9,
+      s"selected nprobe=$np must meet the 0.9 dense target, measured $mean (${recalls.mkString(",")})")
+  }
+
+  test("q111 rrfFusion refuses a corpus-sized poolK (unpartitioned rank windows, r13)") {
+    // the global rank windows serialize poolK rows through ONE task — bounded
+    // by construction for retriever pools, so the bound is enforced, not trusted
+    intercept[IllegalArgumentException] { operators.TextOps.rrfFusion(spark, dir, poolK = 1000000) }
+    intercept[IllegalArgumentException] { operators.TextOps.rrfFusion(spark, dir, poolK = 0) }
+  }
+
   test("q106 stream left-outer: inner rows == q104, null rows have no error in window (r10)") {
     val outer = graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(spark, dir).collect()
     val inner = graft.streaming.StreamReplay.intervalJoinReplay(spark, dir).collect()

@@ -19,13 +19,24 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileStatus, Path, RawLocalFileSy
  */
 object SlowFs {
   @volatile var latencyMs: Long = 0L
+  /** Entries returned per LIST round trip. Real object stores page their
+   * listings (S3 ListObjectsV2: 1000 keys/response, serial continuation
+   * tokens), so one listStatus of an n-entry directory costs ceil(n/page)
+   * SEQUENTIAL round trips, not one — the correction VERDICT r12 #1 asked
+   * for before trusting the walk cost model's extrapolations. 1000 matches
+   * S3/GCS/Azure defaults; shrink it in tests to surface pagination without
+   * million-entry fixtures. */
+  @volatile var listPageSize: Int = 1000
   val opens = new AtomicLong(0L)
   val stats = new AtomicLong(0L)
   val lists = new AtomicLong(0L)
+  /** LIST round trips including continuation pages (>= lists). */
+  val listPages = new AtomicLong(0L)
 
-  def reset(latency: Long): Unit = {
+  def reset(latency: Long, pageSize: Int = 1000): Unit = {
     latencyMs = latency
-    opens.set(0L); stats.set(0L); lists.set(0L)
+    listPageSize = pageSize
+    opens.set(0L); stats.set(0L); lists.set(0L); listPages.set(0L)
   }
 }
 
@@ -48,7 +59,16 @@ class SlowFs extends RawLocalFileSystem {
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {
-    SlowFs.lists.incrementAndGet(); nap()
-    super.listStatus(f)
+    SlowFs.lists.incrementAndGet()
+    val res = super.listStatus(f)
+    // bill ceil(n/page) SERIAL naps: continuation tokens chain, so a large
+    // directory's listing cannot be latency-hidden within itself (only
+    // across sibling directories — which is what the level-synchronous
+    // walk's pool does)
+    val pages = math.max(1L, (res.length + SlowFs.listPageSize - 1L) / SlowFs.listPageSize)
+    SlowFs.listPages.addAndGet(pages)
+    var i = 0L
+    while (i < pages) { nap(); i += 1 }
+    res
   }
 }

@@ -522,6 +522,76 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an empty delta (no new points) appends nothing and still advances
     assert(Main.exportDelta(spark, tree.toString, inc, Some(2), untilTs = 1600005000L) == 0L)
     assert(fp(spark.read.parquet(inc)) == want)
+    // a window that has NOT advanced past the watermark (frequent-delta
+    // cron with untilTs = now - slop) is a no-op, not an error, and leaves
+    // the watermark where it was (ADVICE r12 write-behind margin)
+    assert(Main.exportDelta(spark, tree.toString, inc, Some(2), untilTs = 1600004000L) == 0L)
+    assert(Main.readWatermark(spark, inc).contains(1600005000L))
+    assert(fp(spark.read.parquet(inc)) == want)
+    // watermark publish is rename-based: rewriting over an existing
+    // watermark (every delta does) must land the new value intact
+    Main.writeWatermark(spark, inc, 1600006000L)
+    assert(Main.readWatermark(spark, inc).contains(1600006000L))
+  }
+
+  test("exportDelta is exactly-once across every crash sliver of the staged protocol (VERDICT r12 #3)") {
+    val tree = Files.createTempDirectory("whisper-export-eo")
+    for (i <- 0 until 4)
+      WhisperWriter.writeFile(tree.resolve(s"m$i.wsp"), FileSpec(archives = Seq(
+        ArchiveSpec(10, 200, filled = 150, lastTimestamp = 1600000000L, rotation = i * 3))))
+    def fp(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("count(*) AS n", "bit_xor(xxhash64(file, archive, position, timestamp, value)) AS h")
+      .head()
+    val full = Files.createTempDirectory("whisper-export-eo-full").toString + "/pq"
+    assert(Main.exportTree(spark, tree.toString, full, Some(2)) == 600L)
+    val want = fp(spark.read.parquet(full))
+    def noDups(out: String): Unit = {
+      val d = spark.read.parquet(out)
+        .groupBy("file", "archive", "position", "timestamp")
+        .count().filter(org.apache.spark.sql.functions.col("count") > 1).count()
+      assert(d == 0L, s"$d duplicated (file,archive,position,timestamp) keys — not exactly-once")
+    }
+    val (w0, w1, w2, w3) = (1600000000L - 900L, 1600000000L - 600L, 1600000000L - 300L, 1600000001L)
+    val out = Files.createTempDirectory("whisper-export-eo-inc").toString + "/pq"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Main.exportFull(spark, tree.toString, out, Some(2), untilTs = w0)
+
+    // crash A: stage written, marker NOT yet written -> the orphan stage is
+    // discarded and the window re-covered by the normal run (overwrite)
+    Main.exportTree(spark, tree.toString, Main.stageDir(out, w1).toString, Some(2),
+      sinceTs = w0, untilTs = w1)
+    val nA = Main.exportDelta(spark, tree.toString, out, Some(2), untilTs = w1)
+    assert(nA > 0 && Main.readWatermark(spark, out).contains(w1))
+    noDups(out)
+
+    // crash B: stage frozen AND marker written, merge never started -> the
+    // next run completes the merge from the frozen stage without rescanning
+    Main.exportTree(spark, tree.toString, Main.stageDir(out, w2).toString, Some(2),
+      sinceTs = w1, untilTs = w2)
+    Main.writeWatermarkStaged(spark, out, w1, w2)
+    assert(Main.exportDelta(spark, tree.toString, out, Some(2), untilTs = w2) == 0L)
+    assert(Main.readWatermark(spark, out).contains(w2))
+    assert(!fs.exists(Main.stageDir(out, w2)), "recovered stage must be cleaned up")
+    noDups(out)
+
+    // crash C: marker written and merge HALF done -> recovery moves exactly
+    // the remainder (unique part names; nothing moved twice)
+    Main.exportTree(spark, tree.toString, Main.stageDir(out, w3).toString, Some(2),
+      sinceTs = w2, untilTs = w3)
+    Main.writeWatermarkStaged(spark, out, w2, w3)
+    val parts = fs.listStatus(Main.stageDir(out, w3))
+      .filter(s => !s.isDirectory && s.getPath.getName.startsWith("part-"))
+    assert(parts.length >= 2, "need >= 2 part files to simulate a half-done merge")
+    assert(fs.rename(parts.head.getPath,
+      new org.apache.hadoop.fs.Path(out, parts.head.getPath.getName)))
+    assert(Main.exportDelta(spark, tree.toString, out, Some(2), untilTs = w3) == 0L)
+    assert(Main.readWatermark(spark, out).contains(w3))
+    noDups(out)
+
+    // every sliver recovered: the dataset equals the one-shot full export
+    assert(fp(spark.read.parquet(out)) == want,
+      "crash-recovered base + deltas fingerprint differs from the one-shot full export")
   }
 
   test("export-delta with mtime pruning skips idle files at plan time (opt-in)") {

@@ -57,18 +57,32 @@ echo "== [6/6] bench lo ($SF_LO) + hi ($SF_HI)"
 # Bench self-reports box health (canary band + pass spread — Bench.scala);
 # a contaminated record is environment noise signed as measurement (the
 # r2/r6/r10 failure mode), so the close REFUSES to bless one: retry up to
-# 3x with a quiet wait, fail the close if the box never settles. Gate on
-# the EXPLICIT "contaminated" verdict only — "unknown" (no canary sample,
-# e.g. a subset run) is not evidence of contamination and Bench itself now
-# retries in-process before its record ever lands here (r12).
+# 3x with a quiet wait, fail the close if the box never settles. Pass only
+# on an explicit "clean" or "unknown" verdict — a record with NO box_health
+# object at all (stale jar, wrong JSON line matched) is a FAILED CAPTURE,
+# not a clean one, and retries like contamination (ADVICE r12). "unknown"
+# (no canary sample, e.g. a subset run) stays passable: no evidence of
+# contamination, and Bench itself retries in-process before its record
+# ever lands here (r12).
 run_bench() { # $1=sf dir, $2=digest out
   local try
   for try in 1 2 3; do
     SPARK_GRAFT_SF_DIR="$1" sbt -batch "runMain graft.Bench" 2>&1 | grep -E '^\{' >"$2"
-    if python3 -c "import json,sys; d=json.load(open('$2')); sys.exit(1 if d.get('box_health',{}).get('verdict')=='contaminated' else 0)"; then
+    if python3 -c "
+import json, sys
+try:
+    d = json.load(open('$2'))
+except Exception:
+    sys.exit(1)  # unparseable digest = failed capture
+v = d.get('box_health', {}).get('verdict')
+sys.exit(0 if v in ('clean', 'unknown') else 1)
+"; then
       return 0
     fi
-    echo "!! bench record self-reports contamination (try $try/3): $(python3 -c "import json; print(json.load(open('$2')).get('box_health'))")"
+    echo "!! bench record contaminated or capture failed (try $try/3): $(python3 -c "
+import json
+try: print(json.load(open('$2')).get('box_health'))
+except Exception as e: print('unparseable digest:', e)")"
     [ "$try" -lt 3 ] && { echo "   waiting 120s for a quieter window"; sleep 120; }
   done
   echo "REFUSING to bless contaminated bench record: $2"
