@@ -19,6 +19,30 @@ import org.apache.spark.sql.DataFrame
 object OpCache {
   private val lastPersisted = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /**
+   * Partition-identity pin for the two-job prefix-offset pattern
+   * (sequencePack / pretrainExport / decileHistogram): the offsets job and
+   * the main job must see the SAME partition ids, and repartitionByRange's
+   * SAMPLED boundaries need not be identical across recomputations, so the
+   * frame must be checkpointed (a persist can silently recompute on
+   * eviction/executor loss and mis-assign every downstream id).
+   *
+   * Default = `localCheckpoint()`: blocks live on executors, zero external
+   * storage, but DIE WITH THEIR EXECUTOR — on a preemptible-worker cluster
+   * that turns one lost executor into a full-job retry (never a wrong
+   * answer; the lineage is truncated so recompute fails loudly). Set
+   * `spark.graft.reliableCheckpoint=true` (plus
+   * `sparkContext.setCheckpointDir` to a DFS path) to pin through a
+   * reliable `checkpoint()` instead: survives executor loss at the cost of
+   * one write+read of the narrow projection through the checkpoint dir
+   * (measured trade in BENCH_NOTES r13 — single-digit-% of query wall at
+   * sf0.1 on local disk; on object storage budget the round trip).
+   */
+  private[operators] def pinPartitions(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoint").contains("true"))
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** Unpersist that tolerates the pin's session being ALREADY GONE: a pin
    * whose SparkContext has stopped has no cache left to release (executor
    * blocks died with the context), so dropping the map reference is the

@@ -583,7 +583,7 @@ object RelationalOps {
       .select(col("o_orderkey"), col("o_totalprice"))
       .repartitionByRange(col("o_totalprice"), col("o_orderkey"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(OpCache.pinPartitions)
     val counts = orders.groupBy("pid").agg(count(lit(1)).as("pc"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum

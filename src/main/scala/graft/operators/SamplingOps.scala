@@ -60,7 +60,7 @@ object SamplingOps {
    * every row through one task.
    */
   def sequencePack(spark: SparkSession, dir: String, capacity: Int = 512): DataFrame = {
-    // localCheckpoint (not persist) the range-partitioned frame: the offsets
+    // Checkpoint (not persist) the range-partitioned frame: the offsets
     // job and the main job must see the SAME partition ids, and
     // repartitionByRange's sampled boundaries (hence pids) need not be
     // identical across recomputations. A persist() can silently RECOMPUTE
@@ -68,6 +68,9 @@ object SamplingOps {
     // of the divergent pids; checkpointing truncates the lineage, so losing
     // the materialized partitions fails the job loudly instead — the only
     // safe failure mode for a correctness-bearing partition identity.
+    // local vs reliable checkpoint is [[OpCache.pinPartitions]]'s dial
+    // (VERDICT r12 #7: local blocks die with their executor — a retry
+    // amplifier under preemption, never a wrong answer).
     // Storage note: checkpoint blocks are RDD-level, released by the
     // ContextCleaner on GC — NOT by spark.catalog.clearCache(); a caller
     // cycling this in a loop (Bench) should also drop
@@ -81,7 +84,7 @@ object SamplingOps {
       )
       .repartitionByRange(col("skey"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(OpCache.pinPartitions)
 
     // per-partition token totals -> exclusive prefix offsets (driver-side:
     // one row per partition, O(partitions) not O(rows))
@@ -141,7 +144,7 @@ object SamplingOps {
     val docs = survivors
       .repartitionByRange(col("split"), col("skey"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(OpCache.pinPartitions)
     val totals = docs.groupBy("pid", "split").agg(sum("n_tokens").as("ptotal"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     val offsets = totals.groupBy(_._2).toSeq.flatMap { case (split, rows) =>

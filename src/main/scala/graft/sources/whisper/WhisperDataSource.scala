@@ -44,7 +44,8 @@ class WhisperDataSource extends TableProvider with DataSourceRegister {
     val patterns = WhisperIO.rawPatterns(map)
     val options = WhisperOptions(map)
     val entries = WhisperIO.expandStatuses(patterns,
-      parallelism = options.planningParallelism, shard = options.shard)
+      parallelism = options.planningParallelism, shard = options.shard,
+      shardDepth = options.streamShardDepth)
     // opt-in idle-file floor (mtimeFloor): plan-time prune on the walk's
     // free mtimes — the incremental-export fast path over mostly-idle trees
     val live =
@@ -187,14 +188,16 @@ object WhisperIO {
       patterns: Seq[String],
       lenient: Boolean = false,
       parallelism: Int = 1,
-      shard: Option[(Int, Int)] = None): Seq[FileEntry] =
-    patterns.flatMap(p => expand(p, lenient, parallelism, shard))
+      shard: Option[(Int, Int)] = None,
+      shardDepth: Int = 1): Seq[FileEntry] =
+    patterns.flatMap(p => expand(p, lenient, parallelism, shard, shardDepth))
 
   private def expand(
       pattern: String,
       lenient: Boolean,
       parallelism: Int,
-      shard: Option[(Int, Int)]): Seq[FileEntry] = {
+      shard: Option[(Int, Int)],
+      shardDepth: Int): Seq[FileEntry] = {
     val p = new HPath(pattern)
     val fs = p.getFileSystem(hadoopConf())
     // globStatus is already list-based for wildcard components (measured on
@@ -225,9 +228,19 @@ object WhisperIO {
       val name = f.getPath.getName
       name.endsWith(".wsp") || name.endsWith(".wsp.gz")
     }
-    // depth 0 = the matched roots themselves (never sharded); their direct
-    // children are the shard key — a file's shard is decided by its
-    // top-level ancestor's name (or its own, when directly under a root)
+    // depth 0 = the matched roots themselves (never sharded). Ownership is
+    // decided by the stable hash of the path component at `shardDepth`
+    // levels below the root (default 1 = direct children, the balanced-
+    // fan-out case): entries DEEPER than that inherit their ancestor's
+    // assignment (their whole subtree was kept or pruned there), dirs
+    // SHALLOWER are walked by every shard (they are above the ownership
+    // boundary), and files shallower hash by their own name — so every
+    // file is assigned by exactly one rule and shards tile the tree.
+    def owned(name: String, isDir: Boolean, childDepth: Int): Boolean =
+      if (childDepth > shardDepth) true
+      else if (childDepth == shardDepth) inShard(name, shard)
+      else if (isDir) true
+      else inShard(name, shard)
     var level: Seq[HPath] = dirMatches.map(_.getPath)
     var depth = 0
     while (level.nonEmpty) {
@@ -237,7 +250,7 @@ object WhisperIO {
         val it = fs.listStatusIterator(d)
         while (it.hasNext) {
           val f = it.next()
-          val sharded = depth > 0 || inShard(f.getPath.getName, shard)
+          val sharded = owned(f.getPath.getName, f.isDirectory, depth + 1)
           if (sharded) {
             if (f.isDirectory) dirs += f.getPath
             else if (keep(f)) out += FileEntry(f.getPath.toString, f.getModificationTime, f.getLen)

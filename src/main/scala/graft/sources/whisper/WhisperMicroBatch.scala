@@ -120,7 +120,8 @@ class WhisperMicroBatchStream(
     // walk itself, VERDICT r11 #3); planningParallelism lists sibling
     // directories concurrently for the same reason headers read concurrently
     val statuses = WhisperIO.expandStatuses(rawPatterns, lenient = true,
-      parallelism = options.planningParallelism, shard = options.shard)
+      parallelism = options.planningParallelism, shard = options.shard,
+      shardDepth = options.streamShardDepth)
     val slop = options.streamMtimeSlopSeconds
     val live =
       if (slop < 0) statuses

@@ -77,6 +77,18 @@ final case class WhisperOptions(
     // only ~1/n of it — the r11 answer to the million-file steady-state
     // discovery floor, now first-class. Empty = no sharding.
     streamShard: String = "",
+    // Component depth below each matched root at which the stable hash
+    // assigns shard ownership (default 1 = top-level subtrees, the r12
+    // behavior). Top-level assignment assumes balanced top-level fan-out —
+    // true for graphite service trees, FALSE when one subtree holds most of
+    // the files (VERDICT r12 open-surface #3): there depth-1 sharding gives
+    // one stream ~the whole skewed subtree. depth=2 hashes the NEXT level
+    // (e.g. hosts under the one giant service), splitting the hot subtree
+    // across shards; the price is every shard listing the levels ABOVE the
+    // shard depth (one LIST per shallow dir per shard — cheap for the wide
+    // shallow levels this targets). Files shallower than the shard depth
+    // hash by their own name, so shards always tile the tree exactly.
+    streamShardDepth: Int = 1,
     // streaming only: a file whose mtime + slop precedes the micro-batch
     // window start is pruned at PLAN time (an idle file cannot hold points
     // inside the window under the tail's write-behind model, where a point's
@@ -98,6 +110,7 @@ final case class WhisperOptions(
     s"compression must be infer|none|gzip, got $compression"
   )
   require(planningParallelism >= 1, s"planningParallelism must be >= 1, got $planningParallelism")
+  require(streamShardDepth >= 1, s"streamShardDepth must be >= 1, got $streamShardDepth")
 
   /** Parsed `streamShard`: Some((i, n)) with 0 <= i < n, or None. */
   val shard: Option[(Int, Int)] = streamShard.trim match {
@@ -164,6 +177,9 @@ object WhisperOptions {
     mtimeFloorSeconds = map.getLong("mtimeFloor", -1L),
     // "i/n" subtree sharding for parallel tailing of one huge tree
     streamShard = map.getOrDefault("streamShard", ""),
+    // shard-ownership depth below each root (1 = top-level subtrees);
+    // raise to split a skewed tree whose files concentrate in one subtree
+    streamShardDepth = map.getInt("streamShardDepth", 1),
     // streaming only: plan-time idle-file pruning slop (seconds); OPT-IN —
     // -1 (default) scans everything, see the case-class field note
     streamMtimeSlopSeconds = map.getLong("streamMtimeSlop", -1L)

@@ -64,12 +64,13 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts >= 1)
     // exactly one open per file (the ranged header read); the walk's length
     // rides into readMetaHeaderOnly, so no EXPLICIT per-file getFileStatus.
-    // Counted stats are pure RawLocal DELEGATION artifacts: open() stats its
-    // target (64) and listStatus() stats each child (64 files + 8 dirs) —
-    // real object stores return listing metadata batched. Budget = 136
-    // exactly; an explicit per-file stat regression lands at +64
+    // RawLocal's internal delegation (listStatus stats each child, open
+    // stats its target) is suppressed by the shim since r13 — real stores
+    // bill one round trip per listing page and one per GET — so the stat
+    // counter now sees only OUR explicit calls (glob resolution's handful);
+    // an explicit per-file stat regression lands at +64
     assert(SlowFs.opens.get() == 64, s"expected 64 header opens, got ${SlowFs.opens.get()}")
-    assert(SlowFs.stats.get() <= 2 * 64 + 8,
+    assert(SlowFs.stats.get() < 64,
       s"explicit per-file getFileStatus crept back: ${SlowFs.stats.get()} stats for 64 opens")
     // serial floor would be 64 opens x 20 ms = 1.28 s + walk (9 lists x 20 ms);
     // the 64-way pool must land far under it even on a loaded box
@@ -254,6 +255,55 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shard walks did not prune listings ($l0/$l1 vs full $fullListings)")
     assert(l0 + l1 <= fullListings + 2, // + the extra root listing
       s"shard walks re-list shared directories ($l0 + $l1 vs full $fullListings)")
+  }
+
+  test("streamShardDepth rebalances a skewed tree; depth-1 skew measured (VERDICT r12 open-surface #3)") {
+    // deliberately skewed: one subtree holds 90% of the files (svcBig: 9
+    // host dirs x 10 files), nine small services hold one file each
+    val tree = Files.createTempDirectory("slow-skew")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0)))
+    val big = tree.resolve("svcBig")
+    for (h <- 0 until 9) {
+      val host = big.resolve(s"host$h"); Files.createDirectories(host)
+      for (f <- 0 until 10) WhisperWriter.writeFile(host.resolve(s"m$f.wsp"), spec)
+    }
+    for (s <- 0 until 9) {
+      val sub = tree.resolve(s"svc$s"); Files.createDirectories(sub)
+      WhisperWriter.writeFile(sub.resolve("m.wsp"), spec)
+    }
+    def shardFiles(s: String, depth: Int): (Set[String], Long) = {
+      SlowFs.reset(0)
+      val files = spark.read.format("whisper")
+        .option("streamShard", s)
+        .option("streamShardDepth", depth.toString)
+        .load(slow(tree))
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      (files, SlowFs.lists.get())
+    }
+    // depth 1 (the default): the stable top-level hash gives whichever
+    // shard owns svcBig at least 90% of the tree — the documented skew
+    val d1 = (0 until 3).map(i => shardFiles(s"$i/3", 1))
+    assert(d1.map(_._1).reduce(_ ++ _).size == 99 &&
+      d1.combinations(2).forall(p => (p(0)._1 & p(1)._1).isEmpty),
+      "depth-1 shards must still tile the skewed tree")
+    assert(d1.map(_._1.size).max >= 90,
+      s"expected the svcBig owner to carry >= 90/99 files, got ${d1.map(_._1.size)}")
+    // depth 2: ownership hashes the host level inside svcBig — the hot
+    // subtree splits across shards and the max share drops sharply
+    val d2 = (0 until 3).map(i => shardFiles(s"$i/3", 2))
+    assert(d2.map(_._1).reduce(_ ++ _).size == 99 &&
+      d2.combinations(2).forall(p => (p(0)._1 & p(1)._1).isEmpty),
+      "depth-2 shards must tile the skewed tree exactly")
+    assert(d2.map(_._1.size).max <= 70,
+      s"depth-2 must split the hot subtree: shard sizes ${d2.map(_._1.size)}")
+    // the price: each depth-2 shard lists the levels ABOVE the ownership
+    // boundary (root + every svc dir) plus only its own host dirs
+    val fullLists = { SlowFs.reset(0)
+      spark.read.format("whisper").load(slow(tree))
+        .select("file").distinct().count(); SlowFs.lists.get() }
+    assert(d2.map(_._2).forall(l => l < fullLists),
+      s"a depth-2 shard must still list fewer dirs than the full walk (${d2.map(_._2)} vs $fullLists)")
   }
 
   test("streaming tail plans its FIRST trigger from the manifest (zero header opens)") {

@@ -27,8 +27,9 @@ object LatencyProbe {
     ArchiveSpec(10, 120, filled = 60, lastTimestamp = 1600000000L, rotation = 7)))
 
   private def mkTree(nDirs: Int, filesPerDir: Int): JPath = {
+    import scala.collection.parallel.CollectionConverters._
     val tree = Files.createTempDirectory("latprobe")
-    for (d <- 0 until nDirs) {
+    (0 until nDirs).par.foreach { d =>
       val sub = tree.resolve(s"svc$d")
       Files.createDirectories(sub)
       for (f <- 0 until filesPerDir) WhisperWriter.writeFile(sub.resolve(s"m$f.wsp"), spec)
@@ -95,8 +96,9 @@ object LatencyProbe {
     // ~100 entries/dir) never page at all at page=1000.
     println("\n  files | lat | shape/mode       |   wall_s |   opens |  lists |  pages | floor_s(pages*lat)")
     for (n <- sizes.filter(_ <= 200000)) {
+      import scala.collection.parallel.CollectionConverters._
       val flat = Files.createTempDirectory("latprobe-flat")
-      for (f <- 0 until n) WhisperWriter.writeFile(flat.resolve(s"m$f.wsp"), spec)
+      (0 until n).par.foreach(f => WhisperWriter.writeFile(flat.resolve(s"m$f.wsp"), spec))
       val pat = "slowfs:" + flat.toAbsolutePath + "/*"
       SlowFs.latencyMs = 0; SlowFs.listPageSize = 1000
       planWall(pat, Map.empty) // warm

@@ -46,29 +46,54 @@ class SlowFs extends RawLocalFileSystem {
     if (ms > 0) Thread.sleep(ms)
   }
 
+  /** RawLocalFileSystem DELEGATES internally — listStatus calls
+   * getFileStatus once per child, open stats its target — and billing
+   * those inner calls misprices the model badly: a real LIST response
+   * carries each entry's metadata (one round trip per page, not one HEAD
+   * per child), and a real GET is one request, not GET+HEAD. The r12
+   * probe numbers overbilled exactly this way (a 100-entry directory cost
+   * 100 naps instead of 1), which understated the manifest's advantage —
+   * caught re-measuring for VERDICT r12 #1. Inner delegated calls are
+   * suppressed per-thread so one public operation bills exactly one
+   * modeled request (or one per page). */
+  private val inOp = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private def delegated[A](body: => A): A = {
+    val prev = inOp.get()
+    inOp.set(java.lang.Boolean.TRUE)
+    // restore, don't clear: delegation NESTS (listStatus -> getFileStatus
+    // -> its own delegated block), and clearing here re-exposed every
+    // sibling child after the first to billing
+    try body finally inOp.set(prev)
+  }
+
   override def getUri: URI = URI.create("slowfs:///")
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
-    SlowFs.opens.incrementAndGet(); nap()
-    super.open(f, bufferSize)
+    if (!inOp.get()) { SlowFs.opens.incrementAndGet(); nap() }
+    delegated(super.open(f, bufferSize))
   }
 
   override def getFileStatus(f: Path): FileStatus = {
-    SlowFs.stats.incrementAndGet(); nap()
-    super.getFileStatus(f)
+    if (!inOp.get()) { SlowFs.stats.incrementAndGet(); nap() }
+    delegated(super.getFileStatus(f))
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {
-    SlowFs.lists.incrementAndGet()
-    val res = super.listStatus(f)
-    // bill ceil(n/page) SERIAL naps: continuation tokens chain, so a large
-    // directory's listing cannot be latency-hidden within itself (only
-    // across sibling directories — which is what the level-synchronous
-    // walk's pool does)
-    val pages = math.max(1L, (res.length + SlowFs.listPageSize - 1L) / SlowFs.listPageSize)
-    SlowFs.listPages.addAndGet(pages)
-    var i = 0L
-    while (i < pages) { nap(); i += 1 }
+    val outer = !inOp.get()
+    if (outer) SlowFs.lists.incrementAndGet()
+    val res = delegated(super.listStatus(f))
+    if (outer) {
+      // bill ceil(n/page) SERIAL naps: continuation tokens chain, so a
+      // large directory's listing cannot be latency-hidden within itself
+      // (only across sibling directories — which is what the level-
+      // synchronous walk's pool does)
+      val pages = math.max(1L, (res.length + SlowFs.listPageSize - 1L) / SlowFs.listPageSize)
+      SlowFs.listPages.addAndGet(pages)
+      var i = 0L
+      while (i < pages) { nap(); i += 1 }
+    }
     res
   }
 }
