@@ -173,6 +173,7 @@ object SparkEntry {
     "q110_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
     "q111_rrf_fusion" -> ((s, d) => TextOps.rrfFusion(s, d)),
     "q112_weighted_sample" -> ((s, d) => SamplingOps.weightedSample(s, d)),
+    "q113_dense_ids" -> (SamplingOps.denseIds(_, _)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1099,6 +1100,13 @@ object SparkEntry {
         |    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 15))::BIGINT // 1000000) + 1) AS BIGINT) AS pri
         |  FROM qual)
         |SELECT doc_id, weight, pri FROM pri ORDER BY pri DESC, doc_id LIMIT 25""".stripMargin,
+    // q113: dense global ids — ONE total order both engines agree on
+    // (md5 seeded shuffle key, doc_id tie-break); the oracle's global
+    // window IS the shape the Spark side exists to avoid at scale
+    "q113_dense_ids" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('seed42-' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS gid
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q90_contamination_overlap" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
         |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),

@@ -168,6 +168,46 @@ object SamplingOps {
   }
 
   /**
+   * Dense global row numbering — gid = 0..n-1 in a deterministic total
+   * order, WITHOUT a single-partition window: the sample-index primitive a
+   * training pipeline needs to address examples stably (shard manifests,
+   * curriculum ordering, resumable epoch cursors). The order key is the
+   * same seeded permutation [[sequencePack]] shuffles by
+   * (md5("seed42-" || doc_id), doc_id), so gid doubles as each doc's
+   * position in the global deterministic shuffle.
+   *
+   * Why not the built-ins: `monotonically_increasing_id()` is neither
+   * dense nor order-deterministic (it encodes partition layout, so two
+   * runs disagree); `row_number() OVER (ORDER BY ...)` serializes the
+   * corpus through ONE task; RDD `zipWithIndex` pays an extra pass and
+   * loses the declarative plan. The scalable shape is [[sequencePack]]'s
+   * two-pass prefix pattern with COUNTS instead of token sums:
+   * range-partition on the order key (total order across partitions),
+   * per-partition `row_number` under a pid-keyed window (fully parallel),
+   * plus per-partition row-count offsets collected driver-side —
+   * O(partitions), never O(rows). Partition identity is pinned by
+   * [[OpCache.pinPartitions]] (the offsets job and the main job must see
+   * the same sampled range boundaries).
+   */
+  def denseIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("seed42-"), col("doc_id").cast("string"))).as("skey"))
+      .repartitionByRange(col("skey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .transform(OpCache.pinPartitions)
+    val counts = docs.groupBy("pid").agg(count(lit(1)).as("pc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val localW = Window.partitionBy("pid").orderBy("skey", "doc_id")
+    docs.join(broadcast(offsetsDf), "pid")
+      .withColumn("gid", col("offset") + row_number().over(localW) - 1)
+      .select(col("doc_id"), col("gid"))
+      .orderBy("doc_id")
+  }
+
+  /**
    * Train/test decontamination: flag training docs sharing any 8-token
    * shingle with a held-out (test-split) doc — the benchmark-leakage check
    * every LLM data pipeline runs before training. Splits come from

@@ -1235,6 +1235,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"selected nprobe=$np must meet the 0.9 dense target, measured $mean (${recalls.mkString(",")})")
   }
 
+  test("q113 denseIds: dense 0..n-1, equal to the single-window formulation it replaces") {
+    val got = SamplingOps.denseIds(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = got.length
+    assert(n > 0 && got.map(_._2).sorted.toSeq == (0L until n.toLong),
+      "gids must be exactly the dense range 0..n-1")
+    // the single-partition global window is CORRECT but serializes the
+    // corpus through one task — fine as a spec oracle, the thing denseIds
+    // exists to avoid at scale
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("skey"), col("doc_id"))
+    val want = operators.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), md5(concat(lit("seed42-"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("gid", (row_number().over(w) - 1).cast("long"))
+      .select("doc_id", "gid").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq, "prefix-offset ids diverge from the global window's")
+  }
+
   test("q111 rrfFusion refuses a corpus-sized poolK (unpartitioned rank windows, r13)") {
     // the global rank windows serialize poolK rows through ONE task — bounded
     // by construction for retriever pools, so the bound is enforced, not trusted
