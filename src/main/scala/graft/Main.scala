@@ -179,9 +179,47 @@ object Main {
       out: String,
       targetPartitions: Option[Int],
       untilTs: Long): Long = {
-    val n = exportTree(spark, tree, out, targetPartitions, untilTs = untilTs)
-    writeWatermark(spark, out, untilTs)
-    n
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    withExportLock(fs, out) {
+      val n = exportTree(spark, tree, out, targetPartitions, untilTs = untilTs)
+      writeWatermark(spark, out, untilTs)
+      n
+    }
+  }
+
+  /** Advisory single-writer lock for the export protocol (r13 open-surface
+   * #3): the staged exactly-once machinery assumes ONE writer — two
+   * concurrent delta runs could interleave stage markers. The lock is a
+   * SIBLING of the dataset directory (inside it, exportFull's overwrite
+   * would delete the very lock the run holds), created with
+   * create-exclusive — atomic on HDFS and local FS; object stores without
+   * atomic create-if-absent (plain S3) get best-effort protection only,
+   * the same caveat as every non-locking lake writer. Deliberately NO
+   * auto-expiry: a live 100 TB export can outlast any static timeout, and
+   * breaking a LIVE lock is strictly worse than asking an operator to
+   * delete a crashed run's lock file (the error names it and the acquire
+   * time). The lock releases on completion OR failure of the guarded run —
+   * only a driver crash leaves it behind. */
+  private def withExportLock[A](
+      fs: org.apache.hadoop.fs.FileSystem, out: String)(body: => A): A = {
+    val lock = new org.apache.hadoop.fs.Path(
+      out.stripSuffix("/") + "._graft_export_lock")
+    val o =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          val held = try {
+            val st = fs.getFileStatus(lock)
+            s" (acquired ${java.time.Instant.ofEpochMilli(st.getModificationTime)})"
+          } catch { case scala.util.control.NonFatal(_) => "" }
+          sys.error(s"export lock held at $lock$held — another export over this dataset " +
+            s"may be running; if its driver crashed, delete the lock file and rerun " +
+            s"(the staged protocol recovers exactly-once)")
+      }
+    try o.write(s"""{"acquired_ts": ${System.currentTimeMillis() / 1000L}}""".getBytes("UTF-8"))
+    finally o.close()
+    try body finally fs.delete(lock, false)
   }
 
   private[graft] def stageDir(out: String, untilTs: Long) =
@@ -242,9 +280,11 @@ object Main {
    *  5. merge: per-file renames of the unique part files into the dataset;
    *  6. advance the watermark (atomic rename), drop the stage dir.
    *  A crash between any two steps reruns idempotently: 1-2 re-execute, 3
-   *  overwrites, 5's renames move only what remains, 6 is atomic. The one
-   *  residual assumption is single-writer (two CONCURRENT delta runs could
-   *  interleave markers — same as every non-locking lake writer). */
+   *  overwrites, 5's renames move only what remains, 6 is atomic.
+   *  Single-writer is ENFORCED by the advisory sibling lock
+   *  ([[withExportLock]]) on filesystems with atomic create-exclusive
+   *  (HDFS/local); object stores without one keep the documented
+   *  non-locking-writer posture. */
   def exportDelta(
       spark: SparkSession,
       tree: String,
@@ -254,29 +294,33 @@ object Main {
       mtimeSlop: Long = -1L): Long = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val wm = readWatermarkFull(spark, out).getOrElse(
-      sys.error(s"no export watermark at $out — run a full export first"))
-    var since = wm.untilTs
-    wm.stagedUntil.foreach { su => // step 1: finish a crashed run's merge
-      mergeStage(fs, out, su)
-      writeWatermark(spark, out, su)
-      fs.delete(stageDir(out, su), true)
-      since = su
+    withExportLock(fs, out) {
+      val wm = readWatermarkFull(spark, out).getOrElse(
+        sys.error(s"no export watermark at $out — run a full export first"))
+      var since = wm.untilTs
+      wm.stagedUntil.foreach { su => // step 1: finish a crashed run's merge
+        mergeStage(fs, out, su)
+        writeWatermark(spark, out, su)
+        fs.delete(stageDir(out, su), true)
+        since = su
+      }
+      cleanOrphanStages(fs, out, keep = None) // step 2 (marker consumed above)
+      // A window that has not advanced past the watermark (e.g. a frequent
+      // delta cron with untilTs = now - slop) is an empty delta, not an
+      // error: no-op so idempotent schedulers need no special-casing.
+      if (untilTs <= since) 0L
+      else {
+        val stage = stageDir(out, untilTs)
+        val n = exportTree(spark, tree, stage.toString, targetPartitions, // step 3
+          sinceTs = since, untilTs = untilTs, append = false,
+          mtimeFloor = if (mtimeSlop >= 0) since - mtimeSlop else -1L)
+        writeWatermarkStaged(spark, out, since, untilTs) // step 4: freeze
+        mergeStage(fs, out, untilTs) // step 5
+        writeWatermark(spark, out, untilTs) // step 6
+        fs.delete(stage, true)
+        n
+      }
     }
-    cleanOrphanStages(fs, out, keep = None) // step 2 (marker consumed above)
-    // A window that has not advanced past the watermark (e.g. a frequent
-    // delta cron with untilTs = now - slop) is an empty delta, not an
-    // error: no-op so idempotent schedulers need no special-casing.
-    if (untilTs <= since) return 0L
-    val stage = stageDir(out, untilTs)
-    val n = exportTree(spark, tree, stage.toString, targetPartitions, // step 3
-      sinceTs = since, untilTs = untilTs, append = false,
-      mtimeFloor = if (mtimeSlop >= 0) since - mtimeSlop else -1L)
-    writeWatermarkStaged(spark, out, since, untilTs) // step 4: freeze
-    mergeStage(fs, out, untilTs) // step 5
-    writeWatermark(spark, out, untilTs) // step 6
-    fs.delete(stage, true)
-    n
   }
 
   private def session(app: String): SparkSession = {

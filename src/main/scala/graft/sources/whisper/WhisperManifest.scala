@@ -154,9 +154,13 @@ object WhisperManifest {
   /** Content spot check against the same-length re-layout hole (ADVICE r12,
    * see the staleness scaladoc): re-read `k` manifest-served headers and
    * compare content. Returns false — DISCARD THE MANIFEST FOR THIS PLAN —
-   * on any mismatch. The sample is deterministic (murmur-stride over the
-   * served paths) so plans are reproducible; cost is <= k header GETs,
-   * latency-hidden by the planning pool. */
+   * on any mismatch. The sample is deterministic PER MANIFEST VERSION
+   * (murmur-stride seeded by the manifest file's (len, mtime)): plans over
+   * one manifest are reproducible, while every refresh — the daily
+   * `--update` — rotates which k paths get checked, so repeated refresh
+   * cycles sweep coverage across the tree instead of re-checking the same
+   * handful forever. Cost is <= k header GETs, latency-hidden by the
+   * planning pool, plus one driver-side stat of the manifest itself. */
   private[whisper] def spotCheck(
       manifestPath: String,
       manifest: Map[String, Entry],
@@ -167,9 +171,14 @@ object WhisperManifest {
     if (k <= 0) return true
     val served = candidates.filter(e => manifest.get(e.path).exists(_.len == e.len))
     if (served.isEmpty) return true
+    val seed = try {
+      val p = new HPath(manifestPath)
+      val st = p.getFileSystem(WhisperIO.hadoopConf()).getFileStatus(p)
+      (st.getLen ^ st.getModificationTime).toInt
+    } catch { case scala.util.control.NonFatal(_) => 0 }
     val step = math.max(1, served.length / k)
     val sample = served.iterator.filter(e =>
-      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(e.path), step) == 0)
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(e.path, seed), step) == 0)
       .take(k).toVector
     val ok = WhisperIO.parMap(sample, parallelism) { e =>
       sameHeader(WhisperIO.readMetaHeaderOnly(e.path, gzipFor(e.path), e.len),

@@ -204,6 +204,46 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("archive").distinct().count() == 2L)
   }
 
+  test("manifest --update is EQUIVALENT to a fresh full write under repeated churn (r13)") {
+    // the property that makes --update trustworthy as the daily refresh:
+    // after any sequence of adds / deletes / changed-length rewrites, the
+    // updated manifest's CONTENT equals a from-scratch write's (same-length
+    // re-layouts excluded by construction — the documented hole)
+    SlowFs.reset(0)
+    val tree = Files.createTempDirectory("slow-equiv")
+    val specA = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0)))
+    val specB = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0),
+      ArchiveSpec(60, 120, filled = 5, lastTimestamp = 1600000000L, rotation = 0)))
+    for (d <- 0 until 3) {
+      val sub = tree.resolve(s"svc$d"); Files.createDirectories(sub)
+      for (f <- 0 until 6) WhisperWriter.writeFile(sub.resolve(s"m$f.wsp"), specA)
+    }
+    val live = Files.createTempDirectory("slow-equiv-m").resolve("live.jsonl.gz").toString
+    WhisperManifest.write(Seq(slow(tree) + "/*"), live)
+    val rnd = new scala.util.Random(13)
+    for (round <- 0 until 3) {
+      // seeded churn: one new file, one delete, two changed-length rewrites
+      WhisperWriter.writeFile(tree.resolve(s"svc${rnd.nextInt(3)}").resolve(s"n$round.wsp"),
+        if (rnd.nextBoolean()) specA else specB)
+      val delDir = tree.resolve(s"svc${rnd.nextInt(3)}")
+      Files.list(delDir).filter(_.toString.endsWith(".wsp")).findFirst()
+        .ifPresent(p => Files.delete(p))
+      for (_ <- 0 until 2) {
+        val d = tree.resolve(s"svc${rnd.nextInt(3)}")
+        val any = Files.list(d).filter(_.toString.endsWith(".wsp")).findFirst()
+        any.ifPresent(p => WhisperWriter.writeFile(p,
+          if (Files.size(p) == 16 + 12 + 60 * 12) specB else specA))
+      }
+      WhisperManifest.update(Seq(slow(tree) + "/*"), live)
+      val fresh = Files.createTempDirectory(s"slow-equiv-f$round").resolve("f.jsonl.gz").toString
+      WhisperManifest.write(Seq(slow(tree) + "/*"), fresh)
+      assert(WhisperManifest.loadRaw(live) == WhisperManifest.loadRaw(fresh),
+        s"round $round: updated manifest content diverged from a fresh write")
+    }
+  }
+
   test("paged listings: a flat directory bills ceil(n/page) LIST round trips; wide dirs one (VERDICT r12 #1)") {
     // S3-class stores page listings (~1000 entries/response, serial
     // continuation tokens); the shim bills pages so the walk cost model is

@@ -592,6 +592,19 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every sliver recovered: the dataset equals the one-shot full export
     assert(fp(spark.read.parquet(out)) == want,
       "crash-recovered base + deltas fingerprint differs from the one-shot full export")
+
+    // single-writer lock: a held lock fails fast with the cleanup recipe; a
+    // released one lets the next run proceed; success releases it (r13)
+    val lock = new org.apache.hadoop.fs.Path(out.stripSuffix("/") + "._graft_export_lock")
+    val o = fs.create(lock, false); o.close()
+    val ex = intercept[RuntimeException] {
+      Main.exportDelta(spark, tree.toString, out, Some(2), untilTs = w3 + 100L)
+    }
+    assert(ex.getMessage.contains("export lock held"), ex.getMessage)
+    assert(fp(spark.read.parquet(out)) == want, "a lock-refused run must not touch the dataset")
+    fs.delete(lock, false)
+    assert(Main.exportDelta(spark, tree.toString, out, Some(2), untilTs = w3 + 100L) == 0L)
+    assert(!fs.exists(lock), "lock must release after a successful run")
   }
 
   test("export-delta with mtime pruning skips idle files at plan time (opt-in)") {
