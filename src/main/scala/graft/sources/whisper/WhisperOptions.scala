@@ -87,7 +87,9 @@ final case class WhisperOptions(
     // across shards; the price is every shard listing the levels ABOVE the
     // shard depth (one LIST per shallow dir per shard — cheap for the wide
     // shallow levels this targets). Files shallower than the shard depth
-    // hash by their own name, so shards always tile the tree exactly.
+    // hash by their own name, so shards always tile the tree exactly —
+    // PROVIDED all n readers use the same depth (the depth is part of the
+    // shard scheme, not a per-reader preference; mixed depths overlap).
     streamShardDepth: Int = 1,
     // streaming only: a file whose mtime + slop precedes the micro-batch
     // window start is pruned at PLAN time (an idle file cannot hold points

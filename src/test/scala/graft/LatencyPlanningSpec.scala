@@ -387,4 +387,33 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream shards must tile the tree: $a+$b+$c vs $full")
     assert(planned("0/3") == a, "shard assignment is not deterministic across plans")
   }
+
+  test("streaming tail honors streamShardDepth: depth-2 shards tile per trigger too") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions}
+    // two-level tree: 3 services x 4 hosts x 1 file; ALL n streams must use
+    // the SAME depth (shards from different depths do not tile — the option
+    // doc says so); this pins that one depth's shards do
+    val tree = Files.createTempDirectory("slow-sd2")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0)))
+    for (s <- 0 until 3; h <- 0 until 4) {
+      val d = tree.resolve(s"svc$s").resolve(s"host$h")
+      Files.createDirectories(d)
+      WhisperWriter.writeFile(d.resolve("m.wsp"), spec)
+    }
+    def planned(shard: String): Int = {
+      val m = new java.util.HashMap[String, String]()
+      if (shard.nonEmpty) { m.put("streamShard", shard); m.put("streamShardDepth", "2") }
+      m.put("binThreshold", "100000")
+      val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
+      val st = new WhisperMicroBatchStream(Seq(slow(tree)), opts, Seq.empty, opts.schema, 0L)
+      st.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L)).length
+    }
+    val full = planned("")
+    val parts = (0 until 3).map(i => planned(s"$i/3"))
+    assert(full == 12 && parts.sum == full,
+      s"depth-2 stream shards must tile: ${parts.mkString("+")} vs $full")
+    assert(parts.forall(_ < full), s"degenerate depth-2 split: $parts")
+  }
 }

@@ -68,7 +68,11 @@ object LatencyProbe {
       // JIT warm at zero latency (one-off per JVM, invariant in file count)
       SlowFs.latencyMs = 0; SlowFs.listPageSize = 1000
       planWall(pat, Map.empty)
-      val manifest = Files.createTempDirectory("latprobe-m").resolve("m.jsonl.gz").toString
+      // the manifest itself lives ON the slow store so its own read (one
+      // stat + one GET per load, memoized per version) is inside the billed
+      // model — r13 open-surface #4
+      val manifest = "slowfs:" + Files.createTempDirectory("latprobe-m")
+        .resolve("m.jsonl.gz").toAbsolutePath
       WhisperManifest.write(Seq(pat), manifest)
       // manifestSpotCheck=0 below pins the r12 zero-opens planning floor the
       // cost model reasons about; the default (8) adds a constant <= 8 GETs
