@@ -174,6 +174,7 @@ object SparkEntry {
     "q111_rrf_fusion" -> ((s, d) => TextOps.rrfFusion(s, d)),
     "q112_weighted_sample" -> ((s, d) => SamplingOps.weightedSample(s, d)),
     "q113_dense_ids" -> (SamplingOps.denseIds(_, _)),
+    "q114_cluster_balanced_sample" -> ((s, d) => SamplingOps.clusterBalancedSample(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -325,6 +326,33 @@ object SparkEntry {
    * oracle-checked. */
   private def pqCachedCb: String =
     "cb AS (SELECT j, cw FROM read_parquet('__GRAFT_VERIFY_OUT__/pq_codebook/*.parquet'))"
+
+  /** The MinHash-LSH connected-components CTE chain (q60's clustering),
+   * shared by q60 and q114 so their cluster definitions stay in lockstep —
+   * ends at the transitive-closure `reach` relation. */
+  private def ClusterCte: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(arr)-1), i -> arr[i]||' '||arr[i+1]||' '||arr[i+2])) AS s
+      |  FROM toks WHERE len(arr)>=3)),
+      |shd AS (SELECT doc_id, md5(s) || md5('x'||s) AS d FROM sh),
+      |sig AS (SELECT doc_id,
+      |  min(substr(d,1,8)) h0, min(substr(d,9,8)) h1,
+      |  min(substr(d,17,8)) h2, min(substr(d,25,8)) h3,
+      |  min(substr(d,33,8)) h4, min(substr(d,41,8)) h5,
+      |  min(substr(d,49,8)) h6, min(substr(d,57,8)) h7
+      |  FROM shd GROUP BY doc_id),
+      |bands AS (SELECT doc_id, '0'||h0||h1 AS bk FROM sig UNION ALL SELECT doc_id, '1'||h2||h3 FROM sig
+      |  UNION ALL SELECT doc_id, '2'||h4||h5 FROM sig UNION ALL SELECT doc_id, '3'||h6||h7 FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+      |  JOIN bands y ON x.bk=y.bk AND x.doc_id<y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |common AS (SELECT c.a, c.b, count(*) AS cm FROM cand c JOIN sh sa ON sa.doc_id=c.a
+      |  JOIN sh sb ON sb.doc_id=c.b AND sb.s=sa.s GROUP BY c.a, c.b),
+      |p AS (SELECT a, b FROM common JOIN sizes na ON na.doc_id=a JOIN sizes nb ON nb.doc_id=b
+      |  WHERE cm::DOUBLE/(na.n+nb.n-cm) >= 0.5),
+      |e AS (SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),
+      |reach AS (SELECT s, t FROM e UNION SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s AND e2.t <> r.s)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q03_filter_project" ->
@@ -1381,30 +1409,27 @@ object SparkEntry {
         |CAST(coalesce(hit.n_dup, 0) * 1000000 // den.n_grams AS BIGINT) AS dup_ppm
         |FROM den LEFT JOIN hit ON den.doc_id = hit.doc_id ORDER BY den.doc_id""".stripMargin,
     "q60_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
-        |  unnest(list_transform(range(1, len(arr)-1), i -> arr[i]||' '||arr[i+1]||' '||arr[i+2])) AS s
-        |  FROM toks WHERE len(arr)>=3)),
-        |shd AS (SELECT doc_id, md5(s) || md5('x'||s) AS d FROM sh),
-        |sig AS (SELECT doc_id,
-        |  min(substr(d,1,8)) h0, min(substr(d,9,8)) h1,
-        |  min(substr(d,17,8)) h2, min(substr(d,25,8)) h3,
-        |  min(substr(d,33,8)) h4, min(substr(d,41,8)) h5,
-        |  min(substr(d,49,8)) h6, min(substr(d,57,8)) h7
-        |  FROM shd GROUP BY doc_id),
-        |bands AS (SELECT doc_id, '0'||h0||h1 AS bk FROM sig UNION ALL SELECT doc_id, '1'||h2||h3 FROM sig
-        |  UNION ALL SELECT doc_id, '2'||h4||h5 FROM sig UNION ALL SELECT doc_id, '3'||h6||h7 FROM sig),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
-        |  JOIN bands y ON x.bk=y.bk AND x.doc_id<y.doc_id),
-        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
-        |common AS (SELECT c.a, c.b, count(*) AS cm FROM cand c JOIN sh sa ON sa.doc_id=c.a
-        |  JOIN sh sb ON sb.doc_id=c.b AND sb.s=sa.s GROUP BY c.a, c.b),
-        |p AS (SELECT a, b FROM common JOIN sizes na ON na.doc_id=a JOIN sizes nb ON nb.doc_id=b
-        |  WHERE cm::DOUBLE/(na.n+nb.n-cm) >= 0.5),
-        |e AS (SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),
-        |reach AS (SELECT s, t FROM e UNION SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s AND e2.t <> r.s)
+      (ClusterCte +
+        """
         |SELECT s AS doc_id, least(s, min(t)) AS cluster, s <= min(t) AS is_canonical
-        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin),
+    // q114: q60's clusters -> inverse-size weights -> q112's priority law
+    // (salt 'cb' so the sample is independent of q112's); singletons via
+    // the left join get weight 1e6
+    "q114_cluster_balanced_sample" ->
+      (ClusterCte +
+        """,
+        |cl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster FROM reach GROUP BY s),
+        |csz AS (SELECT cluster, count(*) AS csz FROM cl GROUP BY cluster),
+        |sized AS (SELECT d.doc_id, COALESCE(z.csz, 1) AS cluster_size FROM documents d
+        |  LEFT JOIN (SELECT cl.doc_id, csz.csz FROM cl JOIN csz ON cl.cluster = csz.cluster) z
+        |  ON d.doc_id = z.doc_id),
+        |w AS (SELECT doc_id, cluster_size, CAST(1000000 // cluster_size AS BIGINT) AS weight FROM sized),
+        |pri AS (SELECT doc_id, cluster_size, weight,
+        |  CAST(weight * 1000000000000 //
+        |    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cb'), 1, 15))::BIGINT // 1000000) + 1) AS BIGINT) AS pri
+        |  FROM w)
+        |SELECT doc_id, cluster_size, weight, pri FROM pri ORDER BY pri DESC, doc_id LIMIT 25""".stripMargin),
     "q61_decontaminate" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
         |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),

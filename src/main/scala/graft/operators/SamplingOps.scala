@@ -510,4 +510,41 @@ object SamplingOps {
       .orderBy(col("pri").desc, col("doc_id"))
       .limit(k)
       .select("doc_id", "weight", "pri")
+
+  /**
+   * Cluster-balanced sampling — priority sampling where a document's
+   * weight is INVERSELY proportional to its near-duplicate cluster size
+   * (`weight = 1e6 div |cluster|`, singletons 1e6): the reweighting the
+   * SemDeDup/D4 line of work prescribes so duplicated content does not
+   * dominate the sampled corpus — a 40x-duplicated boilerplate page gets
+   * ~1/40 of the mass PER COPY instead of 40x the total. An alternative
+   * to dropping non-canonical members outright: soft dedup that keeps
+   * benign variation while flattening the duplication skew.
+   *
+   * Composition: clusters are [[DedupOps.dedupClusters]]' MinHash-LSH
+   * connected components (q60 — docs in no near-dup pair are singletons
+   * via the left join); the priority law is [[weightedSample]]'s
+   * (Duffield–Lund–Thorup) with a DISTINCT md5 salt ('cb') so this
+   * sample's randomness is independent of q112's. Shape: cluster sizes
+   * are a partial agg over the pair graph's label table (tiny relative
+   * to the corpus), broadcast back onto it; weight/priority math is
+   * map-side; top-k is TakeOrderedAndProject. No new shuffle class
+   * beyond q60's own clustering.
+   */
+  def clusterBalancedSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val clusters = DedupOps.dedupClusters(spark, dir).select(col("doc_id"), col("cluster"))
+    val sized = clusters
+      .join(clusters.groupBy("cluster").agg(count(lit(1)).as("csz")), "cluster")
+      .select(col("doc_id"), col("csz"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(sized, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("csz"), lit(1L)).as("cluster_size"))
+      .withColumn("weight", expr("1000000 div cluster_size"))
+      .withColumn("u", expr(
+        "cast(conv(substr(md5(cast(doc_id as string) || 'cb'), 1, 15), 16, 10) as bigint)"))
+      .withColumn("pri", expr("weight * 1000000000000 div (u div 1000000 + 1)"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "cluster_size", "weight", "pri")
+  }
 }

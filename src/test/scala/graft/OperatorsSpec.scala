@@ -1253,6 +1253,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want.toSeq, "prefix-offset ids diverge from the global window's")
   }
 
+  test("q114 clusterBalancedSample: weight = 1e6 div q60 cluster size; singletons full weight") {
+    val sizes = DedupOps.dedupClusters(spark, dir)
+      .groupBy("cluster").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = DedupOps.dedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> sizes(r.getLong(1))).toMap
+    val out = SamplingOps.clusterBalancedSample(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 25)
+    out.foreach { r =>
+      val (doc, csz, w) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(csz == byDoc.getOrElse(doc, 1L), s"doc $doc cluster size $csz != q60's")
+      assert(w == 1000000L / csz, s"doc $doc weight $w != 1e6 div $csz")
+    }
+    // the reweighting must actually bite: a clustered doc's weight < 1e6
+    val clustered = byDoc.filter(_._2 > 1)
+    assert(clustered.nonEmpty, "fixture has no near-dup clusters — the test proves nothing")
+  }
+
   test("q111 rrfFusion refuses a corpus-sized poolK (unpartitioned rank windows, r13)") {
     // the global rank windows serialize poolK rows through ONE task — bounded
     // by construction for retriever pools, so the bound is enforced, not trusted
