@@ -97,7 +97,13 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q111's FULL OUTER fusion join: Spark has no broadcast strategy for
     // full-outer, so SMJ is the only shape — over two <= poolK(50)-row
     // ranking relations, size-bounded by construction
-    "q111_rrf_fusion")
+    "q111_rrf_fusion",
+    // q114's documents-LEFT-JOIN-labels: the cluster-label side derives
+    // from q60's ITERATIVE persisted loop (AQE sees no reliable stats) and
+    // at 100 TB it is O(paired docs) — potentially corpus-sized, so an SMJ
+    // on doc_id is the scale-correct shape and a forced broadcast would be
+    // the bug; AQE may still demote at tiny sf, both outcomes correct
+    "q114_cluster_balanced_sample")
 
   test("no query plans a Cartesian product; BNLJ/SMJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
