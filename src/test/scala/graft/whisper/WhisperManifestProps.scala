@@ -1,0 +1,87 @@
+package graft.sources.whisper
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.format.{WhisperCodec, WhisperWriter}
+import graft.format.WhisperWriter.{ArchiveSpec, FileSpec}
+
+/** Property tests for the header manifest (r13): the JSONL round trip must
+ * preserve EVERY field planning consumes over arbitrary layouts (a lossy
+ * float or truncated long here would silently mis-prune archives at plan
+ * time), and [[WhisperManifest.sameHeader]] — the same-length re-layout
+ * detector — must flag a perturbation of ANY single consumed field while
+ * accepting true copies. Lives in the whisper package for access to the
+ * package-private surface; pure JVM + local temp files, no Spark session. */
+object WhisperManifestProps extends Properties("WhisperManifest") {
+
+  private val genArchive: Gen[ArchiveSpec] = for {
+    spp <- Gen.oneOf(1L, 10L, 60L, 3600L, 86400L)
+    points <- Gen.chooseNum(1L, 500L)
+    filled <- Gen.chooseNum(0L, points)
+    rotation <- Gen.chooseNum(0L, points - 1)
+    lastTs <- Gen.chooseNum(10000000L, 2000000000L)
+  } yield ArchiveSpec(spp, points, filled, lastTs - lastTs % spp, rotation)
+
+  private val genFile: Gen[FileSpec] = for {
+    method <- Gen.oneOf(WhisperCodec.AggregationMethods.values.toSeq)
+    xff <- Gen.chooseNum(0.0f, 1.0f)
+    archives <- Gen.nonEmptyListOf(genArchive).map(_.take(4))
+  } yield FileSpec(method, xff, archives)
+
+  private def metaOf(spec: FileSpec): (WhisperCodec.FileMeta, Long) = {
+    val bos = new ByteArrayOutputStream()
+    WhisperWriter.write(bos, spec)
+    val bytes = bos.toByteArray
+    (WhisperCodec.parseMeta(bytes, "mem", bytes.length.toLong), bytes.length.toLong)
+  }
+
+  property("JSONL round trip preserves every planning field (incl. exact xff)") =
+    forAll(Gen.listOfN(3, genFile)) { specs =>
+      val dir = Files.createTempDirectory("manifest-props")
+      specs.zipWithIndex.foreach { case (s, i) =>
+        WhisperWriter.writeFile(dir.resolve(s"m$i.wsp"), s)
+      }
+      val out = dir.resolve("m.jsonl.gz").toString
+      WhisperManifest.write(Seq(dir.toString + "/*.wsp"), out)
+      val loaded = WhisperManifest.loadRaw(out)
+      Prop.all(specs.zipWithIndex.map { case (s, i) =>
+        // manifest keys carry the walk's scheme qualification (file:/...)
+        val entry = loaded.collectFirst {
+          case (p, e) if p.endsWith(s"/m$i.wsp") => e
+        }.getOrElse(sys.error(s"m$i.wsp missing from manifest: ${loaded.keys}"))
+        val (want, _) = metaOf(s)
+        (entry.len == Files.size(dir.resolve(s"m$i.wsp"))) :| s"len m$i" &&
+          (entry.meta.aggregationType == want.aggregationType) :| s"agg m$i" &&
+          (entry.meta.maxRetention == want.maxRetention) :| s"maxRet m$i" &&
+          (entry.meta.xFilesFactor == want.xFilesFactor) :| s"xff m$i (float round trip)" &&
+          (entry.meta.archives.map(a => (a.offset, a.secondsPerPoint, a.points)) ==
+            want.archives.map(a => (a.offset, a.secondsPerPoint, a.points))) :| s"archives m$i"
+      }: _*)
+    }
+
+  property("sameHeader accepts a true copy and flags ANY single-field perturbation") =
+    forAll(genFile) { spec =>
+      val (m, _) = metaOf(spec)
+      val copy = m.copy()
+      val a0 = m.archives.head
+      val perturbed: Seq[(String, WhisperCodec.FileMeta)] = Seq(
+        "agg" -> m.copy(aggregationType = m.aggregationType + 1),
+        "maxRet" -> m.copy(maxRetention = m.maxRetention + 1),
+        "xff" -> m.copy(xFilesFactor =
+          if (m.xFilesFactor < 0.5f) m.xFilesFactor + 0.25f else m.xFilesFactor - 0.25f),
+        "spp" -> m.copy(archives =
+          a0.copy(secondsPerPoint = a0.secondsPerPoint + 1) +: m.archives.tail),
+        "points" -> m.copy(archives = a0.copy(points = a0.points + 1) +: m.archives.tail),
+        "offset" -> m.copy(archives = a0.copy(offset = a0.offset + 12) +: m.archives.tail),
+        "archCount" -> m.copy(archives = m.archives :+ a0)
+      )
+      WhisperManifest.sameHeader(m, copy) :| "true copy accepted" &&
+        Prop.all(perturbed.map { case (what, p) =>
+          (!WhisperManifest.sameHeader(m, p)) :| s"$what perturbation missed"
+        }: _*)
+    }
+}
