@@ -80,6 +80,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // reliable checkpoint() data (the opt-in partition-identity pin,
+      // OpCache.pinPartitions) is NOT cleaned by default and releaseAll/
+      // clearCache never touch it — a bench loop cycling q55/q98/q113 would
+      // accumulate checkpoint dirs unbounded (ADVICE r13); static conf, so
+      // it must be set here, not at runtime
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -217,9 +217,16 @@ object Main {
             s"may be running; if its driver crashed, delete the lock file and rerun " +
             s"(the staged protocol recovers exactly-once)")
       }
-    try o.write(s"""{"acquired_ts": ${System.currentTimeMillis() / 1000L}}""".getBytes("UTF-8"))
-    finally o.close()
-    try body finally fs.delete(lock, false)
+    // The acquire-timestamp payload is advisory; a failure writing it (disk
+    // full, transient store error) must not strand the just-created lock on
+    // disk with no run holding it — every later export would fail "lock
+    // held" until an operator deletes it by hand (ADVICE r13). From the
+    // moment create-exclusive succeeded, ANY exit path deletes the lock.
+    try {
+      try o.write(s"""{"acquired_ts": ${System.currentTimeMillis() / 1000L}}""".getBytes("UTF-8"))
+      finally o.close()
+      body
+    } finally fs.delete(lock, false)
   }
 
   private[graft] def stageDir(out: String, untilTs: Long) =

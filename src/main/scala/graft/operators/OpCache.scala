@@ -37,6 +37,19 @@ object OpCache {
    * one write+read of the narrow projection through the checkpoint dir
    * (measured trade in BENCH_NOTES r13 — single-digit-% of query wall at
    * sf0.1 on local disk; on object storage budget the round trip).
+   *
+   * STORAGE LIFECYCLE of the reliable form (ADVICE r13): Spark's
+   * ContextCleaner does NOT delete reliable checkpoint data by default
+   * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to false),
+   * and neither [[releaseAll]] nor `spark.catalog.clearCache()` touches the
+   * DFS files — a long-lived session or bench loop cycling q55/q98/q113
+   * accumulates one checkpoint directory per call, unbounded. Sessions that
+   * enable `spark.graft.reliableCheckpoint` MUST ALSO set
+   * `spark.cleaner.referenceTracking.cleanCheckpoints=true` at session
+   * build (it is a static SparkConf key — a runtime conf.set after the
+   * context starts has no effect) so GC'd pins reclaim their directories;
+   * `tools/prof_s13_ckpt.scala` loops these queries 12 times and is exactly
+   * the shape that leaks without it.
    */
   private[operators] def pinPartitions(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoint").contains("true"))

@@ -159,7 +159,8 @@ object WhisperManifest {
    * one manifest are reproducible, while every refresh — the daily
    * `--update` — rotates which k paths get checked, so repeated refresh
    * cycles sweep coverage across the tree instead of re-checking the same
-   * handful forever. Cost is <= k header GETs, latency-hidden by the
+   * handful forever. The sample size is GUARANTEED min(k, served) — see
+   * [[sampleForCheck]]. Cost is <= k header GETs, latency-hidden by the
    * planning pool, plus one driver-side stat of the manifest itself. */
   private[whisper] def spotCheck(
       manifestPath: String,
@@ -175,11 +176,14 @@ object WhisperManifest {
       val p = new HPath(manifestPath)
       val st = p.getFileSystem(WhisperIO.hadoopConf()).getFileStatus(p)
       (st.getLen ^ st.getModificationTime).toInt
-    } catch { case scala.util.control.NonFatal(_) => 0 }
-    val step = math.max(1, served.length / k)
-    val sample = served.iterator.filter(e =>
-      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(e.path, seed), step) == 0)
-      .take(k).toVector
+    } catch {
+      // a failed manifest stat must not void the documented per-version
+      // rotation into a fixed seed-0 sample forever (ADVICE r13): fall back
+      // to a path-derived seed — stable, but at least not globally shared
+      case scala.util.control.NonFatal(_) =>
+        scala.util.hashing.MurmurHash3.stringHash(manifestPath)
+    }
+    val sample = sampleForCheck(served, k, seed)
     val ok = WhisperIO.parMap(sample, parallelism) { e =>
       sameHeader(WhisperIO.readMetaHeaderOnly(e.path, gzipFor(e.path), e.len),
         manifest(e.path).meta)
@@ -190,6 +194,84 @@ object WhisperManifest {
           s"UNCHANGED file length (same-length re-layout); ignoring the manifest for this plan " +
           s"— regenerate it with `graft.Main manifest` (a length-diff --update cannot see this)")
     ok
+  }
+
+  /** [[spotCheck]] verdict memoized PER MANIFEST VERSION (ADVICE r13): the
+   * check is deterministic per version (seed = the manifest's (len, mtime)),
+   * so re-running it on every plan — and, worse, on every streaming TRIGGER,
+   * which constructs its header source per planInputPartitions call — paid
+   * up to k header GETs each time while buying nothing the version's first
+   * run hadn't already established. One check per (manifest version, JVM):
+   * a refreshed manifest (new len/mtime) re-verifies with a rotated sample;
+   * a DISTRUSTED verdict memoizes too — the manifest stays discarded until
+   * regenerated, exactly what the warning tells the operator to do.
+   *
+   * The residual trade is honest: a store-side re-layout that lands AFTER
+   * a version's first check is invisible to batch plans until the manifest
+   * refreshes (daily --update = daily re-verify). Long-lived STREAMS close
+   * that window themselves — the periodic header-cache revalidation
+   * ([[WhisperMicroBatchStream]], `streamRevalidateTriggers`) calls
+   * [[invalidateVerdict]] on any divergence so the next plan re-checks
+   * against the store. Unversionable manifests (stat fails) fall through
+   * to an uncached check. get + put, not computeIfAbsent — the miss path
+   * does header I/O (the CHM bin-lock pitfall, r12). */
+  private val verdictCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Boolean)]()
+
+  private[whisper] def spotCheckCached(
+      manifestPath: String,
+      manifest: Map[String, Entry],
+      candidates: Seq[WhisperIO.FileEntry],
+      k: Int,
+      parallelism: Int,
+      gzipFor: String => Boolean): Boolean = {
+    if (k <= 0) return true
+    val version =
+      try {
+        val p = new HPath(manifestPath)
+        val st = p.getFileSystem(WhisperIO.hadoopConf()).getFileStatus(p)
+        (st.getLen, st.getModificationTime)
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (version == null)
+      return spotCheck(manifestPath, manifest, candidates, k, parallelism, gzipFor)
+    val hit = verdictCache.get(manifestPath)
+    if (hit != null && hit._1 == version) hit._2
+    else {
+      val v = spotCheck(manifestPath, manifest, candidates, k, parallelism, gzipFor)
+      verdictCache.put(manifestPath, (version, v))
+      v
+    }
+  }
+
+  /** Forget the memoized spot-check verdict for one manifest (no-op on "")
+   * — called by the streaming tail when its own revalidation observes the
+   * store diverging under an unchanged manifest version. */
+  def invalidateVerdict(manifestPath: String): Unit =
+    if (manifestPath.nonEmpty) verdictCache.remove(manifestPath)
+
+  /** Deterministic verification sample: GUARANTEED min(k, n) entries
+   * (ADVICE r13 — the plain murmur-stride filter could select ZERO files
+   * when the hash distribution missed the stride, silently verifying
+   * nothing while the plan trusted the manifest). The stride pass keeps the
+   * O(n) seed-rotated sweep; a short stride yield is topped up with the
+   * seed-rotated smallest hashes so the shortfall path stays deterministic
+   * per (entries, seed) and still rotates coverage across versions. */
+  private[whisper] def sampleForCheck(
+      served: Seq[WhisperIO.FileEntry], k: Int, seed: Int): Vector[WhisperIO.FileEntry] = {
+    val want = math.min(k, served.size)
+    if (want <= 0) return Vector.empty
+    val step = math.max(1, served.length / k)
+    val strided = served.iterator.filter(e =>
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(e.path, seed), step) == 0)
+      .take(k).toVector
+    if (strided.length >= want) strided
+    else {
+      val have = strided.map(_.path).toSet
+      strided ++ served.iterator.filterNot(e => have(e.path))
+        .map(e => (scala.util.hashing.MurmurHash3.stringHash(e.path, seed), e))
+        .toVector.sortBy { case (h, e) => (h, e.path) }
+        .take(want - strided.length).map(_._2)
+    }
   }
 
   /** Parse one manifest into path -> Entry. */

@@ -71,15 +71,25 @@ class WhisperMicroBatchStream(
    * stream restart (ADVICE r11). The length key shares the manifest's
    * SAME-LENGTH re-layout hole (a resize changing only secondsPerPoint /
    * xff / aggregation preserves length — ADVICE r12, [[WhisperManifest]]
-   * scaladoc): mid-stream, such a rewrite serves stale spp until restart;
+   * scaladoc): mid-stream, such a rewrite served stale spp until restart;
    * the blast radius is the idle/window archive pruning (over-prune can
-   * lose that file's rows for the stream's remaining life), and the
-   * operational answer is the same as the manifest's — same-length resizes
-   * need a stream restart (cache dies with the stream). A manifest-backed
-   * stream additionally gets the batch [[WhisperManifest.spotCheck]] on
-   * cache MISSES (new files), not on steady-state hits. The directory walk
-   * already carries each file's length ([[WhisperIO.FileEntry]]); no extra
-   * I/O. Files that APPEAR mid-stream are read on their first trigger.
+   * lose that file's rows for the stream's remaining life). That hole is
+   * now CLOSED for long-lived streams by periodic revalidation (VERDICT
+   * r13 #1): every `streamRevalidateTriggers`-th planned window, up to
+   * `manifestSpotCheck` cache-served headers are re-read and compared
+   * (sample rotated by the trigger counter so coverage sweeps the tree);
+   * ANY divergence clears the WHOLE cache — re-layouts are systematic
+   * migrations, the same blast-radius stance as the manifest discard —
+   * and invalidates the manifest's memoized spot-check verdict, so the
+   * next plan re-reads fresh and re-verifies against the store instead of
+   * waiting for a restart. A manifest-backed stream gets the batch
+   * content check via [[WhisperManifest.spotCheckCached]] once per
+   * manifest VERSION — the previous per-trigger re-check bought nothing
+   * in steady state and cost up to k header GETs every trigger (ADVICE
+   * r13); the steady-state residue is now two memoized manifest stats
+   * per trigger, zero header GETs. The directory walk already carries
+   * each file's length ([[WhisperIO.FileEntry]]); no extra I/O. Files
+   * that APPEAR mid-stream are read on their first trigger.
    * Memory: one FileMeta (~100 B) per ACTIVE path — idle-pruned files never
    * reach the planner's metaFor, so on a mostly-idle tree the cache tracks
    * the live working set, not the tree (a resize leaves one dead old-key
@@ -96,6 +106,33 @@ class WhisperMicroBatchStream(
    * offsets must describe the same batch — replay determinism the offset
    * contract already requires — so plan once per window. */
   @volatile private var lastPlan: (Long, Long, Array[InputPartition]) = null
+
+  /** Distinct planned windows so far — the revalidation cadence counter
+   * (re-plans of the SAME window hit the memo above and don't advance it). */
+  private val windowCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Periodic same-length re-layout sweep over the header cache (see the
+   * metaCache scaladoc). Runs on the driver thread BEFORE the planning
+   * pool spins up — same eager stance as the manifest resolution below. */
+  private def revalidateMetaCache(live: Seq[WhisperIO.FileEntry], trigger: Long): Unit = {
+    val servedByCache = live.filter(e => metaCache.containsKey((e.path, e.len)))
+    if (servedByCache.isEmpty) return
+    val sample = WhisperManifest.sampleForCheck(
+      servedByCache, options.manifestSpotCheck, seed = trigger.toInt)
+    val ok = WhisperIO.parMap(sample, options.planningParallelism) { e =>
+      WhisperManifest.sameHeader(
+        WhisperIO.readMetaHeaderOnly(e.path, options.gzipFor(e.path), e.len),
+        metaCache.get((e.path, e.len)))
+    }.forall(identity)
+    if (!ok) {
+      System.err.println(
+        "WARN WhisperMicroBatchStream: header content diverged from the per-stream cache " +
+          "under UNCHANGED file lengths (same-length re-layout migration); discarding the " +
+          "whole header cache and the manifest trust — this trigger re-reads fresh")
+      metaCache.clear()
+      WhisperManifest.invalidateVerdict(options.headerManifest)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[WhisperOffset].ts
@@ -126,6 +163,12 @@ class WhisperMicroBatchStream(
     val live =
       if (slop < 0) statuses
       else statuses.filter(e => e.mtimeMs / 1000L + slop > lo)
+    // periodic same-length re-layout sweep (every N-th NEW window; the
+    // trigger counter also rotates the sample so coverage sweeps the tree)
+    val trigger = windowCount.incrementAndGet()
+    if (options.streamRevalidateTriggers > 0 && options.manifestSpotCheck > 0 &&
+        trigger % options.streamRevalidateTriggers == 0)
+      revalidateMetaCache(live, trigger)
     // same plan-time archive/file pruning AND small-unit bin-packing as the
     // batch scan -- a streaming tail over a large graphite tree pays the
     // per-unit scheduler tax EVERY trigger, so packing matters more here

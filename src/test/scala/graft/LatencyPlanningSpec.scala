@@ -170,6 +170,73 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SlowFs.opens.get() == 0)
   }
 
+  test("spot-check verdict memoizes per manifest VERSION: repeat plans pay zero header GETs (ADVICE r13)") {
+    val tree = mkTree(nDirs = 2, filesPerDir = 8) // 16 files
+    val manifest = Files.createTempDirectory("slow-manifest-v").resolve("m.jsonl.gz").toString
+    SlowFs.reset(0)
+    assert(WhisperManifest.write(Seq(slow(tree) + "/*"), manifest) == 16L)
+    // first plan of this manifest version: the content check runs, exactly
+    // min(k=8, served=16) = 8 sample opens (guaranteed size, ADVICE r13)
+    SlowFs.reset(0)
+    spark.read.format("whisper").option("headerManifest", manifest)
+      .load(slow(tree) + "/*").rdd.getNumPartitions
+    assert(SlowFs.opens.get() == 8,
+      s"first plan of a manifest version should open exactly 8 sample headers, got ${SlowFs.opens.get()}")
+    // every later plan over the UNCHANGED version: verdict memoized — zero
+    // header GETs (metadata stats only); this is what stops a manifest-backed
+    // STREAM from paying k GETs per trigger
+    SlowFs.reset(0)
+    spark.read.format("whisper").option("headerManifest", manifest)
+      .load(slow(tree) + "/*").rdd.getNumPartitions
+    assert(SlowFs.opens.get() == 0,
+      s"repeat plan re-ran the spot check: ${SlowFs.opens.get()} opens")
+    // a REFRESHED manifest (new version) re-verifies with a rotated sample
+    WhisperWriter.writeFile(
+      java.nio.file.Paths.get(tree.toString, "svc0", "extra.wsp"),
+      FileSpec(archives = Seq(
+        ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0))))
+    SlowFs.reset(0)
+    WhisperManifest.write(Seq(slow(tree) + "/*"), manifest)
+    SlowFs.reset(0)
+    spark.read.format("whisper").option("headerManifest", manifest)
+      .load(slow(tree) + "/*").rdd.getNumPartitions
+    assert(SlowFs.opens.get() == 8,
+      s"new manifest version must re-run the spot check, got ${SlowFs.opens.get()} opens")
+  }
+
+  test("manifest-backed stream: steady-state triggers pay ZERO header GETs at DEFAULT options (ADVICE r13)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions}
+    // the r13 regression this pins against: manifestAwareMetaFor ran the
+    // spot check at construction, and the stream constructs it EVERY
+    // trigger — so steady state paid up to 8 header GETs per trigger
+    // unless the user set manifestSpotCheck=0
+    val tree = mkTree(nDirs = 4, filesPerDir = 6) // 24 files
+    val manifest = Files.createTempDirectory("slow-manifest-ss").resolve("m.jsonl.gz").toString
+    SlowFs.reset(0)
+    assert(WhisperManifest.write(Seq(slow(tree)), manifest) == 24L)
+    val m = new java.util.HashMap[String, String]()
+    m.put("headerManifest", manifest) // DEFAULT manifestSpotCheck (8)
+    m.put("binThreshold", "100000")
+    val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
+    val stream = new WhisperMicroBatchStream(Seq(slow(tree)), opts, Seq.empty, opts.schema, 0L)
+    // trigger 1: the version's one-time content check (<= 8 opens), every
+    // header itself served by the manifest
+    SlowFs.reset(0)
+    stream.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L))
+    assert(SlowFs.opens.get() <= 8,
+      s"trigger 1 should pay at most the one-time 8-sample check, got ${SlowFs.opens.get()}")
+    // triggers 2..4 (distinct windows): verdict memoized + header cache hits
+    // -> zero GETs; the zero-opens steady-state contract now holds at the
+    // DEFAULTS, not only at manifestSpotCheck=0
+    SlowFs.reset(0)
+    stream.planInputPartitions(WhisperOffset(1700000000L), WhisperOffset(1800000000L))
+    stream.planInputPartitions(WhisperOffset(1800000000L), WhisperOffset(1900000000L))
+    stream.planInputPartitions(WhisperOffset(1900000000L), WhisperOffset(2000000000L))
+    assert(SlowFs.opens.get() == 0,
+      s"steady-state triggers still pay header GETs: ${SlowFs.opens.get()} over 3 triggers")
+  }
+
   test("manifest --update: O(changed) header re-reads; deleted entries dropped (VERDICT r12 #2)") {
     val tree = mkTree(nDirs = 2, filesPerDir = 8) // 16 files
     val manifest = Files.createTempDirectory("slow-manifest-u").resolve("m.jsonl.gz").toString

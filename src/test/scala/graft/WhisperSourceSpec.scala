@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.format.{WhisperCodec, WhisperWriter}
 import graft.format.WhisperWriter.{ArchiveSpec, FileSpec}
 import graft.meta.WhisperMeta
-import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions}
+import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions, WhisperStreamPartition}
 
 /**
  * Port of the reference test suite (`/root/reference/test_whisper_pandas.py`)
@@ -444,6 +444,48 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n2 = stream.planInputPartitions(WhisperOffset(1700000000L), WhisperOffset(1800000000L)).length
     assert(n1 == 1 && n2 == 2,
       s"resized file must re-read its header (got $n1 then $n2 planned archive units)")
+  }
+
+  test("stream revalidation catches a SAME-LENGTH re-layout mid-stream (VERDICT r13 #1)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // A resize that preserves file length (same archive count, same point
+    // count, different secondsPerPoint) evades the (path, len) cache key by
+    // construction — before r14 the stream served the stale spp until
+    // restart. With streamRevalidateTriggers=N, the N-th planned window
+    // re-reads a rotated header sample, detects the divergence, and clears
+    // the cache, so THIS trigger already plans with the fresh header.
+    def mkStream(tree: java.nio.file.Path, revalidate: Int): WhisperMicroBatchStream = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("streamRevalidateTriggers", revalidate.toString)
+      m.put("binThreshold", "100000") // unit-per-archive so spp is readable
+      val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
+      new WhisperMicroBatchStream(Seq(tree.toString + "/*.wsp"), opts, Seq.empty, opts.schema, 0L)
+    }
+    def plannedSpp(parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Set[Long] =
+      parts.collect { case p: WhisperStreamPartition => p.base.secondsPerPoint }.toSet
+    val tree = Files.createTempDirectory("whisper-revalidate")
+    for (i <- 0 until 6)
+      WhisperWriter.writeFile(tree.resolve(s"m$i.wsp"), FileSpec(archives = Seq(
+        ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0))))
+    val guarded = mkStream(tree, revalidate = 2)
+    val blind = mkStream(tree, revalidate = 0)
+    // trigger 1 on both: caches fill with spp=10 headers
+    assert(plannedSpp(guarded.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L))) == Set(10L))
+    assert(plannedSpp(blind.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L))) == Set(10L))
+    // same-length re-layout: spp 10 -> 20, identical byte size
+    for (i <- 0 until 6)
+      WhisperWriter.writeFile(tree.resolve(s"m$i.wsp"), FileSpec(archives = Seq(
+        ArchiveSpec(20, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0))))
+    // trigger 2 (a NEW window): the guarded stream's revalidation sweep
+    // fires (window 2 % 2 == 0), discards the cache, and plans fresh;
+    // the unguarded stream documents the old hole — stale spp served
+    val g2 = plannedSpp(guarded.planInputPartitions(WhisperOffset(1700000000L), WhisperOffset(1800000000L)))
+    val b2 = plannedSpp(blind.planInputPartitions(WhisperOffset(1700000000L), WhisperOffset(1800000000L)))
+    assert(g2 == Set(20L), s"revalidation missed the same-length re-layout: planned spp $g2")
+    assert(b2 == Set(10L), s"control without revalidation should have served the stale header, got $b2")
+    // and the guarded stream keeps serving fresh headers afterwards
+    val g3 = plannedSpp(guarded.planInputPartitions(WhisperOffset(1800000000L), WhisperOffset(1900000000L)))
+    assert(g3 == Set(20L), s"post-revalidation trigger regressed to $g3")
   }
 
   test("file predicate prunes paths BEFORE the header read (r11)") {

@@ -63,6 +63,31 @@ object WhisperManifestProps extends Properties("WhisperManifest") {
       }: _*)
     }
 
+  property("sampleForCheck GUARANTEES min(k, n) entries for any seed (ADVICE r13)") =
+    forAll(
+      Gen.chooseNum(0, 200),
+      Gen.chooseNum(1, 16),
+      Gen.chooseNum(Int.MinValue, Int.MaxValue)) { (n, k, seed) =>
+      val served = (0 until n).map(i => WhisperIO.FileEntry(s"/tree/svc${i % 7}/m$i.wsp", 0L, 100L))
+      val sample = WhisperManifest.sampleForCheck(served, k, seed)
+      val want = math.min(k, n)
+      // the old murmur-stride filter could yield ZERO checks when the hash
+      // distribution missed the stride — the plan then trusted the manifest
+      // with no verification at all
+      (sample.size == want) :| s"size ${sample.size} != min($k, $n)" &&
+        (sample.map(_.path).distinct.size == sample.size) :| "duplicate entries sampled" &&
+        (sample == WhisperManifest.sampleForCheck(served, k, seed)) :| "not deterministic per seed"
+    }
+
+  property("sampleForCheck rotates coverage across seeds (the per-version sweep)") =
+    forAll(Gen.chooseNum(32, 128)) { n =>
+      val served = (0 until n).map(i => WhisperIO.FileEntry(s"/tree/m$i.wsp", 0L, 100L))
+      val union = (0 until 8).flatMap(seed =>
+        WhisperManifest.sampleForCheck(served, 4, seed).map(_.path)).toSet
+      // 8 rotated 4-samples must cover strictly more than any single sample
+      (union.size > 4) :| s"rotation is vacuous: 8 seeds covered only ${union.size} paths"
+    }
+
   property("sameHeader accepts a true copy and flags ANY single-field perturbation") =
     forAll(genFile) { spec =>
       val (m, _) = metaOf(spec)

@@ -6,6 +6,11 @@
 // mode, min of the last 2 (round-8 probe protocol); modes bracketed
 // local -> reliable -> local so box drift is visible.
 // Run: spark-shell --master local[8] --jars <jar> -i tools/prof_s13_ckpt.scala
+// NOTE (ADVICE r13): this loop is exactly the shape that LEAKS checkpoint
+// dirs under reliable mode unless the session was built with
+// spark.cleaner.referenceTracking.cleanCheckpoints=true (static conf --
+// pass --conf on the spark-shell command line; a runtime set cannot help).
+// dropState()'s System.gc() is what lets the cleaner reclaim them.
 import org.apache.spark.sql.functions._
 
 spark.sparkContext.setLogLevel("ERROR")
