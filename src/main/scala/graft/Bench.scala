@@ -104,6 +104,10 @@ object Bench {
     val (streamNames, names) = allNames.partition(_.contains("_stream_"))
     def dropState(): Unit = {
       graft.operators.OpCache.releaseAll() // drop persistBounded pins + map refs
+      // the cluster-label memo (VERDICT r13 #2) would otherwise let a
+      // second timed run of q60/q114 skip the propagation loop — every
+      // timed run must price the full clustering lineage
+      graft.operators.DedupOps.invalidateClusterCache()
       spark.catalog.clearCache() // intra-query caches must not tax the next run
       // localCheckpoint blocks (sequencePack's partition-identity pin) are
       // RDD-level storage that clearCache() does NOT release and that

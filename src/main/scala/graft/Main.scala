@@ -188,45 +188,64 @@ object Main {
     }
   }
 
+  /** Path capability announcing conditional-create support (HADOOP-19256:
+   * S3A enforces create-exclusive at close() with an If-None-Match PUT).
+   * Probed per store — see [[withExportLock]]. */
+  private[graft] val ConditionalCreateCapability = "fs.option.create.conditional.overwrite"
+
   /** Advisory single-writer lock for the export protocol (r13 open-surface
    * #3): the staged exactly-once machinery assumes ONE writer — two
    * concurrent delta runs could interleave stage markers. The lock is a
    * SIBLING of the dataset directory (inside it, exportFull's overwrite
    * would delete the very lock the run holds), created with
-   * create-exclusive — atomic on HDFS and local FS; object stores without
-   * atomic create-if-absent (plain S3) get best-effort protection only,
-   * the same caveat as every non-locking lake writer. Deliberately NO
-   * auto-expiry: a live 100 TB export can outlast any static timeout, and
-   * breaking a LIVE lock is strictly worse than asking an operator to
-   * delete a crashed run's lock file (the error names it and the acquire
-   * time). The lock releases on completion OR failure of the guarded run —
-   * only a driver crash leaves it behind. */
+   * create-exclusive. Atomicity by store class (VERDICT r13 #3):
+   *  - HDFS / local FS: create-exclusive is atomic at create time;
+   *  - stores announcing [[ConditionalCreateCapability]] (S3A with
+   *    conditional writes, HADOOP-19256): the existence check commits at
+   *    CLOSE as an If-None-Match PUT — a lost race surfaces as the close
+   *    failing, mapped to the same "lock held" error, and the object on
+   *    the store is the WINNER's (never cleaned up by the loser);
+   *  - stores with neither: best-effort only, the documented non-locking
+   *    lake-writer posture.
+   * Deliberately NO auto-expiry: a live 100 TB export can outlast any
+   * static timeout, and breaking a LIVE lock is strictly worse than asking
+   * an operator to delete a crashed run's lock file (the error names it
+   * and the acquire time). The lock releases on completion OR failure of
+   * the guarded run — only a driver crash leaves it behind. */
   private def withExportLock[A](
       fs: org.apache.hadoop.fs.FileSystem, out: String)(body: => A): A = {
     val lock = new org.apache.hadoop.fs.Path(
       out.stripSuffix("/") + "._graft_export_lock")
+    val conditional =
+      try fs.hasPathCapability(lock, ConditionalCreateCapability)
+      catch { case scala.util.control.NonFatal(_) => false }
+    def lockHeld(): Nothing = {
+      val held = try {
+        val st = fs.getFileStatus(lock)
+        s" (acquired ${java.time.Instant.ofEpochMilli(st.getModificationTime)})"
+      } catch { case scala.util.control.NonFatal(_) => "" }
+      sys.error(s"export lock held at $lock$held — another export over this dataset " +
+        s"may be running; if its driver crashed, delete the lock file and rerun " +
+        s"(the staged protocol recovers exactly-once)")
+    }
     val o =
       try fs.create(lock, false)
-      catch {
-        case _: java.io.IOException =>
-          val held = try {
-            val st = fs.getFileStatus(lock)
-            s" (acquired ${java.time.Instant.ofEpochMilli(st.getModificationTime)})"
-          } catch { case scala.util.control.NonFatal(_) => "" }
-          sys.error(s"export lock held at $lock$held — another export over this dataset " +
-            s"may be running; if its driver crashed, delete the lock file and rerun " +
-            s"(the staged protocol recovers exactly-once)")
-      }
-    // The acquire-timestamp payload is advisory; a failure writing it (disk
-    // full, transient store error) must not strand the just-created lock on
-    // disk with no run holding it — every later export would fail "lock
-    // held" until an operator deletes it by hand (ADVICE r13). From the
-    // moment create-exclusive succeeded, ANY exit path deletes the lock.
+      catch { case _: java.io.IOException => lockHeld() }
+    // Acquisition COMMITS here: the payload write + close. On conditional-
+    // create stores a lost race surfaces as the close failing (the winner's
+    // If-None-Match PUT landed first) — the lock object is THEIRS, so the
+    // loser must not delete anything. On plain stores a payload-write
+    // failure (disk full, transient error) deletes OUR just-created lock so
+    // it cannot strand every later export behind a manual repair (ADVICE
+    // r13).
     try {
       try o.write(s"""{"acquired_ts": ${System.currentTimeMillis() / 1000L}}""".getBytes("UTF-8"))
       finally o.close()
-      body
-    } finally fs.delete(lock, false)
+    } catch {
+      case _: java.io.IOException if conditional => lockHeld()
+      case e: Throwable => fs.delete(lock, false); throw e
+    }
+    try body finally fs.delete(lock, false)
   }
 
   private[graft] def stageDir(out: String, untilTs: Long) =

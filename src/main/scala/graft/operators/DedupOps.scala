@@ -398,7 +398,67 @@ object DedupOps {
    * graphs swap in [[connectedComponentsStar]] (large-star/small-star),
    * which converges in O(log^2 n) rounds with the same join shape.
    */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabelTable(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lbl").as("cluster"),
+        (col("doc_id") === col("lbl")).as("is_canonical")
+      )
+      .orderBy("doc_id")
+
+  /**
+   * The MinHash-LSH connected-component LABEL TABLE `(doc_id, lbl)`, shared
+   * across every duplication-aware operator (VERDICT r13 #2): q60's cluster
+   * output, q114's duplication reweighting, and any future composite consume
+   * ONE clustering pass per (session, corpus) instead of each re-running the
+   * iterative propagation loop — the most expensive lineage in the inventory
+   * (~1.4 s at sf0.1). The `docTermTable` pattern applied to it: the result
+   * is pinned through [[OpCache.persistBounded]] (slot `q60_labels`, so a
+   * long-lived session holds at most ONE label table and `releaseAll` /
+   * `clearCache` release it), and the DataFrame itself is memoized per
+   * (session, dir) because the loop runs DRIVER-SIDE actions — a cache-level
+   * pin alone could not stop a second call from re-iterating.
+   *
+   * After a `clearCache()` the memoized frame re-pins lazily and recomputes
+   * its (deterministic) lineage on next use — correct, just unshared again
+   * until materialized. STALENESS HAZARD, same trade as VectorOps' ivfIndex
+   * memo: keyed by `dir` with no file-mtime check; a harness that REWRITES
+   * documents parquet under a dir in-place must call
+   * [[invalidateClusterCache]] (the bench does, so every timed run prices
+   * the full clustering honestly).
+   */
+  private val clusterLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop every memoized cluster-label table (all sessions, all dirs). */
+  def invalidateClusterCache(): Unit = clusterLabelCache.clear()
+
+  /** Drop the memoized label tables for one corpus dir (any session). */
+  def invalidateClusterCache(dir: String): Unit = {
+    val it = clusterLabelCache.keySet().iterator()
+    while (it.hasNext) if (it.next().endsWith(":" + dir)) it.remove()
+  }
+
+  private[operators] def clusterLabelTable(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}:$dir"
+    // get + putIfAbsent, not computeIfAbsent: the miss path runs Spark jobs
+    // (the propagation loop's convergence counts) — the CHM bin-lock pitfall;
+    // a raced duplicate build is deterministic-identical.
+    val hit = clusterLabelCache.get(key)
+    if (hit != null) {
+      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        OpCache.persistBounded("q60_labels", hit) // re-pin after a clearCache
+      else hit
+    } else {
+      val labels = computeClusterLabels(spark, dir)
+      val prev = clusterLabelCache.putIfAbsent(key, labels)
+      if (prev != null) prev else labels
+    }
+  }
+
+  /** One run of the propagation loop; returns the pinned label table. */
+  private def computeClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     // Bidirectional edge list in ONE read of the pair pipeline (explode, not
     // a self-union — a union's two branches would each recompute the full
     // MinHash lineage unless it was materialized first, which used to cost a
@@ -439,14 +499,17 @@ object DedupOps {
       prev = next
       labels = next.select(col("doc_id"), col("lbl2").as("lbl"))
     }
+    // Pin the FINAL label table through the OpCache slot and materialize it
+    // while the loop's last generation is still cached (one O(nodes) copy
+    // action), then drop the loop's own persist: before r14 the final
+    // generation's plain persist outlived the call UNMANAGED — repeated
+    // dedupClusters calls accumulated one cached relation each, invisible
+    // to OpCache.releaseAll.
+    val pinned = OpCache.persistBounded("q60_labels", labels)
+    pinned.count()
+    prev.unpersist()
     edges.unpersist()
-    labels
-      .select(
-        col("doc_id"),
-        col("lbl").as("cluster"),
-        (col("doc_id") === col("lbl")).as("is_canonical")
-      )
-      .orderBy("doc_id")
+    pinned
   }
 
   /**

@@ -532,7 +532,11 @@ object SamplingOps {
    * beyond q60's own clustering.
    */
   def clusterBalancedSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
-    val clusters = DedupOps.dedupClusters(spark, dir).select(col("doc_id"), col("cluster"))
+    // the SHARED label table (VERDICT r13 #2): one clustering pass per
+    // (session, corpus) serves q60, this, and future composites — and skips
+    // q60's presentation orderBy, which the size aggregation would discard
+    val clusters = DedupOps.clusterLabelTable(spark, dir)
+      .select(col("doc_id"), col("lbl").as("cluster"))
     val sized = clusters
       .join(clusters.groupBy("cluster").agg(count(lit(1)).as("csz")), "cluster")
       .select(col("doc_id"), col("csz"))

@@ -177,6 +177,7 @@ object VectorOps {
   def invalidateIndexCache(dir: String): Unit = {
     ivfEpoch.incrementAndGet()
     ivfCache.remove(dir)
+    regimeCache.remove(dir) // the measured regime is a property of the same corpus
   }
 
   private def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
@@ -214,7 +215,11 @@ object VectorOps {
         .map(row => (row.getAs[Int]("centroid_id"), row.getAs[scala.collection.Seq[Double]]("centroid").toArray))
         .sortBy(_._1)
       val codebook =
-        if (cents.length != 16 || seeds.length != PQ_K) null
+        // PQ geometry is dimensioned for the 64-dim embedding column
+        // (PQ_M * PQ_DS); a corpus of any other width still gets the IVF
+        // index — it just has no PQ codebook (PQ paths require 64 dims)
+        if (cents.length != 16 || seeds.length != PQ_K ||
+            seeds.head._2.length != PQ_M * PQ_DS) null
         else {
           // Bounded FAISS-style training sample: every sstep-th vector by id
           // (<= 8191 vectors however large the corpus — the collect is
@@ -337,6 +342,43 @@ object VectorOps {
    * in `regime` ("weak" | "dense") — the user-facing dial VERDICT r12 #4
    * asked for in place of a constant the user must know to retune. Targets
    * above every sub-exhaustive pinned point select 16 (exhaustive). */
+  /**
+   * Measured regime self-calibration (VERDICT r13 #4): `nprobeForRecall`'s
+   * pinned curves are per-REGIME, and nothing stopped a user naming the
+   * wrong regime for their corpus and silently getting 0.54 recall at a
+   * 0.9 target. This measures the corpus's own recall@10 at nprobe=4 over
+   * the standard 8-query panel against exact ground truth (the q105
+   * discipline) and selects the curve: >= [[RegimeThreshold]] means the
+   * top-k is dominated by same-cell near-dup siblings (the dense pinned
+   * point is 0.900 at 4 probes) — below it, inverted-list pruning is
+   * structurally weak (the weak pinned point is 0.538). The threshold sits
+   * between the two measured points with margin on both sides.
+   *
+   * Cost: two corpus passes (exact + IVF legs), paid ONCE per (dir, JVM) —
+   * memoized alongside the index, invalidated by [[invalidateIndexCache]].
+   * This is a build-time measurement, not a per-query one; the explicit
+   * `regime` overloads remain as the override for operators who know their
+   * corpus.
+   */
+  final val RegimeThreshold = 0.75
+
+  private val regimeCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def calibrateRegime(spark: SparkSession, dir: String): String = {
+    // get + putIfAbsent (the measurement runs Spark jobs); epoch-guarded
+    // like the index build so an invalidation mid-measurement is honored
+    val hit = regimeCache.get(dir)
+    if (hit != null) return hit
+    val epoch = ivfEpoch.get()
+    val rows = annRecall(spark, dir, k = 10, nprobe = 4, panel = 8).collect()
+    val recall =
+      if (rows.isEmpty) 0.0
+      else rows.map(_.getAs[Double]("recall")).sum / rows.length
+    val regime = if (recall >= RegimeThreshold) "dense" else "weak"
+    if (ivfEpoch.get() == epoch) regimeCache.putIfAbsent(dir, regime)
+    regime
+  }
+
   def nprobeForRecall(targetRecall: Double, regime: String = "weak"): Int = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
@@ -380,6 +422,13 @@ object VectorOps {
    * adjudication). */
   def ivfTopK(spark: SparkSession, dir: String, targetRecall: Double, regime: String): DataFrame =
     ivfTopKNprobe(spark, dir, nprobeForRecall(targetRecall, regime))
+
+  /** Self-calibrated form (VERDICT r13 #4): the regime is MEASURED on the
+   * corpus itself ([[calibrateRegime]], once per dir) instead of trusted
+   * from the caller — the honest default when the corpus's neighbor
+   * structure is unknown. */
+  def ivfTopK(spark: SparkSession, dir: String, targetRecall: Double): DataFrame =
+    ivfTopKNprobe(spark, dir, nprobeForRecall(targetRecall, calibrateRegime(spark, dir)))
 
   private[graft] def ivfTopKNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
@@ -644,6 +693,10 @@ object VectorOps {
    * wider, so the same curve drives both entry points. */
   def ivfPqSearch(spark: SparkSession, dir: String, targetRecall: Double, regime: String): DataFrame =
     ivfPqSearchNprobe(spark, dir, nprobeForRecall(targetRecall, regime))
+
+  /** Self-calibrated form — see [[calibrateRegime]]. */
+  def ivfPqSearch(spark: SparkSession, dir: String, targetRecall: Double): DataFrame =
+    ivfPqSearchNprobe(spark, dir, nprobeForRecall(targetRecall, calibrateRegime(spark, dir)))
 
   private[graft] def ivfPqSearchNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import spark.implicits._

@@ -43,9 +43,16 @@ class WhisperDataSource extends TableProvider with DataSourceRegister {
     val map = new CaseInsensitiveStringMap(properties)
     val patterns = WhisperIO.rawPatterns(map)
     val options = WhisperOptions(map)
-    val entries = WhisperIO.expandStatuses(patterns,
-      parallelism = options.planningParallelism, shard = options.shard,
-      shardDepth = options.streamShardDepth)
+    // manifestListing: the file list comes from the manifest itself (plus a
+    // bounded store reconcile) — a flat million-entry prefix plans at the
+    // cost of the memoized manifest parse instead of ~1000 serial LIST
+    // pages (VERDICT r13 #1). Batch only; the streaming tail keeps walking
+    // (it needs fresh mtimes and unbounded new-file discovery).
+    val entries =
+      if (options.manifestListing) WhisperIO.manifestListing(patterns, options)
+      else WhisperIO.expandStatuses(patterns,
+        parallelism = options.planningParallelism, shard = options.shard,
+        shardDepth = options.streamShardDepth)
     // opt-in idle-file floor (mtimeFloor): plan-time prune on the walk's
     // free mtimes — the incremental-export fast path over mostly-idle trees
     val live =
@@ -263,6 +270,144 @@ object WhisperIO {
       depth += 1
     }
     files.toSeq.sortBy(_.path)
+  }
+
+  /**
+   * Walk-free planning for flat prefixes (VERDICT r13 #1): the plan-time
+   * file list comes FROM the header manifest instead of a directory walk.
+   *
+   * Why: object stores page listings (~1000 entries per response, SERIAL
+   * continuation tokens), so a FLAT million-entry prefix costs ~1000 list
+   * round trips no walk parallelism can hide — sharding splits subtrees,
+   * and a flat prefix has none (the r13 probe's headline: 10,001 LISTs at
+   * the 1M tree even when the manifest served every header). The manifest
+   * already enumerates every file with its length; serving the LIST from
+   * it turns the plan floor into the manifest parse (memoized per version).
+   *
+   * Pattern matching is driver-side string work against the manifest's
+   * QUALIFIED paths, zero store requests: a manifest entry is served when
+   * its path equals a qualified pattern, falls under a pattern-named
+   * directory, or — for wildcard patterns — glob-matches the full path or
+   * one of its ancestor directories (note `*`/`?` here may cross `/`,
+   * unlike the component-wise walk glob; a superset for sane trees, and
+   * the flat-prefix shapes this mode targets use directory patterns).
+   *
+   * Staleness contract: within [[reconcileRoot]]'s bounded lexicographic
+   * sweep (`manifestReconcileFiles` direct entries per directory pattern),
+   * new files JOIN the plan (their headers read fresh), deleted files
+   * DROP, and changed lengths refresh; beyond the bound the manifest is
+   * trusted until its next refresh — a new file is invisible and a deleted
+   * file scans as EMPTY (decode tolerates FileNotFound under this mode,
+   * producing exactly the rows a post-deletion walk would have) until
+   * `manifest --update` runs. The per-plan content spot check still
+   * guards the served headers themselves.
+   */
+  def manifestListing(patterns: Seq[String], options: WhisperOptions): Seq[FileEntry] = {
+    require(options.headerManifest.nonEmpty, "manifestListing requires headerManifest")
+    val manifest = WhisperManifest.load(options.headerManifest)
+    // qualified patterns: pure path arithmetic, no store round trips
+    val quals = patterns.map { pat =>
+      val p = new HPath(pat)
+      p.getFileSystem(hadoopConf()).makeQualified(p).toString
+    }
+    val globs = quals.map(q =>
+      if (new org.apache.hadoop.fs.GlobPattern(q).hasWildcard)
+        Some(new org.apache.hadoop.fs.GlobPattern(q))
+      else None)
+    def matches(path: String): Boolean =
+      quals.indices.exists { i =>
+        globs(i) match {
+          case None => path == quals(i) || path.startsWith(quals(i) + "/")
+          case Some(g) =>
+            g.matches(path) || {
+              // a glob that named DIRECTORIES in walk mode recurses them;
+              // here: any ancestor dir matching the glob serves the file
+              var anc = path.lastIndexOf('/')
+              var hit = false
+              while (!hit && anc > 0) {
+                hit = g.matches(path.substring(0, anc))
+                anc = path.lastIndexOf('/', anc - 1)
+              }
+              hit
+            }
+        }
+      }
+    val served = manifest.iterator.collect {
+      case (path, e) if matches(path) => FileEntry(path, mtimeMs = -1L, len = e.len)
+    }.toSeq
+    // bounded store reconcile: only non-glob DIRECTORY patterns (the flat
+    // prefix target); glob patterns are served purely from the manifest
+    val reconciled =
+      if (options.manifestReconcileFiles <= 0) served
+      else quals.zip(globs).filter(_._2.isEmpty).map(_._1)
+        .foldLeft(served)((acc, root) =>
+          reconcileRoot(acc, root, options.manifestReconcileFiles, options.planningParallelism))
+    reconciled.sortBy(_.path)
+  }
+
+  /** Diff the manifest-derived entry list against the FIRST `limit` direct
+   * entries of `root` (one bounded paged LIST — on object stores a
+   * lexicographic prefix). In the covered range: files present in the
+   * store but not the list are ADDED (header read fresh downstream, the
+   * manifest has none), files in the list but not the store are DROPPED,
+   * lengths refresh from the store. Deletion detection needs a defined
+   * range: applied for names <= the last listed name only when the
+   * listing arrived sorted (object stores do; an unsorted local listing
+   * that was cut short reconciles adds/updates only). Nested files are
+   * untouched — the bound covers DIRECT children, which is the flat-prefix
+   * shape this mode exists for. */
+  private def reconcileRoot(
+      entries: Seq[FileEntry], root: String, limit: Int, parallelism: Int): Seq[FileEntry] = {
+    val rp = new HPath(root)
+    val fs = rp.getFileSystem(hadoopConf())
+    val seen = mutable.LinkedHashMap[String, FileEntry]() // direct whisper children listed
+    var consumed = 0
+    var exhausted = false
+    try {
+      val it = fs.listStatusIterator(rp)
+      while (it.hasNext && consumed < limit) {
+        val st = it.next()
+        consumed += 1
+        val name = st.getPath.getName
+        if (!st.isDirectory && (name.endsWith(".wsp") || name.endsWith(".wsp.gz")))
+          seen.put(name, FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
+      }
+      exhausted = !it.hasNext
+    } catch {
+      case _: java.io.FileNotFoundException => return entries // root gone: manifest as-is
+    }
+    if (seen.isEmpty && !exhausted) return entries
+    val names = seen.keys.toVector
+    val sortedRange = names.iterator.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+    val lastName = if (names.isEmpty) "" else names.max
+    def direct(path: String): Option[String] = { // Some(name) iff a direct child of root
+      if (!path.startsWith(root + "/")) None
+      else {
+        val rest = path.substring(root.length + 1)
+        if (rest.contains('/')) None else Some(rest)
+      }
+    }
+    var drops = 0
+    var updates = 0
+    val kept = entries.flatMap { e =>
+      direct(e.path) match {
+        case Some(name) if seen.contains(name) =>
+          val st = seen(name)
+          if (st.len != e.len) updates += 1
+          Some(st) // store's mtime + length win (length mismatch => fresh header read)
+        case Some(name) if exhausted || (sortedRange && name <= lastName) =>
+          drops += 1; None // covered range, absent from the store: deleted
+        case _ => Some(e) // nested / beyond the bound: trust the manifest
+      }
+    }
+    val known = entries.iterator.flatMap(e => direct(e.path)).toSet
+    val adds = seen.collect { case (name, st) if !known.contains(name) => st }.toSeq
+    if (drops + updates + adds.size > 0)
+      System.err.println(
+        s"INFO WhisperIO.manifestListing: reconciled $root against its first $consumed " +
+          s"store entries: +${adds.size} new, -$drops deleted, $updates length-changed " +
+          s"(drift beyond the first ${limit} entries surfaces at the next manifest refresh)")
+    kept ++ adds
   }
 
   /** Header-only metadata read (gzip-aware). Mirrors `WhisperFile.read` +

@@ -185,8 +185,16 @@ object WhisperManifest {
     }
     val sample = sampleForCheck(served, k, seed)
     val ok = WhisperIO.parMap(sample, parallelism) { e =>
-      sameHeader(WhisperIO.readMetaHeaderOnly(e.path, gzipFor(e.path), e.len),
+      try sameHeader(WhisperIO.readMetaHeaderOnly(e.path, gzipFor(e.path), e.len),
         manifest(e.path).meta)
+      catch {
+        // a sampled file DELETED from the store is not a re-layout: under
+        // manifestListing it is the expected between-refreshes state (the
+        // scan tolerates it as empty); under walk mode it is a benign
+        // walk/check race. Either way, discarding the whole manifest over
+        // it would force a full fresh sweep for nothing.
+        case _: java.io.FileNotFoundException => true
+      }
     }.forall(identity)
     if (!ok)
       System.err.println(

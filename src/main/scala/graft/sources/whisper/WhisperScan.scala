@@ -366,7 +366,16 @@ private[whisper] object WhisperPlanning {
       (e, gz) =>
         manifest.get(e.path) match {
           case Some(entry) if entry.len == e.len && trusted => entry.meta
-          case _ => WhisperIO.readMetaHeaderOnly(e.path, gz, e.len)
+          case _ =>
+            try WhisperIO.readMetaHeaderOnly(e.path, gz, e.len)
+            catch {
+              // manifestListing: a reconcile-added or manifest-listed file
+              // deleted between listing and header read plans as EMPTY (no
+              // archives -> no partitions), mirroring the decode-side
+              // tolerance; walk-based plans keep failing loudly
+              case _: java.io.FileNotFoundException if options.manifestListing =>
+                graft.format.WhisperCodec.FileMeta(e.path, 0, 0L, 0f, Seq.empty, 0L)
+            }
         }
     }
   }
@@ -717,7 +726,18 @@ private[whisper] object WhisperDecode {
       enforceWindows: Boolean = false): Decoded = {
     val p = new HPath(part.filePath)
     val fs = p.getFileSystem(WhisperIO.hadoopConf())
-    val raw = fs.open(p)
+    val raw =
+      try fs.open(p)
+      catch {
+        // Under manifestListing the plan's file list can outlive the store's
+        // (a file deleted after the manifest was written): scan it as EMPTY —
+        // exactly the rows a post-deletion walk-based plan would produce —
+        // instead of failing a 100 TB query over one vanished metric. The
+        // walk-based plan keeps failing loudly (its file list was just
+        // observed, so FileNotFound there means something is truly wrong).
+        case _: java.io.FileNotFoundException if options.manifestListing =>
+          return Decoded(Array.empty, Array.empty, Array.empty, Array.empty, 0)
+      }
     try {
       if (part.gzip) loadGzipStreaming(raw, part, options, preds, enforceWindows)
       else loadRanged(raw, part, options, preds, enforceWindows)

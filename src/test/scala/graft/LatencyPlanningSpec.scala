@@ -337,6 +337,99 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"wide dirs must not page: ${SlowFs.lists.get()} lists vs ${SlowFs.listPages.get()} pages")
   }
 
+  test("manifestListing: flat-prefix planning is WALK-FREE (VERDICT r13 #1)") {
+    // the r13 headline gap: a flat n-entry prefix costs ceil(n/page) SERIAL
+    // list pages no pool can hide, even when the manifest serves every
+    // header. manifestListing takes the file list FROM the manifest: the
+    // store pays at most the bounded reconcile page(s).
+    val flat = Files.createTempDirectory("slow-ml")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0)))
+    for (f <- 0 until 300) WhisperWriter.writeFile(flat.resolve(f"m$f%03d.wsp"), spec)
+    // manifest on the PLAIN local fs so the slow counters see tree requests only
+    val manifest = Files.createTempDirectory("slow-ml-m").resolve("m.jsonl.gz").toString
+    SlowFs.reset(0, pageSize = 100)
+    assert(WhisperManifest.write(Seq(slow(flat) + "/*.wsp"), manifest) == 300L)
+    // walk-based manifest plan: still pays the 3 serial pages per listing
+    SlowFs.reset(0, pageSize = 100)
+    spark.read.format("whisper")
+      .option("headerManifest", manifest).option("manifestSpotCheck", "0")
+      .load(slow(flat) + "/*.wsp").rdd.getNumPartitions
+    assert(SlowFs.listPages.get() >= 3,
+      s"control: the walk should page (got ${SlowFs.listPages.get()} pages)")
+    // manifest-as-listing, reconcile off: ZERO store requests of any kind
+    SlowFs.reset(0, pageSize = 100)
+    val df = spark.read.format("whisper")
+      .option("headerManifest", manifest).option("manifestSpotCheck", "0")
+      .option("manifestListing", "true").option("manifestReconcileFiles", "0")
+      .load(slow(flat).toString)
+    df.rdd.getNumPartitions
+    assert(SlowFs.lists.get() == 0 && SlowFs.listPages.get() == 0 &&
+      SlowFs.opens.get() == 0 && SlowFs.stats.get() == 0,
+      s"walk-free plan touched the store: ${SlowFs.lists.get()} lists, " +
+        s"${SlowFs.listPages.get()} pages, ${SlowFs.opens.get()} opens, ${SlowFs.stats.get()} stats")
+    // ...and the data still decodes correctly through the manifest-built plan
+    SlowFs.reset(0)
+    assert(df.count() == 300L * 30)
+    // bounded reconcile: ONE page of 100 entries, not the full 3-page sweep
+    SlowFs.reset(0, pageSize = 100)
+    spark.read.format("whisper")
+      .option("headerManifest", manifest).option("manifestSpotCheck", "0")
+      .option("manifestListing", "true").option("manifestReconcileFiles", "100")
+      .load(slow(flat).toString).rdd.getNumPartitions
+    assert(SlowFs.lists.get() == 1 && SlowFs.listPages.get() == 1,
+      s"bounded reconcile should bill exactly 1 LIST page, got " +
+        s"${SlowFs.lists.get()} lists / ${SlowFs.listPages.get()} pages")
+  }
+
+  test("manifestListing staleness contract: adds/deletes/length changes reconcile; trust-outright documented") {
+    val flat = Files.createTempDirectory("slow-ml2")
+    val spec1 = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0)))
+    val spec2 = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0),
+      ArchiveSpec(60, 120, filled = 10, lastTimestamp = 1600000000L, rotation = 0)))
+    for (f <- 0 until 20) WhisperWriter.writeFile(flat.resolve(f"m$f%02d.wsp"), spec1)
+    val manifest = Files.createTempDirectory("slow-ml2-m").resolve("m.jsonl.gz").toString
+    SlowFs.reset(0)
+    assert(WhisperManifest.write(Seq(slow(flat) + "/*.wsp"), manifest) == 20L)
+    // churn AFTER the manifest: one new file, one deletion, one re-layout
+    WhisperWriter.writeFile(flat.resolve("added.wsp"), spec1)
+    Files.delete(flat.resolve("m03.wsp"))
+    WhisperWriter.writeFile(flat.resolve("m05.wsp"), spec2)
+    def files(reconcile: Int): (Set[String], Long) = {
+      SlowFs.reset(0)
+      val df = spark.read.format("whisper")
+        .option("headerManifest", manifest).option("manifestSpotCheck", "0")
+        .option("manifestListing", "true")
+        .option("manifestReconcileFiles", reconcile.toString)
+        .load(slow(flat).toString)
+      val names = df.select("file").distinct().collect()
+        .map(r => r.getString(0).split('/').last).toSet
+      val m05archives = df.filter(org.apache.spark.sql.functions.col("file").endsWith("m05.wsp"))
+        .select("archive").distinct().count()
+      (names, m05archives)
+    }
+    // reconcile covering the whole dir: all three churn kinds surface NOW
+    val (recon, m05a) = files(reconcile = 1000)
+    assert(recon.contains("added.wsp"), "reconcile missed the new file")
+    assert(!recon.contains("m03.wsp"), "reconcile served the deleted file")
+    assert(m05a == 2L, s"reconcile served the stale header for the re-laid-out file ($m05a archives)")
+    assert(recon.size == 20, s"expected 20 files (20 - 1 deleted + 1 added), got ${recon.size}")
+    // reconcile OFF (trust the manifest outright): the documented contract —
+    // new file INVISIBLE until refresh, deleted file scans as EMPTY (the
+    // decode-side FileNotFound tolerance), no crash
+    val (blind, _) = files(reconcile = 0)
+    assert(!blind.contains("added.wsp"), "trust-outright plan should not see the new file")
+    assert(!blind.contains("m03.wsp"), "deleted file must scan as empty, not serve rows")
+    // ...and a manifest refresh reconverges the trust-outright plan
+    SlowFs.reset(0)
+    WhisperManifest.update(Seq(slow(flat) + "/*.wsp"), manifest)
+    val (fresh, m05b) = files(reconcile = 0)
+    assert(fresh.contains("added.wsp") && !fresh.contains("m03.wsp") && m05b == 2L,
+      s"refreshed manifest should reconverge: $fresh / $m05b")
+  }
+
   test("streamShard i/n: shards partition the file set and each walks only its subtrees") {
     val tree = mkTree(nDirs = 8, filesPerDir = 4) // 32 files, 8 top-level subtrees
     def shardFiles(s: String): (Set[String], Long) = {

@@ -38,7 +38,14 @@ object LatencyProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1000, 10000)
+    // "flat:N" args run ONLY the paged-LIST flat-directory section at size N
+    // (uncapped) — the r14 walk-free-planning measurement at the 1M flat
+    // prefix without paying a second 1M-file wide tree for the main section
+    val flatSizes = args.collect { case s if s.startsWith("flat:") => s.drop(5).toInt }.toSeq
+    val sizes =
+      if (flatSizes.nonEmpty) Seq.empty[Int]
+      else if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(1000, 10000)
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("latency-probe")
@@ -99,7 +106,7 @@ object LatencyProbe {
     // single directory, not the tree size. Wide trees (the graphite shape,
     // ~100 entries/dir) never page at all at page=1000.
     println("\n  files | lat | shape/mode       |   wall_s |   opens |  lists |  pages | floor_s(pages*lat)")
-    for (n <- sizes.filter(_ <= 200000)) {
+    for (n <- (sizes.filter(_ <= 200000) ++ flatSizes)) {
       import scala.collection.parallel.CollectionConverters._
       val flat = Files.createTempDirectory("latprobe-flat")
       (0 until n).par.foreach(f => WhisperWriter.writeFile(flat.resolve(s"m$f.wsp"), spec))
@@ -111,8 +118,10 @@ object LatencyProbe {
       val mOpts = Map("headerManifest" -> manifest, "manifestSpotCheck" -> "0")
       for (page <- Seq(1000)) {
         SlowFs.latencyMs = 10; SlowFs.listPageSize = page
-        val d = planWall(pat, Map.empty)
-        println(f"$n%7d |  10 | flat/direct      | ${d._1}%8.2f | ${d._2}%7d | ${d._4}%6d | ${d._5}%6d | ${d._5 * 10 / 1000.0}%6.2f")
+        if (n < 100000) { // the 1M direct sweep is ~156 s of naps and proves nothing new
+          val d = planWall(pat, Map.empty)
+          println(f"$n%7d |  10 | flat/direct      | ${d._1}%8.2f | ${d._2}%7d | ${d._4}%6d | ${d._5}%6d | ${d._5 * 10 / 1000.0}%6.2f")
+        }
         val m = planWall(pat, mOpts)
         println(f"$n%7d |  10 | flat/manifest    | ${m._1}%8.2f | ${m._2}%7d | ${m._4}%6d | ${m._5}%6d | ${m._5 * 10 / 1000.0}%6.2f")
         // sharding a FLAT dir cannot prune the listing (every shard lists
@@ -120,6 +129,13 @@ object LatencyProbe {
         // operational guidance ("shard by subtree" needs subtrees) is pinned
         val s = planWall(pat.stripSuffix("/*"), mOpts + ("streamShard" -> "0/4"))
         println(f"$n%7d |  10 | flat/mani+shard  | ${s._1}%8.2f | ${s._2}%7d | ${s._4}%6d | ${s._5}%6d | ${s._5 * 10 / 1000.0}%6.2f")
+        // walk-free planning (r14, VERDICT r13 #1): the file list comes
+        // FROM the manifest; the store pays ONE bounded reconcile page
+        // (manifestReconcileFiles=1000 at page=1000) instead of
+        // ceil(n/page) serial pages — the flat-prefix plan floor becomes
+        // the manifest parse
+        val ml = planWall(pat.stripSuffix("/*"), mOpts + ("manifestListing" -> "true"))
+        println(f"$n%7d |  10 | flat/maniList    | ${ml._1}%8.2f | ${ml._2}%7d | ${ml._4}%6d | ${ml._5}%6d | ${ml._5 * 10 / 1000.0}%6.2f")
       }
     }
     spark.stop()

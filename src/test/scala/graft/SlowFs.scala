@@ -40,6 +40,41 @@ object SlowFs {
   }
 }
 
+/**
+ * TEST-ONLY conditional-create filesystem (`condfs://` scheme): fakes the
+ * S3A conditional-write surface (HADOOP-19256) over the local FS —
+ * announces [[graft.Main.ConditionalCreateCapability]], and a
+ * `create(overwrite = false)` of an EXISTING path does NOT fail up front
+ * (object stores have no create-time existence check); instead the commit
+ * fails at `close()` with the 412-precondition shape, leaving the existing
+ * object untouched — exactly the contention behavior the export lock's
+ * capability-probed path must map to "lock held" without deleting the
+ * winner's lock.
+ */
+class CondCreateFs extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("condfs:///")
+
+  override def hasPathCapability(p: Path, capability: String): Boolean =
+    capability == "fs.option.create.conditional.overwrite" ||
+      super.hasPathCapability(p, capability)
+
+  override def create(
+      f: Path,
+      overwrite: Boolean,
+      bufferSize: Int,
+      replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite && exists(f))
+      new org.apache.hadoop.fs.FSDataOutputStream(new java.io.OutputStream {
+        override def write(b: Int): Unit = ()
+        override def close(): Unit =
+          throw new java.io.IOException(s"412 PreconditionFailed: If-None-Match PUT lost the race for $f")
+      }, null)
+    else super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+}
+
 class SlowFs extends RawLocalFileSystem {
   private def nap(): Unit = {
     val ms = SlowFs.latencyMs
@@ -95,5 +130,34 @@ class SlowFs extends RawLocalFileSystem {
       while (i < pages) { nap(); i += 1 }
     }
     res
+  }
+
+  /** Lazily-paged iterator, the way real object stores serve it (S3A's
+   * listing iterators fetch one continuation page at a time): pages are
+   * billed AS CONSUMED, so a caller that stops after n entries pays
+   * ceil(n/page) round trips, not the whole directory — the request shape
+   * the bounded manifestListing reconcile depends on. The default
+   * FileSystem implementation would call listStatus (billing everything
+   * up front), which models a store that has no lazy paging — wrong for
+   * every store this repo targets. */
+  override def listStatusIterator(f: Path): org.apache.hadoop.fs.RemoteIterator[FileStatus] = {
+    val outer = !inOp.get()
+    val all = delegated(super.listStatus(f))
+    if (outer) SlowFs.lists.incrementAndGet()
+    new org.apache.hadoop.fs.RemoteIterator[FileStatus] {
+      private var i = 0
+      private def pageEdge(): Unit =
+        if (outer && i % SlowFs.listPageSize == 0 && i < all.length) {
+          SlowFs.listPages.incrementAndGet(); nap()
+        }
+      // an empty directory still costs one LIST round trip
+      if (outer && all.isEmpty) { SlowFs.listPages.incrementAndGet(); nap() }
+      override def hasNext: Boolean = i < all.length
+      override def next(): FileStatus = {
+        if (!hasNext) throw new java.util.NoSuchElementException(f.toString)
+        pageEdge()
+        val st = all(i); i += 1; st
+      }
+    }
   }
 }

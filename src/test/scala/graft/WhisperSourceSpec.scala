@@ -649,6 +649,41 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(lock), "lock must release after a successful run")
   }
 
+  test("export lock on a conditional-create store: acquire / contend / release (VERDICT r13 #3)") {
+    // the capability-faking FS models S3A conditional writes (HADOOP-19256):
+    // create(overwrite=false) of an existing object does NOT fail up front —
+    // the If-None-Match PUT fails at close(), and the object on the store is
+    // the WINNER's. The lock path must map that to "lock held" and must NOT
+    // delete the winner's lock.
+    spark.sparkContext.hadoopConfiguration.set("fs.condfs.impl", classOf[CondCreateFs].getName)
+    val tree = Files.createTempDirectory("whisper-condlock")
+    WhisperWriter.writeFile(tree.resolve("m.wsp"), FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 50, lastTimestamp = 1600000000L, rotation = 0))))
+    val out = "condfs:" + Files.createTempDirectory("whisper-condlock-out").toString + "/ds"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.hasPathCapability(new org.apache.hadoop.fs.Path(out), Main.ConditionalCreateCapability))
+    val lock = new org.apache.hadoop.fs.Path(out.stripSuffix("/") + "._graft_export_lock")
+    // ACQUIRE: a clean run takes and releases the lock, export succeeds
+    assert(Main.exportFull(spark, tree.toString + "/*.wsp", out, None, untilTs = 1700000000L) == 50L)
+    assert(!fs.exists(lock), "lock must release after a successful conditional-create run")
+    // CONTEND: another writer's lock is on the store; our conditional PUT
+    // loses at close -> "lock held", and the WINNER's lock file survives
+    val winner = fs.create(lock, false)
+    winner.write("""{"acquired_ts": 123}""".getBytes("UTF-8")); winner.close()
+    val winnerLen = fs.getFileStatus(lock).getLen
+    val ex = intercept[RuntimeException] {
+      Main.exportDelta(spark, tree.toString + "/*.wsp", out, None, untilTs = 1800000000L)
+    }
+    assert(ex.getMessage.contains("export lock held"), ex.getMessage)
+    assert(fs.exists(lock) && fs.getFileStatus(lock).getLen == winnerLen,
+      "the loser must not delete or truncate the winner's lock")
+    // RELEASE: the winner finishing (deleting its lock) unblocks the next run
+    fs.delete(lock, false)
+    assert(Main.exportDelta(spark, tree.toString + "/*.wsp", out, None, untilTs = 1800000000L) == 0L)
+    assert(!fs.exists(lock))
+  }
+
   test("export-delta with mtime pruning skips idle files at plan time (opt-in)") {
     val tree = Files.createTempDirectory("whisper-export-prune")
     val spec = FileSpec(archives = Seq(
