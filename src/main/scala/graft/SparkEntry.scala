@@ -175,6 +175,9 @@ object SparkEntry {
     "q112_weighted_sample" -> ((s, d) => SamplingOps.weightedSample(s, d)),
     "q113_dense_ids" -> (SamplingOps.denseIds(_, _)),
     "q114_cluster_balanced_sample" -> ((s, d) => SamplingOps.clusterBalancedSample(s, d)),
+    // RRF with CORPUS-SIZED pools: global ranks via the q113 prefix-offset
+    // pattern, so no single-task window anywhere in the plan
+    "q115_rrf_corpus" -> ((s, d) => TextOps.rrfFusionCorpus(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1135,6 +1138,40 @@ object SparkEntry {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5('seed42-' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS gid
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q115: RRF over CORPUS-SIZED rankings — q111's fusion with the pool
+    // limits removed (every BM25 hit ranked, every doc under the quality
+    // prior ranked). The oracle's global rank windows are exactly the
+    // single-task shape the Spark side's prefix-offset ranks avoid.
+    "q115_rrf_corpus" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |mm AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS dl FROM mm GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        |q AS (SELECT * FROM (VALUES ('join'), ('vector'), ('window'), ('slow'), ('spark')) AS v(tok)),
+        |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM mm JOIN q USING (tok) GROUP BY tok),
+        |sc AS (SELECT mm.doc_id,
+        |  CAST((44000000 * least(m, 100000) * 1000000 //
+        |        (20000000 * least(m, 100000) + 6000000 + 18 * (dl * 1000000 // (t_tot // n_docs))))
+        |     * least((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1), 1000000000000) // 1000000
+        |    AS BIGINT) AS contrib
+        |  FROM mm JOIN q USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+        |bm AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm FROM sc GROUP BY doc_id),
+        |ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank_bm25 FROM bm),
+        |qual AS (SELECT doc_id,
+        |  CAST(round(least(1.0, length(text)/500.0)
+        |    * (1.0 - CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text))
+        |    * (0.5 + 0.5 * CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |        / len(string_split(text,' '))) * 1000.0, 0) AS BIGINT) AS quality_score_k
+        |  FROM documents),
+        |rb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY quality_score_k DESC, doc_id) AS BIGINT) AS rank_quality FROM qual),
+        |fused AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+        |  COALESCE(rank_bm25, 0) AS rank_bm25, COALESCE(rank_quality, 0) AS rank_quality,
+        |  CAST((CASE WHEN rank_bm25 IS NULL THEN 0 ELSE 1000000 // (60 + rank_bm25) END)
+        |     + (CASE WHEN rank_quality IS NULL THEN 0 ELSE 1000000 // (60 + rank_quality) END) AS BIGINT) AS rrf_ppm
+        |  FROM ra FULL OUTER JOIN rb USING (doc_id))
+        |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+        |  CAST(rank_quality AS BIGINT) AS rank_quality, rrf_ppm
+        |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
     "q90_contamination_overlap" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
         |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),

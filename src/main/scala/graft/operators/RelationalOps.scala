@@ -416,12 +416,29 @@ object RelationalOps {
       )
       .orderBy("event_type")
 
-  /** Semi-structured: JSON field extraction from the events props column. */
+  /** Semi-structured: JSON field extraction from the events props column.
+   *
+   * PARSE-AFTER-AGGREGATE (r14, from the 100x crossover probe): the naive
+   * shape runs `get_json_object` once per ROW — at 10M rows that one
+   * Jackson parse per row was 90%+ of the query and the one slope in the
+   * worst-ratio table that did not amortize (DuckDB's vectorized JSON
+   * parser is ~4x faster per row). A grouping query only needs the parse
+   * per DISTINCT props string, so aggregate on the raw `props` first
+   * (map-side combine: tracking-event props columns are dictionary-shaped,
+   * ~100 distinct here) and parse the survivors, then re-aggregate on the
+   * extracted key (different raw strings can encode the same k). Trade at
+   * adversarial all-distinct cardinality: the first agg shuffles distinct
+   * props rows instead of distinct k rows — parse count stays <= rows
+   * (never worse than the naive shape), and the dictionary case pays 1e5x
+   * fewer parses. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"), col("value"))
+      .groupBy(col("props"))
+      .agg(count(lit(1)).as("n0"), sum(col("value")).as("t0"))
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        col("n0"), col("t0"))
       .groupBy(col("k"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .agg(sum("n0").as("n"), round(sum(col("t0")), 2).as("total"))
       .orderBy("k")
 
   /** Statistical aggregates (stddev/variance/correlation), emitted as scaled
@@ -655,5 +672,37 @@ object RelationalOps {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_late"))
       .orderBy("o_orderpriority")
+  }
+
+  /**
+   * Distributed global row numbering (1-based) under a deterministic total
+   * order — `row_number() OVER (ORDER BY ...)` WITHOUT the single-task
+   * global window that serializes the whole relation through one executor.
+   * The scalable shape is the q113/sequencePack two-pass prefix pattern,
+   * generalized to any order key: range-partition on the key (a total order
+   * ACROSS partitions), rank locally under a pid-keyed window (fully
+   * parallel), and add per-partition row-count offsets collected
+   * driver-side — O(partitions), never O(rows). Partition identity is
+   * pinned ([[OpCache.pinPartitions]]) because the offsets job and the main
+   * job must agree on `repartitionByRange`'s SAMPLED boundaries.
+   *
+   * The order must be TOTAL (include a unique tie-break column such as the
+   * primary key); under ties the assignment would be nondeterministic
+   * across runs, exactly like the builtin window.
+   */
+  def globalRank(df: DataFrame, rankName: String, order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("__grank_pid", spark_partition_id())
+      .transform(OpCache.pinPartitions)
+    val counts = parted.groupBy("__grank_pid").agg(count(lit(1)).as("pc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__grank_pid", "__grank_off")
+    val localW = Window.partitionBy("__grank_pid").orderBy(order: _*)
+    parted.join(broadcast(offsetsDf), "__grank_pid")
+      .withColumn(rankName, col("__grank_off") + row_number().over(localW))
+      .drop("__grank_pid", "__grank_off")
   }
 }

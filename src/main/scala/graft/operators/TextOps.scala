@@ -253,7 +253,16 @@ object TextOps {
    * dl join and the final groupBy share the doc_id shuffle key, and the
    * top-k is TakeOrderedAndProject — never a global sort.
    */
-  def bm25TopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+
+  /** The full BM25 score relation behind [[bm25TopK]] — one row per doc
+   * hitting >= 1 query term, UNBOUNDED (no top-k): the input a corpus-scale
+   * fusion ([[rrfFusionCorpus]]) ranks in full. Same exact-integer ppm
+   * arithmetic; the plan is partial-agg + two broadcasts, no global sort. */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val docTok = docTermTable(spark, dir).select("doc_id", "tok", "m")
     val dl = docTok.groupBy("doc_id").agg(sum("m").as("dl"))
     val tot = dl.agg(sum("dl").as("t_tot"), count(lit(1)).as("n_docs"))
@@ -269,8 +278,6 @@ object TextOps {
           "least((2*n_docs - 2*df + 1) * 1000000 div (2*df + 1), 1000000000000) div 1000000"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_terms"), sum("contrib_ppm").as("score_ppm"))
-      .orderBy(col("score_ppm").desc, col("doc_id"))
-      .limit(k)
   }
 
   /**
@@ -299,7 +306,8 @@ object TextOps {
     // a million rows (VERDICT r12 watch item #1).
     require(poolK >= 1 && poolK <= 10000,
       s"poolK is a RETRIEVER POOL size (rank windows serialize poolK rows through one task); " +
-        s"got $poolK, allowed [1, 10000]")
+        s"got $poolK, allowed [1, 10000] — for corpus-sized pools use rrfFusionCorpus, " +
+        "whose prefix-offset ranks never single-task")
     import org.apache.spark.sql.expressions.Window
     val wA = Window.orderBy(col("score_ppm").desc, col("doc_id"))
     val wB = Window.orderBy(col("quality_score_k").desc, col("doc_id"))
@@ -309,6 +317,42 @@ object TextOps {
       .orderBy(col("quality_score_k").desc, col("doc_id")).limit(poolK)
       .select(col("doc_id"), row_number().over(wB).cast("bigint").as("rank_quality"))
     a.join(b, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("rank_bm25", "rank_quality"))
+      .withColumn("rrf_ppm", expr(
+        "if(rank_bm25 > 0, 1000000 div (60 + rank_bm25), 0) + " +
+          "if(rank_quality > 0, 1000000 div (60 + rank_quality), 0)"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "rank_bm25", "rank_quality", "rrf_ppm")
+  }
+
+  /**
+   * CORPUS-SCALE Reciprocal Rank Fusion — the poolK-capped [[rrfFusion]]
+   * with the cap LIFTED (VERDICT r13 next-round #7): both rankings cover
+   * everything rankable (every BM25 hit; every document under the quality
+   * prior), so the "pool" IS the corpus and the single-task rank windows
+   * the capped variant refuses above 10k rows are exactly the shape this
+   * formulation avoids. Global ranks come from
+   * [[RelationalOps.globalRank]]'s two-pass prefix-offset pattern
+   * (range-partition + pid-local windows + O(partitions) driver offsets) —
+   * dense ranks of EVERY doc, which a TopKAgg partial-reduce cannot produce
+   * (it keeps k survivors per task; RRF needs the rank of every fused
+   * candidate, and the fused top-k is not a subset of either side's
+   * top-k). Docs absent from a ranking contribute 0, as in the capped
+   * variant; the final top-k is a TakeOrderedAndProject, never a global
+   * sort.
+   */
+  def rrfFusionCorpus(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val ra = RelationalOps.globalRank(
+        bm25Scores(spark, dir).select("doc_id", "score_ppm"),
+        "rank_bm25", col("score_ppm").desc, col("doc_id"))
+      .select(col("doc_id"), col("rank_bm25").cast("bigint").as("rank_bm25"))
+    val rb = RelationalOps.globalRank(
+        qualityScore(spark, dir).select("doc_id", "quality_score_k"),
+        "rank_quality", col("quality_score_k").desc, col("doc_id"))
+      .select(col("doc_id"), col("rank_quality").cast("bigint").as("rank_quality"))
+    ra.join(rb, Seq("doc_id"), "full_outer")
       .na.fill(0L, Seq("rank_bm25", "rank_quality"))
       .withColumn("rrf_ppm", expr(
         "if(rank_bm25 > 0, 1000000 div (60 + rank_bm25), 0) + " +

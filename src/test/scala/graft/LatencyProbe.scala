@@ -136,6 +136,21 @@ object LatencyProbe {
         // the manifest parse
         val ml = planWall(pat.stripSuffix("/*"), mOpts + ("manifestListing" -> "true"))
         println(f"$n%7d |  10 | flat/maniList    | ${ml._1}%8.2f | ${ml._2}%7d | ${ml._4}%6d | ${ml._5}%6d | ${ml._5 * 10 / 1000.0}%6.2f")
+        // decomposition rows: (a) reconcile=0 — the pure walk-free plan
+        // floor (memoized parse + bin-packing; ZERO store ops), separating
+        // the SlowFs-local artifact that serving even ONE reconcile page
+        // costs an eager local listStatus of the whole directory, which a
+        // real object store does not do; (b) a forced FRESH parse (mtime
+        // bump invalidates the (len, mtime) memo) — the manifest gz parse
+        // itself, the true cold-plan floor the r13 verdict asked to pin
+        val m0 = planWall(pat.stripSuffix("/*"),
+          mOpts + ("manifestListing" -> "true", "manifestReconcileFiles" -> "0"))
+        println(f"$n%7d |  10 | flat/maniList-r0 | ${m0._1}%8.2f | ${m0._2}%7d | ${m0._4}%6d | ${m0._5}%6d | ${m0._5 * 10 / 1000.0}%6.2f")
+        java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(manifest),
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 2000))
+        val mf = planWall(pat.stripSuffix("/*"),
+          mOpts + ("manifestListing" -> "true", "manifestReconcileFiles" -> "0"))
+        println(f"$n%7d |  10 | flat/maniList-cold | ${mf._1}%6.2f | ${mf._2}%7d | ${mf._4}%6d | ${mf._5}%6d | ${mf._5 * 10 / 1000.0}%6.2f")
       }
     }
     spark.stop()

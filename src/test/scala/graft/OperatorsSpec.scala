@@ -1310,6 +1310,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { operators.TextOps.rrfFusion(spark, dir, poolK = 0) }
   }
 
+  test("globalRank equals the single-window row_number it replaces, ties broken by the key") {
+    import org.apache.spark.sql.expressions.Window
+    // n_chars has heavy ties across documents — exactly the case where a
+    // non-total order would make ranks nondeterministic; doc_id breaks them
+    val docs = operators.Tables.t(spark, dir, "documents").select("doc_id", "n_chars")
+    val got = RelationalOps.globalRank(docs, "rnk", col("n_chars").desc, col("doc_id"))
+      .select("doc_id", "rnk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs
+      .withColumn("rnk", row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rnk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "prefix-offset ranks diverge from the global window's")
+    assert(got.values.toSeq.sorted == (1L to got.size.toLong), "ranks must be dense 1..n")
+  }
+
+  test("q115 rrfFusionCorpus: corpus-sized pools, and NO single-task rank stage (r13 #7)") {
+    val df = operators.TextOps.rrfFusionCorpus(spark, dir)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    // the capped variant refuses above 10k; the corpus variant must not
+    // contain the shape that made the cap necessary — a global (empty
+    // partition spec) window, which plans as Exchange SinglePartition
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"corpus fusion regressed to a single-task stage:\n${plan.take(2000)}")
+    // agreement with the capped variant where the pools overlap: any doc in
+    // BOTH q111 top-50 pools has identical ranks in the corpus formulation
+    // (a pool's rank prefix IS the corpus rank prefix)
+    val capped = operators.TextOps.rrfFusion(spark, dir, k = 20, poolK = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val corpus = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val both = capped.filter(c => c._2 > 0 && c._3 > 0).map(_._1).toSet
+    val corpusByDoc = corpus.map(t => t._1 -> (t._2, t._3)).toMap
+    capped.filter(c => both(c._1)).foreach { c =>
+      corpusByDoc.get(c._1).foreach { cr =>
+        assert(cr == (c._2, c._3), s"doc ${c._1}: corpus ranks $cr != pooled ranks ${(c._2, c._3)}")
+      }
+    }
+  }
+
   test("q106 stream left-outer: inner rows == q104, null rows have no error in window (r10)") {
     val outer = graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(spark, dir).collect()
     val inner = graft.streaming.StreamReplay.intervalJoinReplay(spark, dir).collect()

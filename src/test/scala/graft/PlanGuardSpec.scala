@@ -103,7 +103,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // at 100 TB it is O(paired docs) — potentially corpus-sized, so an SMJ
     // on doc_id is the scale-correct shape and a forced broadcast would be
     // the bug; AQE may still demote at tiny sf, both outcomes correct
-    "q114_cluster_balanced_sample")
+    "q114_cluster_balanced_sample",
+    // q115's FULL OUTER fusion join, like q111's, has no broadcast
+    // strategy — and unlike q111 BOTH sides here are corpus-sized ranking
+    // relations (that is the point of the corpus-scale variant), so the
+    // shuffle/merge on doc_id is the only scale-correct shape
+    "q115_rrf_corpus")
 
   test("no query plans a Cartesian product; BNLJ/SMJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
