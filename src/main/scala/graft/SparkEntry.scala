@@ -178,6 +178,9 @@ object SparkEntry {
     // RRF with CORPUS-SIZED pools: global ranks via the q113 prefix-offset
     // pattern, so no single-task window anywhere in the plan
     "q115_rrf_corpus" -> ((s, d) => TextOps.rrfFusionCorpus(s, d)),
+    // hybrid lexical+dense retrieval: BM25 ranks fused with exact-cosine
+    // ranks by RRF, both corpus-sized via the prefix-offset rank pattern
+    "q116_hybrid_retrieval" -> ((s, d) => TextOps.hybridRetrieval(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1171,6 +1174,38 @@ object SparkEntry {
         |  FROM ra FULL OUTER JOIN rb USING (doc_id))
         |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
         |  CAST(rank_quality AS BIGINT) AS rank_quality, rrf_ppm
+        |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    // q116: hybrid lexical+dense — BM25 corpus rank fused with the exact
+    // cosine corpus rank (q27's bit-identical dot product, unrounded:
+    // the order is deterministic) on doc_id = vec_id; docs without an
+    // embedding rank lexically only (absent list contributes 0)
+    "q116_hybrid_retrieval" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |mm AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS dl FROM mm GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        |q AS (SELECT * FROM (VALUES ('join'), ('vector'), ('window'), ('slow'), ('spark')) AS v(tok)),
+        |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM mm JOIN q USING (tok) GROUP BY tok),
+        |sc AS (SELECT mm.doc_id,
+        |  CAST((44000000 * least(m, 100000) * 1000000 //
+        |        (20000000 * least(m, 100000) + 6000000 + 18 * (dl * 1000000 // (t_tot // n_docs))))
+        |     * least((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1), 1000000000000) // 1000000
+        |    AS BIGINT) AS contrib
+        |  FROM mm JOIN q USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+        |bm AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm FROM sc GROUP BY doc_id),
+        |ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank_bm25 FROM bm),
+        |cosd AS (SELECT vec_id, list_inner_product(embedding::DOUBLE[], qv.qe)
+        |    /(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_inner_product(qv.qe, qv.qe))) AS cos
+        |  FROM embeddings, (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) qv
+        |  WHERE vec_id <> 0),
+        |rd AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_dense FROM cosd),
+        |fused AS (SELECT COALESCE(ra.doc_id, rd.doc_id) AS doc_id,
+        |  COALESCE(rank_bm25, 0) AS rank_bm25, COALESCE(rank_dense, 0) AS rank_dense,
+        |  CAST((CASE WHEN rank_bm25 IS NULL THEN 0 ELSE 1000000 // (60 + rank_bm25) END)
+        |     + (CASE WHEN rank_dense IS NULL THEN 0 ELSE 1000000 // (60 + rank_dense) END) AS BIGINT) AS rrf_ppm
+        |  FROM ra FULL OUTER JOIN rd USING (doc_id))
+        |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+        |  CAST(rank_dense AS BIGINT) AS rank_dense, rrf_ppm
         |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
     "q90_contamination_overlap" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),

@@ -363,6 +363,40 @@ object TextOps {
   }
 
   /**
+   * HYBRID retrieval — the canonical modern search stack: a lexical BM25
+   * ranking fused with a dense embedding-cosine ranking by RRF (the
+   * lexical/dense fusion is RRF's headline use, Cormack et al. 2009; every
+   * production hybrid-search engine ships this shape). Both rankings are
+   * corpus-sized ([[rrfFusionCorpus]]'s prefix-offset ranks, never a
+   * single-task window): every BM25 hit on the lexical side, every corpus
+   * vector vs the vec_id=0 query on the dense side
+   * ([[VectorOps.cosineScores]] — bit-identical doubles across engines, so
+   * the (cos DESC, vec_id) rank order needs no quantization). Documents
+   * without an embedding (doc_id = vec_id pairing, as in jointCuration)
+   * simply rank on the lexical side only — RRF's absent-list-contributes-0
+   * semantics, not a special case.
+   */
+  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val ra = RelationalOps.globalRank(
+        bm25Scores(spark, dir).select("doc_id", "score_ppm"),
+        "rank_bm25", col("score_ppm").desc, col("doc_id"))
+      .select(col("doc_id"), col("rank_bm25").cast("bigint").as("rank_bm25"))
+    val rb = RelationalOps.globalRank(
+        VectorOps.cosineScores(spark, dir),
+        "rank_dense", col("cos").desc, col("vec_id"))
+      .select(col("vec_id").as("doc_id"), col("rank_dense").cast("bigint").as("rank_dense"))
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("rank_bm25", "rank_dense"))
+      .withColumn("rrf_ppm", expr(
+        "if(rank_bm25 > 0, 1000000 div (60 + rank_bm25), 0) + " +
+          "if(rank_dense > 0, 1000000 div (60 + rank_dense), 0)"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "rank_bm25", "rank_dense", "rrf_ppm")
+  }
+
+  /**
    * Per-source curation report: the data-governance rollup a crawl
    * pipeline publishes per ingest source — volume, language spread, and
    * mean quality (integer division over the summed quantized score, so the

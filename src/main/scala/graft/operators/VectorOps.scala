@@ -30,14 +30,25 @@ object VectorOps {
   /** Exact brute-force cosine top-k against the vec_id=0 query vector.
    * Shape at scale: broadcast 1-row query, map-side cosine, global top-k
    * (TakeOrderedAndProject — no full sort shuffle). */
-  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame =
+    cosineScores(spark, dir)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+
+  /** The full exact-cosine relation behind [[knnBruteForce]] — one row per
+   * corpus vector vs the vec_id=0 query, UNBOUNDED and UNROUNDED: the dense
+   * side a hybrid fusion ([[TextOps.hybridRetrieval]]) ranks in full. The
+   * cosine is bit-identical across engines (dot_d == list_inner_product,
+   * left-to-right double accumulation), so an (cos DESC, vec_id) order is
+   * deterministic without quantization. Map-side only: broadcast 1-row
+   * query, zero shuffles. */
+  def cosineScores(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("emb").as("qe"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), round(expr(CosExpr), 6).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(20)
+      .select(col("vec_id"), expr(CosExpr).as("cos"))
   }
 
   /** Embedding-cosine near-dup pairs, blocked by label — a SMALL-BLOCK-ONLY

@@ -1349,6 +1349,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q116 hybridRetrieval: dense ranks match the single-window oracle; no single-task stage") {
+    import org.apache.spark.sql.expressions.Window
+    val df = operators.TextOps.hybridRetrieval(spark, dir)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    assert(!df.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "hybrid fusion regressed to a single-task stage")
+    // dense-side ranks: corpus formulation == the global window it replaces
+    // (unrounded cosine is bit-identical across engines, so the order is a
+    // total one after the vec_id tie-break)
+    val want = operators.VectorOps.cosineScores(spark, dir)
+      .withColumn("rd", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id"), col("rd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_.getLong(2) > 0).foreach { r =>
+      assert(want.get(r.getLong(0)).contains(r.getLong(2)),
+        s"doc ${r.getLong(0)}: fused rank_dense ${r.getLong(2)} != window rank ${want.get(r.getLong(0))}")
+    }
+    // at least one fused row must actually carry a dense rank, or the
+    // dense leg proved nothing
+    assert(rows.exists(_.getLong(2) > 0), "no fused row has a dense rank")
+  }
+
   test("q106 stream left-outer: inner rows == q104, null rows have no error in window (r10)") {
     val outer = graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(spark, dir).collect()
     val inner = graft.streaming.StreamReplay.intervalJoinReplay(spark, dir).collect()

@@ -108,7 +108,10 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // strategy — and unlike q111 BOTH sides here are corpus-sized ranking
     // relations (that is the point of the corpus-scale variant), so the
     // shuffle/merge on doc_id is the only scale-correct shape
-    "q115_rrf_corpus")
+    "q115_rrf_corpus",
+    // q116: same corpus-sized FULL OUTER fusion shape as q115, lexical
+    // ranks against dense ranks
+    "q116_hybrid_retrieval")
 
   test("no query plans a Cartesian product; BNLJ/SMJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
