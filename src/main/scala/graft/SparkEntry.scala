@@ -181,6 +181,11 @@ object SparkEntry {
     // hybrid lexical+dense retrieval: BM25 ranks fused with exact-cosine
     // ranks by RRF, both corpus-sized via the prefix-offset rank pattern
     "q116_hybrid_retrieval" -> ((s, d) => TextOps.hybridRetrieval(s, d)),
+    // the production hybrid shape: IVF-probed dense pool + corpus BM25
+    "q117_hybrid_ann" -> ((s, d) => TextOps.hybridRetrievalAnn(s, d)),
+    // search diversity: hybrid pool keeps one representative per q60
+    // near-dup cluster (third consumer of the shared label table)
+    "q118_diverse_rerank" -> ((s, d) => TextOps.diverseRerank(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -359,6 +364,26 @@ object SparkEntry {
       |  WHERE cm::DOUBLE/(na.n+nb.n-cm) >= 0.5),
       |e AS (SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),
       |reach AS (SELECT s, t FROM e UNION SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s AND e2.t <> r.s)""".stripMargin
+
+  /** Shared oracle CTE block: the corpus-sized BM25 ranking (q110's exact
+   * scaled-integer scoring + a global rank window) consumed by the r14
+   * retrieval composites (q117, q118). No leading WITH — splice after it.
+   * Same text family as the inline q110/q111/q115/q116 blocks. */
+  private def Bm25RankCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |mm AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS dl FROM mm GROUP BY doc_id),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tot, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+      |q AS (SELECT * FROM (VALUES ('join'), ('vector'), ('window'), ('slow'), ('spark')) AS v(tok)),
+      |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM mm JOIN q USING (tok) GROUP BY tok),
+      |sc AS (SELECT mm.doc_id,
+      |  CAST((44000000 * least(m, 100000) * 1000000 //
+      |        (20000000 * least(m, 100000) + 6000000 + 18 * (dl * 1000000 // (t_tot // n_docs))))
+      |     * least((2*n_docs - 2*df + 1) * 1000000 // (2*df + 1), 1000000000000) // 1000000
+      |    AS BIGINT) AS contrib
+      |  FROM mm JOIN q USING (tok) JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+      |bm AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_ppm FROM sc GROUP BY doc_id),
+      |ra AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank_bm25 FROM bm)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q03_filter_project" ->
@@ -1207,6 +1232,64 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
         |  CAST(rank_dense AS BIGINT) AS rank_dense, rrf_ppm
         |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin,
+    // q117: the production hybrid — dense leg from the q75 IVF replay
+    // (probes, assignment, round-6 exact re-rank) bounded to a 100-row
+    // pool, lexical leg the corpus BM25 rank; q75's `q` renamed qv to
+    // avoid the BM25 query-term CTE
+    "q117_hybrid_ann" ->
+      ("WITH " + Bm25RankCtes +
+        """,
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
+        |c AS (SELECT CAST(vec_id // step AS INT) AS cid, emb AS cent FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
+        |qv AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        |probes AS (SELECT cid FROM c, qv ORDER BY list_distance(cent, qe) ASC, cid ASC LIMIT 4),
+        |assign AS (SELECT vec_id, cid AS bucket FROM (
+        |  SELECT e.vec_id AS vec_id, c.cid AS cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cent) ASC, c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c) t WHERE rn = 1),
+        |pool AS (SELECT e.vec_id AS vec_id,
+        |  round(list_inner_product(e.emb, qv.qe)
+        |    / (sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(qv.qe, qv.qe))), 6) AS cos
+        |  FROM e JOIN assign a ON e.vec_id = a.vec_id CROSS JOIN qv
+        |  WHERE e.vec_id <> 0 AND a.bucket IN (SELECT cid FROM probes)
+        |  ORDER BY cos DESC, vec_id LIMIT 100),
+        |rd AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_dense FROM pool),
+        |fused AS (SELECT COALESCE(ra.doc_id, rd.doc_id) AS doc_id,
+        |  COALESCE(rank_bm25, 0) AS rank_bm25, COALESCE(rank_dense, 0) AS rank_dense,
+        |  CAST((CASE WHEN rank_bm25 IS NULL THEN 0 ELSE 1000000 // (60 + rank_bm25) END)
+        |     + (CASE WHEN rank_dense IS NULL THEN 0 ELSE 1000000 // (60 + rank_dense) END) AS BIGINT) AS rrf_ppm
+        |  FROM ra FULL OUTER JOIN rd USING (doc_id))
+        |SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+        |  CAST(rank_dense AS BIGINT) AS rank_dense, rrf_ppm
+        |FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin),
+    // q118: diversity re-rank — the q116 hybrid top-50 pool keeps its
+    // best-fused doc per q60 near-dup cluster (shared ClusterCte text, so
+    // the cluster definition cannot drift from q60/q114); unclustered
+    // docs are their own cluster
+    "q118_diverse_rerank" ->
+      (ClusterCte +
+        """,
+        |""".stripMargin + Bm25RankCtes +
+        """,
+        |cosd AS (SELECT vec_id, list_inner_product(embedding::DOUBLE[], qv.qe)
+        |    /(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))*sqrt(list_inner_product(qv.qe, qv.qe))) AS cos
+        |  FROM embeddings, (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) qv
+        |  WHERE vec_id <> 0),
+        |rd AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_dense FROM cosd),
+        |fused AS (SELECT COALESCE(ra.doc_id, rd.doc_id) AS doc_id,
+        |  CAST((CASE WHEN rank_bm25 IS NULL THEN 0 ELSE 1000000 // (60 + rank_bm25) END)
+        |     + (CASE WHEN rank_dense IS NULL THEN 0 ELSE 1000000 // (60 + rank_dense) END) AS BIGINT) AS rrf_ppm
+        |  FROM ra FULL OUTER JOIN rd USING (doc_id)),
+        |pool AS (SELECT doc_id, rrf_ppm FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT 50),
+        |cl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster FROM reach GROUP BY s),
+        |lp AS (SELECT pool.doc_id, COALESCE(cl.cluster, pool.doc_id) AS cluster, pool.rrf_ppm
+        |  FROM pool LEFT JOIN cl ON pool.doc_id = cl.doc_id),
+        |pick AS (SELECT doc_id, cluster, rrf_ppm,
+        |  row_number() OVER (PARTITION BY cluster ORDER BY rrf_ppm DESC, doc_id) AS rn FROM lp)
+        |SELECT doc_id, cluster, rrf_ppm FROM pick WHERE rn = 1
+        |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin),
     "q90_contamination_overlap" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
         |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),

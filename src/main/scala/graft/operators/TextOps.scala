@@ -397,6 +397,75 @@ object TextOps {
   }
 
   /**
+   * ANN-accelerated hybrid retrieval — [[hybridRetrieval]] with the dense
+   * leg served by the IVF index instead of a corpus-wide exact pass: the
+   * PRODUCTION hybrid shape (a dense retriever always returns a bounded
+   * top-k pool from its index; only the lexical side stays corpus-ranked
+   * here because BM25 scores are a byproduct of the postings aggregation,
+   * not a second index probe). The pool ([[VectorOps.ivfCandidates]],
+   * nprobe=4, poolK=100) is re-ranked exactly and rank-windowed at
+   * poolK <= 100 rows — the q111 retriever-pool shape, bounded by
+   * construction; the lexical leg keeps [[RelationalOps.globalRank]]'s
+   * prefix-offset ranks. At 100 TB: the dense leg scans nprobe/16 of the
+   * inverted lists instead of the corpus (q75's zero-shuffle plan), the
+   * fusion joins a broadcastable 100-row pool against the lexical ranks.
+   */
+  def hybridRetrievalAnn(
+      spark: SparkSession, dir: String, k: Int = 20, poolK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val ra = RelationalOps.globalRank(
+        bm25Scores(spark, dir).select("doc_id", "score_ppm"),
+        "rank_bm25", col("score_ppm").desc, col("doc_id"))
+      .select(col("doc_id"), col("rank_bm25").cast("bigint").as("rank_bm25"))
+    // bounded pool: the rank window single-tasks <= poolK rows by design
+    val wD = Window.orderBy(col("cos").desc, col("vec_id"))
+    val rd = VectorOps.ivfCandidates(spark, dir, nprobe = 4, k = poolK)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(wD).cast("bigint").as("rank_dense"))
+    ra.join(rd, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("rank_bm25", "rank_dense"))
+      .withColumn("rrf_ppm", expr(
+        "if(rank_bm25 > 0, 1000000 div (60 + rank_bm25), 0) + " +
+          "if(rank_dense > 0, 1000000 div (60 + rank_dense), 0)"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "rank_bm25", "rank_dense", "rrf_ppm")
+  }
+
+  /**
+   * Duplication-diversified re-rank — search diversity for a corpus with
+   * near-duplicate content: the hybrid top-`poolK` pool keeps only its
+   * best-fused representative PER near-dup cluster (the q60 MinHash-LSH
+   * connected components, served by the shared per-(session, corpus)
+   * label table — this operator is its third consumer after q60/q114), so
+   * ten syndicated copies of one article cost one result slot, not ten.
+   * Unclustered docs are their own cluster (coalesce to doc_id — the
+   * label table's cluster ids ARE least-doc ids, so the domains agree).
+   *
+   * Scale shape: the pool is <= poolK rows and BROADCAST into the label
+   * join (labels stream — at 100 TB the label side is O(paired docs) and
+   * unbroadcastable; the pool always fits), then the per-cluster pick and
+   * final top-k run on <= poolK rows.
+   */
+  def diverseRerank(
+      spark: SparkSession, dir: String, k: Int = 20, poolK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pool = hybridRetrieval(spark, dir, k = poolK).select("doc_id", "rrf_ppm")
+    val labels = DedupOps.dedupClusters(spark, dir).select("doc_id", "cluster")
+    val labeled = labels
+      .join(broadcast(pool), Seq("doc_id"), "right_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val wC = Window.partitionBy("cluster").orderBy(col("rrf_ppm").desc, col("doc_id"))
+    labeled
+      .withColumn("rn", row_number().over(wC))
+      .filter(col("rn") === 1)
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "cluster", "rrf_ppm")
+  }
+
+  /**
    * Per-source curation report: the data-governance rollup a crawl
    * pipeline publishes per ingest source — volume, language spread, and
    * mean quality (integer division over the summed quantized score, so the

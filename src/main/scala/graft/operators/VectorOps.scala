@@ -441,9 +441,17 @@ object VectorOps {
   def ivfTopK(spark: SparkSession, dir: String, targetRecall: Double): DataFrame =
     ivfTopKNprobe(spark, dir, nprobeForRecall(targetRecall, calibrateRegime(spark, dir)))
 
-  private[graft] def ivfTopKNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** IVF-probed candidate pool: [[ivfTopKNprobe]] at a caller-chosen pool
+   * size — the bounded dense-retriever leg a hybrid fusion
+   * ([[TextOps.hybridRetrievalAnn]]) re-ranks. Same probe order, same
+   * round-6 exact re-rank, so the pool is deterministic across engines. */
+  def ivfCandidates(spark: SparkSession, dir: String, nprobe: Int = 4, k: Int = 100): DataFrame =
+    ivfTopKNprobe(spark, dir, nprobe, k)
+
+  private[graft] def ivfTopKNprobe(spark: SparkSession, dir: String, nprobe: Int, k: Int = 20): DataFrame = {
     import spark.implicits._
     require(nprobe >= 1 && nprobe <= 16, s"nprobe must be in [1, 16], got $nprobe")
+    require(k >= 1 && k <= 10000, s"k is a retriever pool size, allowed [1, 10000]; got $k")
     val idx = ivfIndex(spark, dir)
     val probeIds = idx.centroids.map { case (cid, c) =>
       (cid, c.zip(idx.queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
@@ -458,7 +466,7 @@ object VectorOps {
         col("vec_id"), col("bucket"),
         round(expr(s"dot_d(emb, $qLit) / (sqrt(dot_d(emb, emb)) * sqrt(dot_d($qLit, $qLit)))"), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
-      .limit(20)
+      .limit(k)
   }
 
   /**

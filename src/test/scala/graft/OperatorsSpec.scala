@@ -1372,6 +1372,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getLong(2) > 0), "no fused row has a dense rank")
   }
 
+  test("q117 hybridRetrievalAnn: dense ranks come from the IVF pool in pool order") {
+    val fused = operators.TextOps.hybridRetrievalAnn(spark, dir).collect()
+    assert(fused.length == 20)
+    // the dense leg's rank r must be the r-th row of the deterministic IVF
+    // candidate pool ((cos DESC, vec_id) order, round-6 exact re-rank)
+    val pool = operators.VectorOps.ivfCandidates(spark, dir, nprobe = 4, k = 100)
+      .select("vec_id").collect().map(_.getLong(0))
+    fused.filter(_.getLong(2) > 0).foreach { r =>
+      val rank = r.getLong(2).toInt
+      assert(pool(rank - 1) == r.getLong(0),
+        s"doc ${r.getLong(0)} claims dense rank $rank but pool[$rank-1]=${pool(rank - 1)}")
+    }
+    assert(fused.exists(_.getLong(2) > 0), "no fused row carries a dense rank")
+    // pool-size guard is enforced, not trusted
+    intercept[IllegalArgumentException] {
+      operators.VectorOps.ivfCandidates(spark, dir, nprobe = 4, k = 1000000)
+    }
+  }
+
+  test("q118 diverseRerank: one representative per q60 cluster, best-fused wins") {
+    // a CORPUS-sized pool (500 docs at sf0.001) so near-dup clusters
+    // provably land in it together — at the default top-50 pool the
+    // fixture's clusters may not co-occur and diversity would be a no-op
+    val poolK = 500
+    val out = operators.TextOps.diverseRerank(spark, dir, k = 20, poolK = poolK).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // distinct clusters — the diversity contract
+    val clusters = out.map(_.getLong(1))
+    assert(clusters.distinct.length == clusters.length, "a cluster appears twice")
+    // each representative is the best-rrf (doc_id tie-break) member of its
+    // cluster within the pool
+    val pool = operators.TextOps.hybridRetrieval(spark, dir, k = poolK)
+      .select("doc_id", "rrf_ppm").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = DedupOps.dedupClusters(spark, dir)
+      .select("doc_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def clusterOf(d: Long) = labels.getOrElse(d, d)
+    out.foreach { r =>
+      val (doc, cl, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(clusterOf(doc) == cl, s"doc $doc labeled $cl but clusterOf=${clusterOf(doc)}")
+      assert(pool.get(doc).contains(ppm), s"doc $doc rrf $ppm not the pool's value")
+      val best = pool.keys.filter(clusterOf(_) == cl).minBy(d => (-pool(d), d))
+      assert(best == doc, s"cluster $cl representative $doc is not the best member $best")
+    }
+    // the diversity must BITE on this fixture (near-dup clusters exist in
+    // the pool), or the test proves nothing
+    val pooledClusters = pool.keys.toSeq.map(clusterOf)
+    assert(pooledClusters.distinct.length < pooledClusters.length,
+      "hybrid pool has no multi-member cluster — fixture too weak for this test")
+  }
+
   test("q106 stream left-outer: inner rows == q104, null rows have no error in window (r10)") {
     val outer = graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(spark, dir).collect()
     val inner = graft.streaming.StreamReplay.intervalJoinReplay(spark, dir).collect()

@@ -111,7 +111,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q115_rrf_corpus",
     // q116: same corpus-sized FULL OUTER fusion shape as q115, lexical
     // ranks against dense ranks
-    "q116_hybrid_retrieval")
+    "q116_hybrid_retrieval",
+    // q117/q118: the lexical leg (and q118's embedded q116 pool build) is
+    // the same corpus-sized FULL OUTER fusion — one side is always the
+    // unbroadcastable corpus rank relation
+    "q117_hybrid_ann",
+    "q118_diverse_rerank")
 
   test("no query plans a Cartesian product; BNLJ/SMJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
