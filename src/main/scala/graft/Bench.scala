@@ -108,6 +108,10 @@ object Bench {
       // second timed run of q60/q114 skip the propagation loop — every
       // timed run must price the full clustering lineage
       graft.operators.DedupOps.invalidateClusterCache()
+      // same honesty rule for the BM25 rank memo shared by q115-q118 (and
+      // its lineage holds a localCheckpoint whose blocks the RDD sweep
+      // below drops — a reused hit could not recompute anyway)
+      graft.operators.TextOps.invalidateBm25RankCache()
       spark.catalog.clearCache() // intra-query caches must not tax the next run
       // localCheckpoint blocks (sequencePack's partition-identity pin) are
       // RDD-level storage that clearCache() does NOT release and that

@@ -342,12 +342,46 @@ object TextOps {
    * variant; the final top-k is a TakeOrderedAndProject, never a global
    * sort.
    */
+  /** Session-memoized corpus BM25 rank table (r14, the r15 seed done
+   * same-round): every retrieval composite (q115-q118) consumes the same
+   * (doc_id, rank_bm25) relation, and the rank leg is the expensive one
+   * (docTermTable corpus pass + globalRank's two-job prefix-offset
+   * pattern) — so, like [[DedupOps.clusterLabelTable]], it is built ONCE
+   * per (session, corpus), OpCache-pinned, and memoized. Unlike the label
+   * memo there is NO re-pin path on a storage-dropped hit: the lineage
+   * contains [[OpCache.pinPartitions]]'s localCheckpoint, whose blocks an
+   * external cleanup (Bench dropState) can drop — a recompute through a
+   * truncated checkpoint fails, so a stale hit is REBUILT, never re-pinned.
+   * The bench invalidates this memo between timed runs
+   * (`invalidateBm25RankCache`) so every run prices the full rank lineage.
+   */
+  private val bm25RankCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop every memoized BM25 rank table (all sessions, all dirs). */
+  def invalidateBm25RankCache(): Unit = bm25RankCache.clear()
+
+  private[operators] def bm25RankTable(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}:$dir"
+    val hit = bm25RankCache.get(key)
+    if (hit != null && hit.storageLevel != org.apache.spark.storage.StorageLevel.NONE) hit
+    else {
+      // get + put, not computeIfAbsent: the miss path runs Spark jobs
+      // (globalRank's offsets collect) — the CHM bin-lock pitfall; a raced
+      // duplicate build is deterministic-identical
+      val ranked = RelationalOps.globalRank(
+          bm25Scores(spark, dir).select("doc_id", "score_ppm"),
+          "rank_bm25", col("score_ppm").desc, col("doc_id"))
+        .select(col("doc_id"), col("rank_bm25").cast("bigint").as("rank_bm25"))
+      val pinned = OpCache.persistBounded("bm25rank", ranked)
+      bm25RankCache.put(key, pinned)
+      pinned
+    }
+  }
+
   def rrfFusionCorpus(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val ra = RelationalOps.globalRank(
-        bm25Scores(spark, dir).select("doc_id", "score_ppm"),
-        "rank_bm25", col("score_ppm").desc, col("doc_id"))
-      .select(col("doc_id"), col("rank_bm25").cast("bigint").as("rank_bm25"))
+    val ra = bm25RankTable(spark, dir)
     val rb = RelationalOps.globalRank(
         qualityScore(spark, dir).select("doc_id", "quality_score_k"),
         "rank_quality", col("quality_score_k").desc, col("doc_id"))
@@ -378,10 +412,7 @@ object TextOps {
    */
   def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     graft.functions.VectorFunctions.register(spark)
-    val ra = RelationalOps.globalRank(
-        bm25Scores(spark, dir).select("doc_id", "score_ppm"),
-        "rank_bm25", col("score_ppm").desc, col("doc_id"))
-      .select(col("doc_id"), col("rank_bm25").cast("bigint").as("rank_bm25"))
+    val ra = bm25RankTable(spark, dir)
     val rb = RelationalOps.globalRank(
         VectorOps.cosineScores(spark, dir),
         "rank_dense", col("cos").desc, col("vec_id"))
@@ -414,10 +445,7 @@ object TextOps {
       spark: SparkSession, dir: String, k: Int = 20, poolK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(spark)
-    val ra = RelationalOps.globalRank(
-        bm25Scores(spark, dir).select("doc_id", "score_ppm"),
-        "rank_bm25", col("score_ppm").desc, col("doc_id"))
-      .select(col("doc_id"), col("rank_bm25").cast("bigint").as("rank_bm25"))
+    val ra = bm25RankTable(spark, dir)
     // bounded pool: the rank window single-tasks <= poolK rows by design
     val wD = Window.orderBy(col("cos").desc, col("vec_id"))
     val rd = VectorOps.ivfCandidates(spark, dir, nprobe = 4, k = poolK)

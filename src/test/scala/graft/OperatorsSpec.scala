@@ -1349,6 +1349,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q115-q118 share ONE BM25 rank table per (session, corpus) (r14)") {
+    // reset both lifecycle layers so this test owns the build
+    operators.TextOps.invalidateBm25RankCache()
+    operators.OpCache.release("bm25rank")
+    // first consumer builds + pins the rank table
+    operators.TextOps.rrfFusionCorpus(spark, dir).count()
+    // the SECOND consumer's lexical leg must read the pinned relation, not
+    // re-run the docTermTable pass + the two-job prefix-offset rank
+    val plan = operators.TextOps.hybridRetrieval(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"q116 lost the shared BM25 rank table:\n${plan.take(2000)}")
+    // after invalidation + release, the next consumer rebuilds (correct,
+    // priced once) — the stale frame is never re-pinned (its lineage holds
+    // a localCheckpoint an external sweep may have truncated)
+    operators.TextOps.invalidateBm25RankCache()
+    operators.OpCache.release("bm25rank")
+    assert(operators.TextOps.hybridRetrieval(spark, dir).collect().length == 20)
+  }
+
   test("q116 hybridRetrieval: dense ranks match the single-window oracle; no single-task stage") {
     import org.apache.spark.sql.expressions.Window
     val df = operators.TextOps.hybridRetrieval(spark, dir)
