@@ -290,32 +290,52 @@ object WhisperManifest {
     val r = new BufferedReader(new InputStreamReader(
       if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw,
       StandardCharsets.UTF_8))
-    val om = new ObjectMapper()
-    val out = Map.newBuilder[String, Entry]
+    // Stage 1 — drain the line stream single-threaded: gzip is a SERIAL
+    // stream (each block depends on the previous dictionary), so the
+    // decompress+split cannot parallelize. It is also the cheap stage.
+    val lines = new java.util.ArrayList[String](1 << 16)
     try {
       var line = r.readLine()
       while (line != null) {
-        if (line.nonEmpty) {
-          val n = om.readTree(line)
-          val fp = n.get("path").asText()
-          val len = n.get("len").asLong()
-          val archives = {
-            val arr = n.get("archives")
-            (0 until arr.size()).map { i =>
-              val a = arr.get(i)
-              ArchiveMeta(i, a.get(0).asLong(), a.get(1).asLong(), a.get(2).asLong())
-            }
-          }
-          out += fp -> Entry(len, FileMeta(
-            fp, n.get("agg").asInt(), n.get("maxRet").asLong(),
-            n.get("xff").floatValue(), archives,
-            // gzip files record the on-disk size here; the header-only
-            // planning path never consults fileSizeActual either way
-            len))
-        }
+        if (line.nonEmpty) lines.add(line)
         line = r.readLine()
       }
     } finally r.close()
+    // Stage 2 — the JSON parse + Entry build dominated the r14 1M-entry
+    // cold-plan floor (6.6 s single-threaded, BENCH_NOTES r14), and each
+    // line is independent: parse in parallel. Jackson's ObjectMapper is
+    // thread-safe for readTree. Below the threshold the ForkJoin overhead
+    // outweighs the win — stay serial (the overwhelmingly common case).
+    val om = new ObjectMapper()
+    def parse(line: String): (String, Entry) = {
+      val n = om.readTree(line)
+      val fp = n.get("path").asText()
+      val len = n.get("len").asLong()
+      val archives = {
+        val arr = n.get("archives")
+        (0 until arr.size()).map { i =>
+          val a = arr.get(i)
+          ArchiveMeta(i, a.get(0).asLong(), a.get(1).asLong(), a.get(2).asLong())
+        }
+      }
+      fp -> Entry(len, FileMeta(
+        fp, n.get("agg").asInt(), n.get("maxRet").asLong(),
+        n.get("xff").floatValue(), archives,
+        // gzip files record the on-disk size here; the header-only
+        // planning path never consults fileSizeActual either way
+        len))
+    }
+    val arr = lines.toArray(new Array[String](lines.size))
+    val out = Map.newBuilder[String, Entry]
+    if (arr.length < 65536) {
+      var i = 0
+      while (i < arr.length) { out += parse(arr(i)); i += 1 }
+    } else {
+      import scala.collection.parallel.CollectionConverters._
+      // chunked so each task amortizes its scheduling, and the merge is
+      // O(chunks) builder appends, not a parallel-map contention point
+      out ++= arr.grouped(16384).toSeq.par.map(_.map(parse)).seq.flatten
+    }
     out.result()
   }
 

@@ -63,6 +63,53 @@ object WhisperManifestProps extends Properties("WhisperManifest") {
       }: _*)
     }
 
+  property("parallel parse (> 64k lines) is line-for-line identical to the serial path (r14)") =
+    Prop.secure {
+      // build a small REAL manifest, then synthesize a 70,001-line one by
+      // replicating its lines under distinct paths — pushes loadRaw onto
+      // the chunked parallel-parse branch (threshold 65,536) while every
+      // line's expected Entry is known from the serial-parsed original
+      val dir = Files.createTempDirectory("manifest-par")
+      val specs = Seq(
+        FileSpec(archives = Seq(ArchiveSpec(10, 120, 60, 1600000000L, 7))),
+        FileSpec(archives = Seq(ArchiveSpec(60, 50, 50, 1600000000L, 3),
+          ArchiveSpec(600, 25, 10, 1600000000L, 0))))
+      specs.zipWithIndex.foreach { case (s, i) =>
+        WhisperWriter.writeFile(dir.resolve(s"m$i.wsp"), s)
+      }
+      val small = dir.resolve("small.jsonl.gz").toString
+      WhisperManifest.write(Seq(dir.toString + "/*.wsp"), small)
+      val base = WhisperManifest.loadRaw(small).toSeq.sortBy(_._1)
+      // re-serialize each base entry as raw JSON lines with swapped paths
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = 70001
+      val big = dir.resolve("big.jsonl.gz")
+      val w = new java.io.OutputStreamWriter(
+        new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(big)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        (0 until n).foreach { i =>
+          val (_, e) = base(i % base.length)
+          val archives = e.meta.archives
+            .map(a => s"[${a.offset},${a.secondsPerPoint},${a.points}]").mkString(",")
+          w.write(s"""{"path":${om.writeValueAsString(s"/syn/f$i.wsp")},"len":${e.len},""" +
+            s""""agg":${e.meta.aggregationType},"maxRet":${e.meta.maxRetention},""" +
+            s""""xff":${e.meta.xFilesFactor},"archives":[$archives]}""" + "\n")
+        }
+      } finally w.close()
+      val loaded = WhisperManifest.loadRaw(big.toString)
+      (loaded.size == n) :| s"size ${loaded.size} != $n" &&
+        Prop.all(Seq(0, 1, 16384, 65535, 65536, n - 1).map { i =>
+          val got = loaded(s"/syn/f$i.wsp")
+          val (_, want) = base(i % base.length)
+          (got.len == want.len && got.meta.aggregationType == want.meta.aggregationType &&
+            got.meta.maxRetention == want.meta.maxRetention &&
+            got.meta.xFilesFactor == want.meta.xFilesFactor &&
+            got.meta.archives.map(a => (a.offset, a.secondsPerPoint, a.points)) ==
+              want.meta.archives.map(a => (a.offset, a.secondsPerPoint, a.points))) :| s"entry $i"
+        }: _*)
+    }
+
   property("sampleForCheck GUARANTEES min(k, n) entries for any seed (ADVICE r13)") =
     forAll(
       Gen.chooseNum(0, 200),
