@@ -428,32 +428,32 @@ object DedupOps {
    * [[invalidateClusterCache]] (the bench does, so every timed run prices
    * the full clustering honestly).
    */
-  private val clusterLabelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // r15: SessionMemo, not a raw CHM — stopped sessions release entries,
+  // identity-hash collisions cannot serve another session's frame, and
+  // newSession-cycling JVMs are bounded by the memo cap (VERDICT r14 #2).
+  private val clusterLabelCache = new SessionMemo()
 
   /** Drop every memoized cluster-label table (all sessions, all dirs). */
   def invalidateClusterCache(): Unit = clusterLabelCache.clear()
 
   /** Drop the memoized label tables for one corpus dir (any session). */
-  def invalidateClusterCache(dir: String): Unit = {
-    val it = clusterLabelCache.keySet().iterator()
-    while (it.hasNext) if (it.next().endsWith(":" + dir)) it.remove()
-  }
+  def invalidateClusterCache(dir: String): Unit = clusterLabelCache.clearDir(dir)
+
+  /** Entry count for the session-lifecycle spec. */
+  private[graft] def labelCacheSize: Int = clusterLabelCache.size
 
   private[operators] def clusterLabelTable(spark: SparkSession, dir: String): DataFrame = {
-    val key = s"${System.identityHashCode(spark)}:$dir"
-    // get + putIfAbsent, not computeIfAbsent: the miss path runs Spark jobs
-    // (the propagation loop's convergence counts) — the CHM bin-lock pitfall;
-    // a raced duplicate build is deterministic-identical.
-    val hit = clusterLabelCache.get(key)
+    // get + putIfAbsent, not a build under the memo lock: the miss path runs
+    // Spark jobs (the propagation loop's convergence counts) — the CHM
+    // bin-lock pitfall; a raced duplicate build is deterministic-identical.
+    val hit = clusterLabelCache.get(spark, dir)
     if (hit != null) {
       if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         OpCache.persistBounded("q60_labels", hit) // re-pin after a clearCache
       else hit
     } else {
       val labels = computeClusterLabels(spark, dir)
-      val prev = clusterLabelCache.putIfAbsent(key, labels)
-      if (prev != null) prev else labels
+      clusterLabelCache.putIfAbsent(spark, dir, labels)
     }
   }
 

@@ -62,7 +62,7 @@ object OpCache {
    * correct release — calling unpersist there NPEs inside BlockManagerMaster
    * (driverEndpoint is null on a stopped context). The isStopped check
    * races benignly with a concurrent stop; the catch covers that window. */
-  private def unpersistIfLive(df: DataFrame): Unit =
+  private[operators] def unpersistIfLive(df: DataFrame): Unit =
     try { if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false) }
     catch { case scala.util.control.NonFatal(_) => }
 

@@ -290,22 +290,18 @@ object WhisperManifest {
     val r = new BufferedReader(new InputStreamReader(
       if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw,
       StandardCharsets.UTF_8))
-    // Stage 1 — drain the line stream single-threaded: gzip is a SERIAL
-    // stream (each block depends on the previous dictionary), so the
-    // decompress+split cannot parallelize. It is also the cheap stage.
-    val lines = new java.util.ArrayList[String](1 << 16)
-    try {
-      var line = r.readLine()
-      while (line != null) {
-        if (line.nonEmpty) lines.add(line)
-        line = r.readLine()
-      }
-    } finally r.close()
-    // Stage 2 — the JSON parse + Entry build dominated the r14 1M-entry
-    // cold-plan floor (6.6 s single-threaded, BENCH_NOTES r14), and each
-    // line is independent: parse in parallel. Jackson's ObjectMapper is
-    // thread-safe for readTree. Below the threshold the ForkJoin overhead
-    // outweighs the win — stay serial (the overwhelmingly common case).
+    // The line stream drains single-threaded: gzip is a SERIAL stream
+    // (each block depends on the previous dictionary), so decompress+split
+    // cannot parallelize — but the JSON parse + Entry build (which
+    // dominated the r14 1M-entry cold-plan floor, 6.6 s single-threaded,
+    // BENCH_NOTES r14) is per-line independent and runs on workers,
+    // PIPELINED with the read. Raw-line residency is bounded (ADVICE r14:
+    // the r14 flat buffer held every raw line alongside the parsed map,
+    // ~2x driver heap at 1M entries): at most (inflight + 1) chunks of
+    // 16384 raw lines exist at once, and a manifest that never fills one
+    // chunk parses inline with no worker handoff at all — the small-
+    // manifest path stays effectively the old streaming loop. Jackson's
+    // ObjectMapper is thread-safe for readTree.
     val om = new ObjectMapper()
     def parse(line: String): (String, Entry) = {
       val n = om.readTree(line)
@@ -325,17 +321,43 @@ object WhisperManifest {
         // planning path never consults fileSizeActual either way
         len))
     }
-    val arr = lines.toArray(new Array[String](lines.size))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val chunkSize = 16384
+    val maxInflight = math.max(2, Runtime.getRuntime.availableProcessors)
     val out = Map.newBuilder[String, Entry]
-    if (arr.length < 65536) {
-      var i = 0
-      while (i < arr.length) { out += parse(arr(i)); i += 1 }
-    } else {
-      import scala.collection.parallel.CollectionConverters._
-      // chunked so each task amortizes its scheduling, and the merge is
-      // O(chunks) builder appends, not a parallel-map contention point
-      out ++= arr.grouped(16384).toSeq.par.map(_.map(parse)).seq.flatten
+    val pending = scala.collection.mutable.Queue.empty[Future[Array[(String, Entry)]]]
+    def submit(c: java.util.ArrayList[String]): Unit = {
+      // bounded inflight: drain the oldest before submitting — backpressure
+      // on the reader keeps raw-line residency at (inflight + 1) chunks
+      if (pending.size >= maxInflight) {
+        val done = Await.result(pending.dequeue(), Duration.Inf)
+        out ++= done
+      }
+      pending += Future {
+        val a = new Array[(String, Entry)](c.size)
+        var i = 0
+        while (i < c.size) { a(i) = parse(c.get(i)); i += 1 }
+        a
+      }
     }
+    var chunk = new java.util.ArrayList[String](chunkSize)
+    try {
+      var line = r.readLine()
+      while (line != null) {
+        if (line.nonEmpty) {
+          chunk.add(line)
+          if (chunk.size == chunkSize) { submit(chunk); chunk = new java.util.ArrayList[String](chunkSize) }
+        }
+        line = r.readLine()
+      }
+    } finally r.close()
+    // tail (or sole) chunk parses inline: the small-manifest serial path,
+    // and useful reader-thread work while the last workers drain
+    var i = 0
+    while (i < chunk.size) { out += parse(chunk.get(i)); i += 1 }
+    while (pending.nonEmpty) { val done = Await.result(pending.dequeue(), Duration.Inf); out ++= done }
     out.result()
   }
 

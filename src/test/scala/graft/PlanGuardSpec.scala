@@ -202,6 +202,40 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortAggregate"), s"q75 reintroduced the sort aggregate:\n$plan")
   }
 
+  test("q118 label join: broadcast LEFT-SEMI prefilter, labels never shuffle (r15)") {
+    // VERDICT r14 #1: the r14 right-outer form hinted broadcast(pool) on
+    // the PRESERVED side — a plan Spark cannot build (BHJ is build-left
+    // only for RightOuter), so the hint was silently ignored and the
+    // corpus-sized label table either broadcast (test scale, AQE) or
+    // SMJ-shuffled (100 TB). Pin the fixed shape: the label table meets
+    // the pool ONLY through a broadcast LeftSemi (BuildRight — the label
+    // side streams map-side, zero shuffle), and the only SMJs in the plan
+    // are the embedded q116 FullOuter fusion merges, which have no
+    // broadcast strategy by join type.
+    // tree-API traversal, not the plan STRING: the string renders the
+    // pinned pool/label tables' cached lineages (InMemoryRelation
+    // children), whose internal q60/q116 SMJs are allowed and not
+    // re-executed here — only joins in the live tree count.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def liveJoins(p: SparkPlan): Seq[(String, String)] = p.collect {
+      case a: AdaptiveSparkPlanExec => liveJoins(a.executedPlan)
+      case j: SortMergeJoinExec => Seq(("SMJ:" + j.joinType.toString, ""))
+      case j: BroadcastHashJoinExec =>
+        Seq(("BHJ:" + j.joinType.toString, j.buildSide.toString))
+    }.flatten
+    val joins = liveJoins(
+      SparkEntry.queries("q118_diverse_rerank")(spark, dir).queryExecution.executedPlan)
+    assert(joins.contains(("BHJ:LeftSemi", "BuildRight")),
+      s"q118 lost the broadcast left-semi label prefilter: $joins")
+    assert(!joins.exists(_._1.contains("RightOuter")),
+      s"q118 reintroduced the right-outer label join: $joins")
+    assert(joins.forall(j => !j._1.startsWith("SMJ") || j._1.contains("FullOuter")),
+      s"q118 SMJ outside the FullOuter fusion merge (label side shuffles at scale): $joins")
+    spark.catalog.clearCache() // release the q118 pool pin
+  }
+
   test("q61 decontaminate broadcasts the test side (shingle join stays hash)") {
     // sf0.001 under AQE degenerates to empty-relation propagation, which
     // hides the join; pin the INTENDED shape from the initial plan instead:
