@@ -30,7 +30,7 @@ object Main {
       |       graft.Main curate <tables-dir> <out-dir>
       |       graft.Main export <tree-or-glob> <out-dir> [targetPartitions]
       |       graft.Main export-delta <tree-or-glob> <out-dir> [targetPartitions] [mtimeSlopSeconds]
-      |       graft.Main manifest <tree-or-glob> <out.jsonl[.gz]> [--update]""".stripMargin
+      |       graft.Main manifest <tree-or-glob> <out.jsonl[.gz]> [--update] [--shards=n]""".stripMargin
 
   /** The `export` mode's pipeline (spec-driven at the library level):
    * whisper tree → ONE parquet dataset; returns the exported row count.
@@ -370,18 +370,24 @@ object Main {
         kept.write.mode("overwrite").parquet(out)
         println(s"curated ${spark.read.parquet(out).count()} surviving docs -> $out")
       } finally spark.stop()
-    case Seq("manifest", tree, out, rest @ _*) if rest.isEmpty || rest == Seq("--update") =>
+    case Seq("manifest", tree, out, rest @ _*)
+        if rest.forall(a => a == "--update" || a.startsWith("--shards=")) =>
       // Header manifest for plan-time reuse ([[sources.whisper.WhisperManifest]]):
       // driver-only — the walk + concurrent header sweep need no executors.
       // Readers opt in with .option("headerManifest", out). `--update`
       // refreshes in place: unchanged-length entries are kept, only new /
       // changed-length files re-read — O(changed) header I/O for a daily
       // refresh (same-length re-layouts need a full rewrite; scaladoc).
-      if (rest.isEmpty) {
-        val n = sources.whisper.WhisperManifest.write(Seq(tree), out)
-        println(s"manifested $n whisper headers -> $out")
+      // `--shards=n` writes n per-shard manifest files (entry-path-hash
+      // partition) for sharded `manifestListing` streams over flat prefixes.
+      val shards = rest.collectFirst { case a if a.startsWith("--shards=") => a.drop(9).toInt }
+        .getOrElse(1)
+      if (!rest.contains("--update")) {
+        val n = sources.whisper.WhisperManifest.write(Seq(tree), out, shards = shards)
+        println(s"manifested $n whisper headers -> $out" +
+          (if (shards > 1) s" ($shards shard files)" else ""))
       } else {
-        val (n, reread) = sources.whisper.WhisperManifest.update(Seq(tree), out)
+        val (n, reread) = sources.whisper.WhisperManifest.update(Seq(tree), out, shards = shards)
         println(s"updated manifest: $n entries, $reread headers re-read -> $out")
       }
     case Seq("export", tree, out, rest @ _*) if rest.length <= 1 =>

@@ -186,6 +186,9 @@ object SparkEntry {
     // search diversity: hybrid pool keeps one representative per q60
     // near-dup cluster (third consumer of the shared label table)
     "q118_diverse_rerank" -> ((s, d) => TextOps.diverseRerank(s, d)),
+    // contrastive-training mining: per-query top-cosine pool minus the
+    // query's own q60 near-dup cluster (fourth consumer of the label table)
+    "q119_hard_negatives" -> ((s, d) => VectorOps.hardNegatives(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1290,6 +1293,33 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY cluster ORDER BY rrf_ppm DESC, doc_id) AS rn FROM lp)
         |SELECT doc_id, cluster, rrf_ppm FROM pick WHERE rn = 1
         |ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin),
+    // q119: hard-negative mining — q94's batched cosine pool (16 per query,
+    // 8-query panel, corpus = vec_id >= 8) minus candidates in the SAME q60
+    // cluster as their query (shared ClusterCte text, so the cluster
+    // definition cannot drift); unclustered ids are their own cluster
+    "q119_hard_negatives" ->
+      (ClusterCte +
+        """,
+        |cl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster FROM reach GROUP BY s),
+        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |qv AS (SELECT vec_id AS qid, emb AS qe FROM ev WHERE vec_id < 8),
+        |cv AS (SELECT vec_id, emb FROM ev WHERE vec_id >= 8),
+        |sv AS (SELECT qv.qid, cv.vec_id,
+        |  list_inner_product(cv.emb, qv.qe)
+        |    / (sqrt(list_inner_product(cv.emb, cv.emb)) * sqrt(list_inner_product(qv.qe, qv.qe))) AS cos
+        |  FROM cv CROSS JOIN qv),
+        |pv AS (SELECT qid, vec_id, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn FROM sv),
+        |pool AS (SELECT qid, vec_id, cos FROM pv WHERE rn <= 16),
+        |lp AS (SELECT pool.qid, pool.vec_id, pool.cos,
+        |  COALESCE(cc.cluster, pool.vec_id) AS cl_c, COALESCE(cq.cluster, pool.qid) AS cl_q
+        |  FROM pool LEFT JOIN cl cc ON pool.vec_id = cc.doc_id
+        |            LEFT JOIN cl cq ON pool.qid = cq.doc_id),
+        |neg AS (SELECT qid, vec_id, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn2
+        |  FROM lp WHERE cl_c <> cl_q)
+        |SELECT qid, CAST(rn2 AS INT) AS rank, vec_id, round(cos, 6) AS cos
+        |FROM neg WHERE rn2 <= 8 ORDER BY qid, rank""".stripMargin),
     "q90_contamination_overlap" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
         |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),

@@ -796,6 +796,61 @@ object VectorOps {
   }
 
   /**
+   * Hard-negative mining for contrastive retrieval training (r15) — the
+   * FOURTH consumer of the shared q60 cluster-label table: for each query
+   * in the panel, mine the top-`poolK` cosine pool for NEGATIVES — docs
+   * that are semantically close (high cosine: that is what makes them
+   * HARD) but not near-duplicates of the query (same q60 MinHash-LSH
+   * cluster = a de-facto positive; training it as a negative poisons the
+   * contrastive loss — the standard de-dup step in every embedding-model
+   * mining pipeline, e.g. DPR/Contriever-style hard-negative selection).
+   * Pool-then-exclude with FIXED pool and k keeps the result deterministic
+   * and oracle-replayable on both engines.
+   *
+   * Shapes: the pool is [[batchKnn]]'s one-corpus-pass TopKAgg reduction
+   * (panel broadcast, per-task partial top-k before the shuffle); it is
+   * OpCache-pinned because both the label prefilter and the mining branch
+   * consume it. The corpus-sized label table is prefiltered by a broadcast
+   * LEFT-SEMI on the pooled ids + panel (q118's r15 shape — labels stream
+   * map-side, zero shuffle, remnant <= panel*(poolK+1) rows), then two
+   * broadcast left-outer lookups attach candidate/query clusters.
+   * Everything after the corpus pass is O(panel * poolK) rows.
+   */
+  def hardNegatives(
+      spark: SparkSession, dir: String,
+      panel: Int = 8, poolK: Int = 16, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(panel >= 1 && poolK >= k && k >= 1, s"need panel>=1, poolK>=k>=1; got $panel/$poolK/$k")
+    graft.functions.TopKAgg.register(spark, poolK)
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < panel).select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val pool = OpCache.persistBounded("q119_pool",
+      e.filter(col("vec_id") >= panel).crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"), expr(CosExpr).as("c"))
+        .groupBy("qid")
+        .agg(expr(s"topk_cos_$poolK(c, vec_id)").as("top"))
+        .select(col("qid"), explode(col("top")).as("hit"))
+        .select(col("qid"), col("hit._2").as("vec_id"), col("hit._1").as("cos")))
+    val ids = pool.select(col("vec_id").as("doc_id"))
+      .union(pool.select(col("qid").as("doc_id"))).distinct()
+    val labels = DedupOps.dedupClusters(spark, dir).select("doc_id", "cluster")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+    val wQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    pool
+      .join(broadcast(labels.select(col("doc_id").as("vec_id"), col("cluster").as("cl_c"))),
+        Seq("vec_id"), "left_outer")
+      .join(broadcast(labels.select(col("doc_id").as("qid"), col("cluster").as("cl_q"))),
+        Seq("qid"), "left_outer")
+      .withColumn("cl_c", coalesce(col("cl_c"), col("vec_id")))
+      .withColumn("cl_q", coalesce(col("cl_q"), col("qid")))
+      .filter(col("cl_c") =!= col("cl_q"))
+      .withColumn("rank", row_number().over(wQ).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /**
    * ANN quality measurement in-plan: recall@10 of the 4-probe IVF search
    * against the exact-KNN ground truth, per query, over an 8-query panel
    * (vec_id < 8; corpus = vec_id >= 8) — the metric every ANN deployment

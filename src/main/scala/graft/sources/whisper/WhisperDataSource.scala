@@ -304,7 +304,10 @@ object WhisperIO {
    */
   def manifestListing(patterns: Seq[String], options: WhisperOptions): Seq[FileEntry] = {
     require(options.headerManifest.nonEmpty, "manifestListing requires headerManifest")
-    val manifest = WhisperManifest.load(options.headerManifest)
+    // sharded streams load their own 1/n manifest file (r15) — the serve
+    // below then tiles by construction; reconcile ADDS are shard-filtered
+    // at the end so a store file never plans in two shards
+    val manifest = WhisperManifest.load(options.effectiveManifest)
     // qualified patterns: pure path arithmetic, no store round trips
     val quals = patterns.map { pat =>
       val p = new HPath(pat)
@@ -337,11 +340,21 @@ object WhisperIO {
     }.toSeq
     // bounded store reconcile: only non-glob DIRECTORY patterns (the flat
     // prefix target); glob patterns are served purely from the manifest
+    // shard ownership (r15): the reconcile sweep lists STORE entries, which
+    // include every shard's files — only this stream's may JOIN its plan
+    // (served entries already belong: they come from the shard's own
+    // manifest file); foreign files are not "new", so the add path and its
+    // log counts are ownership-filtered at the source
+    val owns: String => Boolean = options.shard match {
+      case Some((i, n)) => p => WhisperManifest.shardOf(p, n) == i
+      case None         => _ => true
+    }
     val reconciled =
       if (options.manifestReconcileFiles <= 0) served
       else quals.zip(globs).filter(_._2.isEmpty).map(_._1)
         .foldLeft(served)((acc, root) =>
-          reconcileRoot(acc, root, options.manifestReconcileFiles, options.planningParallelism))
+          reconcileRoot(acc, root, options.manifestReconcileFiles,
+            options.planningParallelism, owns))
     reconciled.sortBy(_.path)
   }
 
@@ -357,7 +370,8 @@ object WhisperIO {
    * untouched — the bound covers DIRECT children, which is the flat-prefix
    * shape this mode exists for. */
   private def reconcileRoot(
-      entries: Seq[FileEntry], root: String, limit: Int, parallelism: Int): Seq[FileEntry] = {
+      entries: Seq[FileEntry], root: String, limit: Int, parallelism: Int,
+      owns: String => Boolean = _ => true): Seq[FileEntry] = {
     val rp = new HPath(root)
     val fs = rp.getFileSystem(hadoopConf())
     val seen = mutable.LinkedHashMap[String, FileEntry]() // direct whisper children listed
@@ -401,7 +415,11 @@ object WhisperIO {
       }
     }
     val known = entries.iterator.flatMap(e => direct(e.path)).toSet
-    val adds = seen.collect { case (name, st) if !known.contains(name) => st }.toSeq
+    // `seen` stays UNFILTERED (the deletion range and length refresh cover
+    // exactly what the page listed); ownership gates only what may JOIN
+    val adds = seen.collect {
+      case (name, st) if !known.contains(name) && owns(st.path) => st
+    }.toSeq
     if (drops + updates + adds.size > 0)
       System.err.println(
         s"INFO WhisperIO.manifestListing: reconciled $root against its first $consumed " +

@@ -69,15 +69,47 @@ object WhisperManifest {
 
   final case class Entry(len: Long, meta: FileMeta)
 
+  /** Entry-to-shard assignment for SHARDED manifests (r15, VERDICT r14
+   * missing #2): a stable hash of the file's QUALIFIED path — the same
+   * string the manifest records and the store's listings return, so the
+   * writer and every consumer (listing serve, reconcile adds) agree without
+   * coordination. Every path lands in exactly one of n shards by
+   * construction (floorMod of one hash), which is the tiling guarantee the
+   * sharded streams rely on. */
+  def shardOf(path: String, n: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(path), n)
+
+  /** Path of shard `i` of `n` derived from the base manifest path: the
+   * shard tag is inserted BEFORE a trailing `.gz` so compression inference
+   * (suffix-based, both for the manifest loader and the CLI) still works —
+   * `m.jsonl.gz` -> `m.jsonl.3of8.gz`. */
+  def shardPath(base: String, i: Int, n: Int): String =
+    if (base.endsWith(".gz")) s"${base.dropRight(3)}.${i}of$n.gz"
+    else s"$base.${i}of$n"
+
   /** Walk `patterns`, read every header concurrently, write the manifest.
-   * Returns the number of files recorded. */
-  def write(patterns: Seq[String], out: String, parallelism: Int = 64): Long = {
+   * With `shards` = n > 1, write n shard files instead ([[shardPath]]),
+   * partitioned by [[shardOf]] — each sharded stream (`streamShard` i/n +
+   * `manifestListing`) then loads, parses, and memoizes ONLY its 1/n of the
+   * tree: the warm-plan floor at a 1M-entry flat prefix is bin-packing +
+   * partition construction over the entry list (BENCH_NOTES r14 addendum
+   * 2), and both it and the parse split n-ways with the file. Returns the
+   * number of files recorded. */
+  def write(patterns: Seq[String], out: String, parallelism: Int = 64, shards: Int = 1): Long = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val entries = WhisperIO.expandStatuses(patterns, parallelism = parallelism)
     val metas = WhisperIO.parMap(entries, parallelism) { e =>
       val gz = e.path.endsWith(".gz")
       (e, WhisperIO.readMetaHeaderOnly(e.path, gz, e.len))
     }
-    writeEntries(metas, out)
+    if (shards == 1) writeEntries(metas, out)
+    else {
+      val byShard = metas.groupBy { case (e, _) => shardOf(e.path, shards) }
+      // every shard file is written, even empty ones: a consumer stream's
+      // load must distinguish "no entries in my shard" from "no manifest"
+      for (i <- 0 until shards)
+        writeEntries(byShard.getOrElse(i, Seq.empty), shardPath(out, i, shards))
+    }
     metas.length.toLong
   }
 
@@ -88,8 +120,12 @@ object WhisperManifest {
    * thousand metrics churned. Same-length re-layouts evade the length diff
    * by construction (see the staleness scaladoc): after one of those, run a
    * full [[write]]. Returns (total entries written, headers re-read). */
-  def update(patterns: Seq[String], out: String, parallelism: Int = 64): (Long, Long) = {
-    val old = loadRaw(out)
+  def update(patterns: Seq[String], out: String, parallelism: Int = 64, shards: Int = 1): (Long, Long) = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val old =
+      if (shards == 1) loadRaw(out)
+      else (0 until shards).map(i => loadRaw(shardPath(out, i, shards)))
+        .foldLeft(Map.empty[String, Entry])(_ ++ _)
     val entries = WhisperIO.expandStatuses(patterns, parallelism = parallelism)
     // hits carry no I/O, so the pool only ever stalls on genuine re-reads
     val metas = WhisperIO.parMap(entries, parallelism) { e =>
@@ -98,7 +134,13 @@ object WhisperManifest {
         case _ => (e, WhisperIO.readMetaHeaderOnly(e.path, e.path.endsWith(".gz"), e.len), true)
       }
     }
-    writeEntries(metas.map(t => (t._1, t._2)), out)
+    val flat = metas.map(t => (t._1, t._2))
+    if (shards == 1) writeEntries(flat, out)
+    else {
+      val byShard = flat.groupBy { case (e, _) => shardOf(e.path, shards) }
+      for (i <- 0 until shards)
+        writeEntries(byShard.getOrElse(i, Seq.empty), shardPath(out, i, shards))
+    }
     (metas.length.toLong, metas.count(_._3).toLong)
   }
 

@@ -113,8 +113,12 @@ final case class WhisperOptions(
     // lexicographic bound and otherwise at the next manifest refresh;
     // a manifest-listed file deleted from the store reads as EMPTY (the
     // same rows a post-deletion walk would have produced) instead of
-    // failing the scan. Batch only — the streaming tail keeps walking
-    // (it needs fresh mtimes for idle pruning and new-file discovery).
+    // failing the scan. Applies to batch AND the streaming tail (r15 —
+    // the tail paid the walk EVERY trigger, the worst case of the flat-
+    // prefix shape); for streams, new-file discovery rides the reconcile
+    // sweep, mtime idle-pruning degrades to unprunable (mtime unknown)
+    // for manifest-served entries, and the periodic content revalidation
+    // keeps guarding served headers.
     manifestListing: Boolean = false,
     // With `manifestListing`: reconcile the manifest against the store's
     // FIRST `manifestReconcileFiles` direct entries of each directory
@@ -154,9 +158,14 @@ final case class WhisperOptions(
   require(!manifestListing || mtimeFloorSeconds < 0,
     "manifestListing is incompatible with mtimeFloor: the manifest carries no mtimes " +
       "(walk the store for mtime-pruned plans)")
-  require(!manifestListing || streamShard.trim.isEmpty || streamShard.trim.endsWith("/1"),
-    "manifestListing is incompatible with streamShard: sharding splits the directory " +
-      "WALK, which manifest listing eliminates")
+  // manifestListing + streamShard (r15): allowed, with DIFFERENT shard
+  // semantics than walk mode — the walk shards by top-level-subtree hash
+  // (the only unit a walk can skip), the manifest listing shards by ENTRY
+  // path hash against per-shard manifest files (`manifest --shards n` /
+  // [[WhisperManifest.shardPath]]), which is what makes a FLAT prefix
+  // splittable at all (it has no subtrees). Each sharded stream loads,
+  // parses, and memoizes only its 1/n manifest file; a missing shard file
+  // fails the plan loudly (regenerate with --shards n).
 
   /** Parsed `streamShard`: Some((i, n)) with 0 <= i < n, or None. */
   val shard: Option[(Int, Int)] = streamShard.trim match {
@@ -168,6 +177,16 @@ final case class WhisperOptions(
       val (i, n) = (parts(0).toInt, parts(1).toInt)
       require(n >= 1 && i >= 0 && i < n, s"streamShard needs 0 <= i < n, got '$s'")
       if (n == 1) None else Some((i, n))
+  }
+
+  /** The manifest file THIS plan loads: under `manifestListing` with a
+   * shard, the per-shard manifest (the listing must tile across the n
+   * sharded streams, so each serves only its own shard file); otherwise
+   * the base manifest — walk-mode sharding restricts CANDIDATES, and a
+   * path lookup into the full manifest is correct for any subset. */
+  def effectiveManifest: String = (manifestListing, shard) match {
+    case (true, Some((i, n))) => WhisperManifest.shardPath(headerManifest, i, n)
+    case _                    => headerManifest
   }
 
   def timestampType: DataType = if (toDatetime) TimestampType else IntegerType

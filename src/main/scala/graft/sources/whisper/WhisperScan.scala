@@ -359,9 +359,9 @@ private[whisper] object WhisperPlanning {
       // on every streaming trigger — paid k header GETs for nothing), so a
       // steady-state plan over an unchanged manifest costs metadata stats
       // only, zero header GETs.
-      val manifest = WhisperManifest.load(options.headerManifest)
+      val manifest = WhisperManifest.load(options.effectiveManifest)
       val trusted = WhisperManifest.spotCheckCached(
-        options.headerManifest, manifest, candidates,
+        options.effectiveManifest, manifest, candidates,
         options.manifestSpotCheck, options.planningParallelism, options.gzipFor)
       (e, gz) =>
         manifest.get(e.path) match {

@@ -115,6 +115,10 @@ object LatencyProbe {
       planWall(pat, Map.empty) // warm
       val manifest = Files.createTempDirectory("latprobe-fm").resolve("m.jsonl.gz").toString
       WhisperManifest.write(Seq(pat), manifest)
+      // sharded manifest files for the r15 rows (written at zero latency —
+      // the write's header sweep is not what these rows measure)
+      val nSh = 4
+      WhisperManifest.write(Seq(pat), manifest, shards = nSh)
       val mOpts = Map("headerManifest" -> manifest, "manifestSpotCheck" -> "0")
       for (page <- Seq(1000)) {
         SlowFs.latencyMs = 10; SlowFs.listPageSize = page
@@ -151,6 +155,63 @@ object LatencyProbe {
         val mf = planWall(pat.stripSuffix("/*"),
           mOpts + ("manifestListing" -> "true", "manifestReconcileFiles" -> "0"))
         println(f"$n%7d |  10 | flat/maniList-cold | ${mf._1}%6.2f | ${mf._2}%7d | ${mf._4}%6d | ${mf._5}%6d | ${mf._5 * 10 / 1000.0}%6.2f")
+
+        // STREAMING tail rows (r15, VERDICT r14 missing #1): the tail pays
+        // planning EVERY trigger, so the flat-prefix walk is at its worst
+        // here — ceil(n/page) SERIAL pages per micro-batch that streamShard
+        // cannot prune (a flat dir has no subtrees to split). Both rows get
+        // the header manifest (headers were never the per-trigger cost —
+        // the stream's own metaCache serves them from trigger 2 on); the
+        // difference is the LISTING: walk mode re-pages the directory per
+        // trigger, manifestListing serves the list from the memoized parse
+        // plus ONE bounded reconcile page. Timed: a steady-state trigger
+        // (the second planned window; the first warmed the caches).
+        def streamTrigger(extra: Map[String, String]): (Double, Long, Long, Long, Long) = {
+          import org.apache.spark.sql.util.CaseInsensitiveStringMap
+          import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions}
+          val hm = new java.util.HashMap[String, String]()
+          (mOpts ++ extra).foreach { case (k, v) => hm.put(k, v) }
+          val o = WhisperOptions(new CaseInsensitiveStringMap(hm))
+          val st = new WhisperMicroBatchStream(
+            Seq(pat.stripSuffix("/*")), o, Seq.empty, o.schema, 0L)
+          st.planInputPartitions(WhisperOffset(1599999000L), WhisperOffset(1599999500L))
+          SlowFs.reset(SlowFs.latencyMs, SlowFs.listPageSize)
+          val t0 = System.nanoTime()
+          st.planInputPartitions(WhisperOffset(1599999500L), WhisperOffset(1600000000L))
+          ((System.nanoTime() - t0) / 1e9,
+            SlowFs.opens.get(), SlowFs.stats.get(), SlowFs.lists.get(), SlowFs.listPages.get())
+        }
+        val sw = streamTrigger(Map.empty)
+        println(f"$n%7d |  10 | flat/stream-walk | ${sw._1}%8.2f | ${sw._2}%7d | ${sw._4}%6d | ${sw._5}%6d | ${sw._5 * 10 / 1000.0}%6.2f")
+        val sm = streamTrigger(Map("manifestListing" -> "true"))
+        println(f"$n%7d |  10 | flat/stream-mani | ${sm._1}%8.2f | ${sm._2}%7d | ${sm._4}%6d | ${sm._5}%6d | ${sm._5 * 10 / 1000.0}%6.2f")
+
+        // SHARDED-manifest rows (r15, VERDICT r14 missing #2): with the
+        // manifest file itself split n-ways by entry-path hash, each shard
+        // stream parses, memoizes, and bin-packs 1/n of the entries — the
+        // residual warm floor (partition construction over the entry list,
+        // BENCH_NOTES r14 addendum 2) splits with it. cold = first load of
+        // shard 0's file this JVM (fresh gz parse); warm = memoized parse.
+        // reconcile=0 isolates the plan floor from the SlowFs-local eager-
+        // list artifact, as in the maniList-r0 row above.
+        val shOpts = mOpts + ("manifestListing" -> "true",
+          "streamShard" -> s"0/$nSh", "manifestReconcileFiles" -> "0")
+        val shc = planWall(pat.stripSuffix("/*"), shOpts)
+        println(f"$n%7d |  10 | flat/maniList-sh-cold | ${shc._1}%4.2f | ${shc._2}%7d | ${shc._4}%6d | ${shc._5}%6d | ${shc._5 * 10 / 1000.0}%6.2f")
+        val shw = planWall(pat.stripSuffix("/*"), shOpts)
+        println(f"$n%7d |  10 | flat/maniList-sh-warm | ${shw._1}%4.2f | ${shw._2}%7d | ${shw._4}%6d | ${shw._5}%6d | ${shw._5 * 10 / 1000.0}%6.2f")
+        val ss = streamTrigger(Map("manifestListing" -> "true", "streamShard" -> s"0/$nSh"))
+        println(f"$n%7d |  10 | flat/stream-mani-sh | ${ss._1}%6.2f | ${ss._2}%7d | ${ss._4}%6d | ${ss._5}%6d | ${ss._5 * 10 / 1000.0}%6.2f")
+        // reconcile=0 decomposition for the STREAM rows, mirroring the
+        // maniList-r0 batch row: SlowFs's reconcile page eagerly lists the
+        // whole local directory (an artifact a real object store's bounded
+        // LIST does not pay), so these rows show the true steady-state
+        // trigger floor — the memoized parse + bin-packing, zero store ops
+        val s0 = streamTrigger(Map("manifestListing" -> "true", "manifestReconcileFiles" -> "0"))
+        println(f"$n%7d |  10 | flat/stream-mani-r0 | ${s0._1}%6.2f | ${s0._2}%7d | ${s0._4}%6d | ${s0._5}%6d | ${s0._5 * 10 / 1000.0}%6.2f")
+        val s0s = streamTrigger(Map("manifestListing" -> "true",
+          "streamShard" -> s"0/$nSh", "manifestReconcileFiles" -> "0"))
+        println(f"$n%7d |  10 | flat/stream-mani-sh-r0 | ${s0s._1}%3.2f | ${s0s._2}%7d | ${s0s._4}%6d | ${s0s._5}%6d | ${s0s._5 * 10 / 1000.0}%6.2f")
       }
     }
     spark.stop()

@@ -1442,6 +1442,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "hybrid pool has no multi-member cluster — fixture too weak for this test")
   }
 
+  test("q119 hardNegatives: the query's near-dup is excluded, and the exclusion bites (r15)") {
+    import spark.implicits._
+    // crafted corpus: doc 10 is BOTH the closest vector to the query (top
+    // of the raw cosine pool — the trap) AND its q60 near-dup (identical
+    // text -> same MinHash-LSH cluster), so serving it as a "negative"
+    // would poison a contrastive loss; the operator must skip it and rank
+    // the genuine negatives 11, 12 instead
+    val tmp = java.nio.file.Files.createTempDirectory("hardneg").toString
+    val t0 = "the quick brown fox jumps over the lazy dog again"
+    Seq(
+      (0L, t0, "en", "s", t0.length.toLong),
+      (10L, t0, "en", "s", t0.length.toLong), // near-dup of the query
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 56L),
+      (12L, "one two three four five six seven eight nine ten", "en", "s", 49L),
+      (13L, "red orange yellow green blue indigo violet black white gray", "en", "s", 60L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp + "/documents.parquet")
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    Seq(
+      (0L, v(1, 0, 0, 0), 0),
+      (10L, v(0.999, 0.04, 0, 0), 0), // cos ~0.9992: tops the raw pool
+      (11L, v(0.9, 0.3, 0.3, 0), 0),  // cos ~0.9045
+      (12L, v(0.7, 0.7, 0.14, 0), 0), // cos ~0.7001
+      (13L, v(0, 1, 0, 0), 0)         // cos 0
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(tmp + "/embeddings.parquet")
+    val out = VectorOps.hardNegatives(spark, tmp, panel = 1, poolK = 4, k = 2).collect()
+    assert(out.forall(_.getLong(0) == 0L))
+    assert(!out.map(_.getLong(2)).contains(10L), "the query's near-dup served as a negative")
+    assert(out.map(_.getLong(2)).toSeq == Seq(11L, 12L),
+      s"wrong negatives: ${out.map(_.getLong(2)).toSeq}")
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2), "ranks must be dense post-exclusion")
+    // the trap is real: WITHOUT the cluster exclusion, doc 10 tops the raw
+    // cosine ranking — so the filter demonstrably did the work
+    graft.functions.VectorFunctions.register(spark)
+    val rawTop = spark.read.parquet(tmp + "/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS emb")
+      .filter(col("vec_id") >= 1)
+      .crossJoin(broadcast(spark.read.parquet(tmp + "/embeddings.parquet")
+        .filter(col("vec_id") === 0)
+        .selectExpr("transform(embedding, x -> cast(x as double)) AS qe")))
+      .selectExpr("vec_id", "dot_d(emb, qe) / (sqrt(dot_d(emb, emb)) * sqrt(dot_d(qe, qe))) AS cos")
+      .orderBy(col("cos").desc, col("vec_id")).limit(1)
+      .collect().head.getLong(0)
+    assert(rawTop == 10L, s"fixture too weak: raw top hit is $rawTop, not the near-dup")
+    DedupOps.invalidateClusterCache(tmp)
+    spark.catalog.clearCache()
+  }
+
   test("q106 stream left-outer: inner rows == q104, null rows have no error in window (r10)") {
     val outer = graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(spark, dir).collect()
     val inner = graft.streaming.StreamReplay.intervalJoinReplay(spark, dir).collect()

@@ -73,6 +73,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q88_semantic_dedup",
     // q94 broadcasts the 20-row query batch onto the corpus scan
     "q94_knn_batch",
+    // q119 broadcasts the 8-row query panel onto the corpus scan (the q94
+    // pool shape) before its label exclusion
+    "q119_hard_negatives",
     // q105 broadcasts the 8-row query panel onto the corpus scan (exact
     // leg) and the 16-row centroid table onto the panel (probe selection)
     "q105_ann_recall",
@@ -116,7 +119,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the same corpus-sized FULL OUTER fusion — one side is always the
     // unbroadcastable corpus rank relation
     "q117_hybrid_ann",
-    "q118_diverse_rerank")
+    "q118_diverse_rerank",
+    // q119's plan STRING renders the pinned cluster-label table's cached
+    // lineage (q60's iterative-loop SMJs, allowed above); the LIVE tree's
+    // label joins are broadcast left-semi + left-outer, pinned in the
+    // dedicated q119 guard below
+    "q119_hard_negatives")
 
   test("no query plans a Cartesian product; BNLJ/SMJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -234,6 +242,30 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joins.forall(j => !j._1.startsWith("SMJ") || j._1.contains("FullOuter")),
       s"q118 SMJ outside the FullOuter fusion merge (label side shuffles at scale): $joins")
     spark.catalog.clearCache() // release the q118 pool pin
+  }
+
+  test("q119 label joins: broadcast left-semi prefilter + broadcast lookups, live tree SMJ-free (r15)") {
+    // same stance as the q118 guard: the plan STRING renders the pinned
+    // label table's cached q60 lineage, so pin the LIVE tree via the node
+    // API — the corpus-sized label table must meet the mined pool only
+    // through a broadcast LeftSemi (labels stream map-side), the cluster
+    // lookups are broadcast left-outers, and no SMJ executes live.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    def liveJoins(p: SparkPlan): Seq[(String, String)] = p.collect {
+      case a: AdaptiveSparkPlanExec => liveJoins(a.executedPlan)
+      case j: SortMergeJoinExec => Seq(("SMJ:" + j.joinType.toString, ""))
+      case j: BroadcastHashJoinExec =>
+        Seq(("BHJ:" + j.joinType.toString, j.buildSide.toString))
+    }.flatten
+    val joins = liveJoins(
+      SparkEntry.queries("q119_hard_negatives")(spark, dir).queryExecution.executedPlan)
+    assert(joins.contains(("BHJ:LeftSemi", "BuildRight")),
+      s"q119 lost the broadcast left-semi label prefilter: $joins")
+    assert(!joins.exists(_._1.startsWith("SMJ")),
+      s"q119 live tree grew an SMJ (label side shuffles at scale): $joins")
+    spark.catalog.clearCache() // release the q119 pool pin
   }
 
   test("q61 decontaminate broadcasts the test side (shingle join stays hash)") {

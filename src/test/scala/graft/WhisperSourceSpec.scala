@@ -732,4 +732,110 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .planInputPartitions(WhisperOffset(0L), WhisperOffset(1600010000L)).length
     assert(all == 2, "the backfill batch must include idle history")
   }
+
+  test("streaming tail under manifestListing: manifest-served plan, reconcile staleness, mtime degrade (r15)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.whisper.{WhisperManifest, WhisperStreamMultiPartition}
+    val tree = Files.createTempDirectory("whisper-stream-manifest")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 50, lastTimestamp = 1600000000L, rotation = 0)))
+    WhisperWriter.writeFile(tree.resolve("a.wsp"), spec)
+    WhisperWriter.writeFile(tree.resolve("b.wsp"), spec)
+    val manifest = tree.resolve("headers.jsonl").toString
+    assert(WhisperManifest.write(Seq(tree.toString + "/*.wsp"), manifest) == 2L)
+    def files(extra: (String, String)*): Set[String] = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("headerManifest", manifest)
+      m.put("manifestListing", "true")
+      extra.foreach { case (k, v) => m.put(k, v) }
+      val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
+      // fresh stream per plan: the window memo would otherwise hide changes
+      new WhisperMicroBatchStream(Seq(tree.toString), opts, Seq.empty, opts.schema, 0L)
+        .planInputPartitions(WhisperOffset(1600000000L), WhisperOffset(1600010000L))
+        .toSeq.flatMap {
+          case p: WhisperStreamPartition => Seq(p.base.filePath)
+          case p: WhisperStreamMultiPartition => p.units.toSeq.map(_.filePath)
+          case other => sys.error(s"unexpected partition $other")
+        }.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    }
+    // 1. the plan is served from the manifest (both files, no walk needed)
+    assert(files() == Set("a.wsp", "b.wsp"))
+    // 2. staleness — a NEW file joins the plan within the reconcile bound
+    //    (its header is read fresh downstream; the manifest has none)
+    WhisperWriter.writeFile(tree.resolve("c.wsp"), spec)
+    assert(files() == Set("a.wsp", "b.wsp", "c.wsp"),
+      "reconcile sweep must surface a post-manifest file on the next trigger")
+    // 3. staleness — a DELETED file drops from the plan in the covered range
+    Files.delete(tree.resolve("b.wsp"))
+    assert(files() == Set("a.wsp", "c.wsp"),
+      "reconcile sweep must drop a deleted file in its covered range")
+    // 4. with reconcile OFF the manifest is trusted verbatim: c is invisible,
+    //    deleted b stays planned (and scans as empty — the documented state)
+    assert(files("manifestReconcileFiles" -> "0") == Set("a.wsp", "b.wsp"))
+    // 5. mtime idle-pruning DEGRADES for manifest-served entries (mtime is
+    //    unknown, -1): a naive mtime+slop<=lo filter would prune EVERYTHING
+    //    served from the manifest; unknown must mean unprunable
+    assert(files("manifestReconcileFiles" -> "0", "streamMtimeSlop" -> "3600")
+      == Set("a.wsp", "b.wsp"),
+      "manifest-served entries (no mtime) must not be idle-pruned")
+  }
+
+  test("sharded manifest: entries tile exactly; sharded streams plan disjoint covers (r15)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.whisper.{WhisperManifest, WhisperStreamMultiPartition}
+    val tree = Files.createTempDirectory("whisper-manifest-shards")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 50, lastTimestamp = 1600000000L, rotation = 0)))
+    val names = (0 until 37).map(i => f"m$i%02d.wsp")
+    names.foreach(n => WhisperWriter.writeFile(tree.resolve(n), spec))
+    val base = tree.resolve("headers.jsonl.gz").toString
+    val nShards = 4
+    assert(WhisperManifest.write(Seq(tree.toString + "/*.wsp"), base, shards = nShards) == 37L)
+
+    // tiling at the FILE level: the union of shard manifests is exactly the
+    // unsharded manifest, shards are pairwise disjoint, and each entry sits
+    // in the shard its path hash names (writer/consumer agreement)
+    val shardMaps = (0 until nShards).map(i =>
+      WhisperManifest.load(WhisperManifest.shardPath(base, i, nShards)))
+    assert(shardMaps.map(_.size).sum == 37)
+    val union = shardMaps.reduce(_ ++ _)
+    assert(union.size == 37, "shard manifests overlap")
+    union.keys.foreach { p =>
+      val owner = WhisperManifest.shardOf(p, nShards)
+      assert(shardMaps(owner).contains(p), s"$p not in its owning shard $owner")
+    }
+    assert(shardMaps.count(_.nonEmpty) > 1, "degenerate shard split (all in one)")
+
+    // consumer side: n sharded manifestListing streams plan DISJOINT file
+    // sets whose union is the whole tree — same harness as the batch scan,
+    // through the streaming planner (the path that pays planning per trigger)
+    def planned(shard: String): Set[String] = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("headerManifest", base)
+      m.put("manifestListing", "true")
+      m.put("streamShard", shard)
+      val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
+      new WhisperMicroBatchStream(Seq(tree.toString), opts, Seq.empty, opts.schema, 0L)
+        .planInputPartitions(WhisperOffset(1600000000L), WhisperOffset(1600010000L))
+        .toSeq.flatMap {
+          case p: WhisperStreamPartition => Seq(p.base.filePath)
+          case p: WhisperStreamMultiPartition => p.units.toSeq.map(_.filePath)
+          case other => sys.error(s"unexpected partition $other")
+        }.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    }
+    val covers = (0 until nShards).map(i => planned(s"$i/$nShards"))
+    assert(covers.map(_.size).sum == 37, s"shard covers overlap or drop: ${covers.map(_.size)}")
+    assert(covers.reduce(_ ++ _) == names.toSet)
+
+    // reconcile adds respect shard ownership: a post-manifest file joins
+    // exactly ONE shard's plan (its hash owner), not all n
+    WhisperWriter.writeFile(tree.resolve("zz_new.wsp"), spec)
+    val after = (0 until nShards).map(i => planned(s"$i/$nShards"))
+    val holders = after.zipWithIndex.filter(_._1.contains("zz_new.wsp")).map(_._2)
+    val qualified = graft.sources.whisper.WhisperIO
+      .expandPatterns(Seq(tree.toString + "/zz_new.wsp")).head
+    assert(holders == Seq(WhisperManifest.shardOf(qualified, nShards)),
+      s"reconcile-added file planned by shards $holders")
+    assert(after.map(_.size).sum == 38)
+  }
 }
