@@ -189,6 +189,12 @@ object SparkEntry {
     // contrastive-training mining: per-query top-cosine pool minus the
     // query's own q60 near-dup cluster (fourth consumer of the label table)
     "q119_hard_negatives" -> ((s, d) => VectorOps.hardNegatives(s, d)),
+    // dedup decision step: each near-dup cluster keeps its highest-quality
+    // member (fifth consumer of the shared label table)
+    "q120_canonical_by_quality" -> ((s, d) => DedupOps.canonicalByQuality(s, d)),
+    // ANN ops dashboard: per-cell population + integer-exact inertia over
+    // the q75 IVF assignment (one argmin pass, one 16-group aggregate)
+    "q121_ivf_cell_stats" -> ((s, d) => VectorOps.ivfCellStats(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1320,6 +1326,46 @@ object SparkEntry {
         |  FROM lp WHERE cl_c <> cl_q)
         |SELECT qid, CAST(rn2 AS INT) AS rank, vec_id, round(cos, 6) AS cos
         |FROM neg WHERE rn2 <= 8 ORDER BY qid, rank""".stripMargin),
+    // q120: canonical-by-quality — shared ClusterCte + q21's exact quality
+    // formula; argmax per cluster via a (quality DESC, doc_id ASC) window
+    "q120_canonical_by_quality" ->
+      (ClusterCte +
+        """,
+        |cl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster FROM reach GROUP BY s),
+        |qd AS (SELECT doc_id, text,
+        |  CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text) AS punct_r,
+        |  CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_r
+        |  FROM documents),
+        |qs AS (SELECT doc_id,
+        |  CAST(round(least(1.0, length(text)/500.0)*(1.0-punct_r)*(0.5+0.5*stop_r)*1000.0, 0) AS BIGINT) AS quality_score_k
+        |  FROM qd),
+        |m AS (SELECT cl.cluster, qs.doc_id, qs.quality_score_k,
+        |  row_number() OVER (PARTITION BY cl.cluster ORDER BY qs.quality_score_k DESC, qs.doc_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY cl.cluster) AS n_members
+        |  FROM cl JOIN qs USING (doc_id))
+        |SELECT cluster, doc_id AS canonical_doc_id, quality_score_k AS canonical_quality_k,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin),
+    // q121: IVF cell stats — q105's centroid/assignment CTEs + e6-integer
+    // distortion (q95's quantization convention, exact on both engines)
+    "q121_ivf_cell_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
+        |c AS (SELECT CAST(vec_id // step AS INT) AS cid, emb AS cent FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
+        |corp AS (SELECT vec_id, emb FROM e WHERE vec_id <> 0),
+        |assign AS (SELECT vec_id, emb, cid AS bucket, cent FROM (
+        |  SELECT corp.vec_id, corp.emb, c.cid, c.cent, row_number() OVER (PARTITION BY corp.vec_id
+        |    ORDER BY list_distance(corp.emb, c.cent) ASC, c.cid ASC) AS rn
+        |  FROM corp CROSS JOIN c) t WHERE rn = 1),
+        |d AS (SELECT bucket, CAST(list_sum(list_transform(range(1, len(emb) + 1), i ->
+        |    (CAST(round(emb[i] * 1000000) AS BIGINT) - CAST(round(cent[i] * 1000000) AS BIGINT))
+        |    * (CAST(round(emb[i] * 1000000) AS BIGINT) - CAST(round(cent[i] * 1000000) AS BIGINT)))) AS BIGINT) AS d2
+        |  FROM assign)
+        |SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(d2) AS BIGINT) AS inertia_e12, CAST(max(d2) AS BIGINT) AS max_d2_e12
+        |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q90_contamination_overlap" ->
       """WITH d AS (SELECT doc_id, text, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents),
         |tok AS (SELECT doc_id, h1, string_split(text, ' ') AS arr FROM d),

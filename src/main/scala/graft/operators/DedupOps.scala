@@ -719,4 +719,38 @@ object DedupOps {
         expr("n_dup * 1000000 div n_grams").as("dup_ppm"))
       .orderBy("doc_id")
   }
+
+  /**
+   * Canonical selection by QUALITY (r15) — the decision step after
+   * clustering in a production dedup pipeline: each near-dup cluster keeps
+   * its highest-quality member (CCNet/RefinedWeb-style "best copy wins"),
+   * not q60's arbitrary least-id representative. Fifth consumer of the
+   * shared per-(session, corpus) label table; quality is
+   * [[TextOps.qualityScore]]'s integer-quantized gate score, tie-broken by
+   * doc_id so the pick is a total order both engines reproduce.
+   *
+   * Scale shape: labels are O(paired docs) and quality O(corpus) — both
+   * potentially corpus-sized, so the doc_id equi-join is a co-keyed
+   * shuffle (SMJ is the scale-correct shape; a forced broadcast would be
+   * the bug, same stance as q114's label join), then ONE aggregate on
+   * cluster whose argmax rides a struct max (map-side partial — no window
+   * over the corpus, no second shuffle beyond the group-by).
+   */
+  def canonicalByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir).select("doc_id", "cluster")
+    val quality = TextOps.qualityScore(spark, dir).select("doc_id", "quality_score_k")
+    labels.join(quality, "doc_id")
+      .groupBy("cluster")
+      .agg(
+        // max over (quality, -doc_id, doc_id): highest quality, then LOWEST
+        // doc_id (the negated field inverts the tie-break inside one max)
+        max(struct(col("quality_score_k"), (-col("doc_id")).as("neg"), col("doc_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("cluster"),
+        col("best.doc_id").as("canonical_doc_id"),
+        col("best.quality_score_k").as("canonical_quality_k"),
+        col("n_members"))
+      .orderBy("cluster")
+  }
 }

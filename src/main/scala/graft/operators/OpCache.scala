@@ -67,11 +67,25 @@ object OpCache {
     catch { case scala.util.control.NonFatal(_) => }
 
   private[operators] def persistBounded(slot: String, df: DataFrame): DataFrame = {
+    // Stopped-session sweep (r15, the SessionMemo stance applied here): a
+    // key embedding a dead session's identity hash is never overwritten, so
+    // each stopped session used to strand one frame per slot for the JVM
+    // lifetime (and its executor-side blocks died with the context anyway —
+    // dropping the reference IS the release). Sub-μs per entry at this
+    // map's size (≤ live sessions × slots + sweepable dead ones).
+    val dead = lastPersisted.entrySet().iterator()
+    while (dead.hasNext) {
+      if (dead.next().getValue.sparkSession.sparkContext.isStopped) dead.remove()
+    }
     val key = s"${System.identityHashCode(df.sparkSession)}:$slot"
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Same-plan predecessor (repeated call on the same dir) SHARES the cache
     // entry — unpersisting it would evict the relation just persisted
     // (CacheManager keys by logical plan, not by Dataset identity).
+    // Identity-hash collisions: worst case a COLLIDING LIVE session's frame
+    // is unpersisted early (recompute, never a wrong answer) — the memo-hit
+    // hazard SessionMemo exists for does not apply because nothing is
+    // served FROM this map; it only bounds what stays pinned.
     Option(lastPersisted.put(key, cached))
       .filterNot(_.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
       .foreach(unpersistIfLive)

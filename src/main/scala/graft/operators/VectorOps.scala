@@ -470,6 +470,46 @@ object VectorOps {
   }
 
   /**
+   * IVF index-quality report (r15) — the ops dashboard every ANN deployment
+   * watches: per inverted list (cell), its population and its distortion
+   * (sum of squared distance to the assigned centroid — per-cell k-means
+   * inertia), plus the max member distance. Hot cells mean probes
+   * over-scan, empty cells (absent rows) waste the centroid budget, and
+   * inertia growth against a baseline is the retrain signal (the quality
+   * statistic FAISS's IVF training monitors). ONE corpus pass through the
+   * [[AnnIndex.ivfAssign]] map-only argmin kernel, then one 16-group
+   * aggregate — no join against the corpus, no window.
+   *
+   * Exactly oracle-checkable: assignment replays by the same
+   * (distance, cid) total order as q75/q105, and the distortion is
+   * computed in the e6-quantized INTEGER domain (q95's convention — the
+   * quantization rides the same SQL `round()` on both engines, then the
+   * arithmetic is exact 64-bit).
+   */
+  def ivfCellStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = ivfIndex(spark, dir)
+    val centsDF = idx.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+    val centsQ = centsDF.select(
+      col("centroid_id").as("bucket"),
+      expr("transform(centroid, x -> cast(round(x * 1000000) as bigint))").as("cq"))
+    val e = embeddings(spark, dir).filter(col("vec_id") =!= 0)
+    AnnIndex.ivfAssign(e, "emb", "vec_id", centsDF)
+      .select(col("bucket"),
+        expr("transform(emb, x -> cast(round(x * 1000000) as bigint))").as("eq"))
+      .join(broadcast(centsQ), "bucket")
+      .select(col("bucket"),
+        expr("aggregate(zip_with(eq, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("d2"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum("d2").as("inertia_e12"),
+        max("d2").as("max_d2_e12"))
+      .orderBy("bucket")
+  }
+
+  /**
    * Int8 scalar quantization of the embedding corpus (the memory-bandwidth
    * lever for billion-scale ANN — FAISS-style IVF+SQ8, Johnson et al.,
    * "Billion-scale similarity search with GPUs", 2017): per-dimension

@@ -1491,6 +1491,43 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("q120 canonicalByQuality: best-quality member wins, lowest-id tie-break (r15)") {
+    val out = DedupOps.canonicalByQuality(spark, dir).collect()
+    assert(out.nonEmpty)
+    val labels = DedupOps.dedupClusters(spark, dir).select("doc_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val quality = TextOps.qualityScore(spark, dir).select("doc_id", "quality_score_k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = labels.groupBy(_._2)
+    assert(out.length == byCluster.size, "one row per cluster")
+    out.foreach { r =>
+      val (cl, canon, qk, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = byCluster(cl).map(_._1)
+      assert(n == members.length, s"cluster $cl n_members $n != ${members.length}")
+      val best = members.minBy(d => (-quality(d), d))
+      assert(canon == best, s"cluster $cl canonical $canon != best-quality member $best")
+      assert(qk == quality(best))
+    }
+    // the pick must differ from q60's least-id canonical somewhere, or the
+    // fixture cannot distinguish quality-based from id-based selection
+    assert(out.exists(r => r.getLong(1) != r.getLong(0)),
+      "every canonical equals its cluster id (least-id) - fixture too weak")
+  }
+
+  test("q121 ivfCellStats: cells partition the corpus, stats internally consistent (r15)") {
+    val out = operators.VectorOps.ivfCellStats(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 16)
+    val corpus = operators.Tables.t(spark, dir, "embeddings")
+      .filter(col("vec_id") =!= 0).count()
+    assert(out.map(_.getLong(1)).sum == corpus, "cell populations must tile the corpus")
+    assert(out.map(_.getInt(0)).distinct.length == out.length, "duplicate cell row")
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0)
+      assert(r.getLong(3) <= r.getLong(2), "max member distortion exceeds the cell total")
+      assert(r.getLong(2) <= r.getLong(3) * r.getLong(1), "total exceeds n * max")
+    }
+  }
+
   test("q106 stream left-outer: inner rows == q104, null rows have no error in window (r10)") {
     val outer = graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(spark, dir).collect()
     val inner = graft.streaming.StreamReplay.intervalJoinReplay(spark, dir).collect()

@@ -124,7 +124,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // lineage (q60's iterative-loop SMJs, allowed above); the LIVE tree's
     // label joins are broadcast left-semi + left-outer, pinned in the
     // dedicated q119 guard below
-    "q119_hard_negatives")
+    "q119_hard_negatives",
+    // q120's labels-JOIN-quality: both sides potentially corpus-sized
+    // (labels O(paired docs), quality O(corpus)) — the q114 stance: SMJ on
+    // doc_id is the scale-correct shape, a forced broadcast would be the bug
+    "q120_canonical_by_quality")
 
   test("no query plans a Cartesian product; BNLJ/SMJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
