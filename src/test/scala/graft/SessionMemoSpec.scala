@@ -15,10 +15,11 @@ import graft.operators.SessionMemo
  * cycles `newSession()` (where GC-based eviction can never fire — the memo
  * value strongly references its session).
  *
- * One JVM holds ONE shared test SparkContext, so "stopping a session"
- * in-suite would kill every other suite; the stop sweep is exercised
- * through SessionMemo's injectable stopped-predicate (the production
- * default is the one-line `_.sparkContext.isStopped`).
+ * One JVM holds ONE shared test SparkContext, so mid-suite tests exercise
+ * the stop sweep through SessionMemo's injectable stopped-predicate; the
+ * suite's FINAL test then stops the real context and asserts the
+ * production predicate (`_.sparkContext.isStopped`) sweeps — subsequent
+ * suites getOrCreate a fresh context, the established per-suite lifecycle.
  */
 class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -113,5 +114,22 @@ class SessionMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     operators.TextOps.invalidateBm25RankCache()
     assert(operators.TextOps.rankCacheSizes._1 == 0)
     spark.catalog.clearCache()
+  }
+
+  test("REAL stop releases entries under the default predicate (runs last: stops the context)") {
+    // the injectable-predicate test above exercises the sweep logic; this
+    // one exercises the PRODUCTION predicate against a genuinely stopped
+    // SparkContext. It must run at the END of this suite (a stopped
+    // context kills every later test here; subsequent SUITES getOrCreate a
+    // fresh context, which is the established per-suite lifecycle — every
+    // suite's afterAll stops its context already).
+    val memo = new SessionMemo()
+    val s2 = spark.newSession()
+    memo.put(spark, dir, tiny(spark))
+    memo.put(s2, dir, tiny(s2))
+    assert(memo.size == 2)
+    spark.stop() // stops the SHARED context — both sessions are now dead
+    assert(memo.size == 0, "stopped context's entries survived the default sweep")
+    assert(memo.get(s2, dir) == null)
   }
 }

@@ -139,24 +139,62 @@ class SlowFs extends RawLocalFileSystem {
    * the bounded manifestListing reconcile depends on. The default
    * FileSystem implementation would call listStatus (billing everything
    * up front), which models a store that has no lazy paging — wrong for
-   * every store this repo targets. */
+   * every store this repo targets.
+   *
+   * LAZY IN WORK, not just in billing (r15, the r16 seed closed
+   * same-round): the previous form materialized the FULL local listing up
+   * front (RawLocalFileSystem.listStatus = one local stat PER CHILD — ~10 s
+   * of real CPU at a 1M-entry dir), so a consumer of ONE bounded page
+   * still paid the whole directory in probe wall time, a shim artifact the
+   * r15 stream rows needed decomposition rows to see around. Now: one
+   * readdir for the NAME array (cheap), sorted lexicographically (the
+   * order object stores return and the reconcile's deletion range
+   * expects), and each entry's metadata is stat'ed only WHEN CONSUMED —
+   * a bounded consumer pays ceil(consumed/page) naps + O(consumed) local
+   * work. */
   override def listStatusIterator(f: Path): org.apache.hadoop.fs.RemoteIterator[FileStatus] = {
     val outer = !inOp.get()
-    val all = delegated(super.listStatus(f))
+    val dir = pathToFile(f)
+    val names = delegated {
+      if (!dir.exists()) throw new java.io.FileNotFoundException(f.toString)
+      val raw = dir.list()
+      if (raw == null) null // a plain file: fall through to the status-of-self shape
+      else { java.util.Arrays.sort(raw.asInstanceOf[Array[AnyRef]]); raw }
+    }
+    if (names == null) return {
+      // match FileSystem semantics for a non-directory path: one-element
+      // iterator over the file's own status (billed as a stat-shaped LIST)
+      val self = delegated(super.getFileStatus(f))
+      if (outer) { SlowFs.lists.incrementAndGet(); SlowFs.listPages.incrementAndGet(); nap() }
+      new org.apache.hadoop.fs.RemoteIterator[FileStatus] {
+        private var done = false
+        override def hasNext: Boolean = !done
+        override def next(): FileStatus = {
+          if (done) throw new java.util.NoSuchElementException(f.toString)
+          done = true; self
+        }
+      }
+    }
     if (outer) SlowFs.lists.incrementAndGet()
+    // unbilled child stat: `delegated` raises the in-op flag, so the public
+    // override passes straight through to the local FS (the metadata is
+    // part of the LIST page's payload in the modeled store)
+    val statChild: String => FileStatus = name => delegated(getFileStatus(new Path(f, name)))
     new org.apache.hadoop.fs.RemoteIterator[FileStatus] {
       private var i = 0
       private def pageEdge(): Unit =
-        if (outer && i % SlowFs.listPageSize == 0 && i < all.length) {
+        if (outer && i % SlowFs.listPageSize == 0 && i < names.length) {
           SlowFs.listPages.incrementAndGet(); nap()
         }
       // an empty directory still costs one LIST round trip
-      if (outer && all.isEmpty) { SlowFs.listPages.incrementAndGet(); nap() }
-      override def hasNext: Boolean = i < all.length
+      if (outer && names.isEmpty) { SlowFs.listPages.incrementAndGet(); nap() }
+      override def hasNext: Boolean = i < names.length
       override def next(): FileStatus = {
         if (!hasNext) throw new java.util.NoSuchElementException(f.toString)
         pageEdge()
-        val st = all(i); i += 1; st
+        val st = statChild(names(i))
+        i += 1
+        st
       }
     }
   }
