@@ -135,6 +135,42 @@ object WhisperManifestProps extends Properties("WhisperManifest") {
       (union.size > 4) :| s"rotation is vacuous: 8 seeds covered only ${union.size} paths"
     }
 
+  property("sharded write/update tile exactly; update re-reads O(changed) (r15)") =
+    forAll(Gen.chooseNum(2, 5), Gen.listOfN(7, genFile)) { (n, specs) =>
+      val dir = Files.createTempDirectory("manifest-shards-prop")
+      specs.zipWithIndex.foreach { case (s, i) =>
+        WhisperWriter.writeFile(dir.resolve(s"m$i.wsp"), s)
+      }
+      val pat = dir.toString + "/*.wsp"
+      val base = dir.resolve("m.jsonl.gz").toString
+      WhisperManifest.write(Seq(pat), base) // unsharded ground truth
+      WhisperManifest.write(Seq(pat), base, shards = n)
+      val whole = WhisperManifest.loadRaw(base)
+      val shards = (0 until n).map(i =>
+        WhisperManifest.loadRaw(WhisperManifest.shardPath(base, i, n)))
+      val union = shards.reduce(_ ++ _)
+      val tiling =
+        (shards.map(_.size).sum == whole.size) :| "shard sizes sum to the whole" &&
+          (union == whole) :| "union of shards == unsharded manifest" &&
+          Prop.all(whole.keys.toSeq.map(p =>
+            shards(WhisperManifest.shardOf(p, n)).contains(p) :| s"entry not in its hash-owner: $p"): _*)
+      // churn: one file appears, one disappears; a sharded --update must
+      // keep the tiling AND re-read only the changed file's header
+      WhisperWriter.writeFile(dir.resolve("zz_new.wsp"), specs.head)
+      Files.delete(dir.resolve("m0.wsp"))
+      val (total, reread) = WhisperManifest.update(Seq(pat), base, shards = n)
+      val after = (0 until n).map(i =>
+        WhisperManifest.loadRaw(WhisperManifest.shardPath(base, i, n)))
+      val afterUnion = after.reduce(_ ++ _)
+      tiling &&
+        (total == specs.length.toLong) :| s"post-churn count $total" &&
+        (reread == 1L) :| s"update re-read $reread headers, want 1 (O(changed))" &&
+        afterUnion.keys.exists(_.endsWith("/zz_new.wsp")) :| "added file missing" &&
+        (!afterUnion.keys.exists(_.endsWith("/m0.wsp"))) :| "deleted file retained" &&
+        Prop.all(afterUnion.keys.toSeq.map(p =>
+          after(WhisperManifest.shardOf(p, n)).contains(p) :| s"post-update owner: $p"): _*)
+    }
+
   property("sameHeader accepts a true copy and flags ANY single-field perturbation") =
     forAll(genFile) { spec =>
       val (m, _) = metaOf(spec)
