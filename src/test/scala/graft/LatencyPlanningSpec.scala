@@ -237,6 +237,47 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"steady-state triggers still pay header GETs: ${SlowFs.opens.get()} over 3 triggers")
   }
 
+  test("manifest-LISTED stream: the per-trigger walk is GONE — one bounded reconcile page, zero with reconcile off (r15)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions}
+    // FLAT directory (the shape walk-sharding cannot split) with the page
+    // size forced BELOW the entry count, so a walking trigger must page
+    // multiple times and the assertion is about request COUNTS, not wall
+    val flat = Files.createTempDirectory("slow-flat-stream")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0)))
+    for (f <- 0 until 24) WhisperWriter.writeFile(flat.resolve(f"m$f%02d.wsp"), spec)
+    val manifest = Files.createTempDirectory("slow-flat-m").resolve("m.jsonl.gz").toString
+    SlowFs.reset(0)
+    assert(WhisperManifest.write(Seq(slow(flat) + "/*.wsp"), manifest) == 24L)
+    def trigger2Pages(extra: (String, String)*): (Long, Long, Long) = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("binThreshold", "100000")
+      m.put("headerManifest", manifest)
+      m.put("manifestSpotCheck", "0")
+      extra.foreach { case (k, v) => m.put(k, v) }
+      val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
+      val st = new WhisperMicroBatchStream(Seq(slow(flat)), opts, Seq.empty, opts.schema, 0L)
+      st.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L)) // warm trigger
+      SlowFs.reset(0, pageSize = 8) // 24 entries -> a walk pages 3x
+      st.planInputPartitions(WhisperOffset(1700000000L), WhisperOffset(1800000000L))
+      (SlowFs.lists.get(), SlowFs.listPages.get(), SlowFs.opens.get())
+    }
+    val (wl, wp, wo) = trigger2Pages()
+    assert(wp >= 3, s"walk mode should page ceil(24/8)=3x per trigger, got $wp")
+    assert(wo == 0, s"headers must come from the stream cache, got $wo opens")
+    // manifestListing, bounded reconcile: the trigger's LIST cost is ONE
+    // bounded page regardless of directory size
+    val (ml, mp, mo) = trigger2Pages("manifestListing" -> "true", "manifestReconcileFiles" -> "8")
+    assert(ml == 1 && mp == 1, s"manifest-listed trigger should pay 1 bounded page, got lists=$ml pages=$mp")
+    assert(mo == 0, s"manifest-listed trigger opened $mo headers")
+    // reconcile off: the steady-state trigger touches the store ZERO times
+    // beyond the (memoized) manifest stat
+    val (zl, zp, zo) = trigger2Pages("manifestListing" -> "true", "manifestReconcileFiles" -> "0")
+    assert(zl == 0 && zp == 0 && zo == 0,
+      s"reconcile-off trigger still touched the store: lists=$zl pages=$zp opens=$zo")
+  }
+
   test("manifest --update: O(changed) header re-reads; deleted entries dropped (VERDICT r12 #2)") {
     val tree = mkTree(nDirs = 2, filesPerDir = 8) // 16 files
     val manifest = Files.createTempDirectory("slow-manifest-u").resolve("m.jsonl.gz").toString
