@@ -380,8 +380,12 @@ object Main {
       // refresh (same-length re-layouts need a full rewrite; scaladoc).
       // `--shards=n` writes n per-shard manifest files (entry-path-hash
       // partition) for sharded `manifestListing` streams over flat prefixes.
-      val shards = rest.collectFirst { case a if a.startsWith("--shards=") => a.drop(9).toInt }
-        .getOrElse(1)
+      val shards = rest.collectFirst { case a if a.startsWith("--shards=") =>
+        a.drop(9).toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"manifest: --shards needs a positive integer, got '$a'\n$Usage")
+          sys.exit(2)
+        }
+      }.getOrElse(1)
       if (!rest.contains("--update")) {
         val n = sources.whisper.WhisperManifest.write(Seq(tree), out, shards = shards)
         println(s"manifested $n whisper headers -> $out" +

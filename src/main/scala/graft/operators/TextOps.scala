@@ -362,7 +362,12 @@ object TextOps {
    */
   private val bm25RankCache = new SessionMemo()
 
-  /** Drop every memoized BM25 rank table (all sessions, all dirs). */
+  /** Drop BOTH retrieval rank memos — every memoized BM25 rank table AND
+   * every quality rank table (all sessions, all dirs). The two legs share
+   * one lifecycle deliberately: every caller of this hook (Bench dropState,
+   * the rebuild gates) means "price the full retrieval lineage again", and
+   * a BM25-only drop would leave q115 half-memoized, producing walls that
+   * are neither cold nor warm. */
   def invalidateBm25RankCache(): Unit = { bm25RankCache.clear(); qualityRankCache.clear() }
 
   /** Entry counts for the session-lifecycle spec. */

@@ -88,13 +88,21 @@ object WhisperManifest {
     else s"$base.${i}of$n"
 
   /** Walk `patterns`, read every header concurrently, write the manifest.
-   * With `shards` = n > 1, write n shard files instead ([[shardPath]]),
+   * With `shards` = n > 1, ALSO write n shard files ([[shardPath]]),
    * partitioned by [[shardOf]] — each sharded stream (`streamShard` i/n +
    * `manifestListing`) then loads, parses, and memoizes ONLY its 1/n of the
    * tree: the warm-plan floor at a 1M-entry flat prefix is bin-packing +
    * partition construction over the entry list (BENCH_NOTES r14 addendum
-   * 2), and both it and the parse split n-ways with the file. Returns the
-   * number of files recorded. */
+   * 2), and both it and the parse split n-ways with the file. The BASE
+   * file is written in every mode (one extra serialization, dwarfed by the
+   * header sweep): unsharded consumers pointed at `out` stay fresh when
+   * the nightly job switches to `--shards=n` (a shards-only write would
+   * leave the base file silently STALE for them), and a later plain
+   * `--update` keeps working. Shard files for a DIFFERENT n are not
+   * touched — all consumers of one manifest must agree on n, and changing
+   * n requires a rewrite at the new n (document-level contract; the old
+   * n's files become garbage to delete). Returns the number of files
+   * recorded. */
   def write(patterns: Seq[String], out: String, parallelism: Int = 64, shards: Int = 1): Long = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val entries = WhisperIO.expandStatuses(patterns, parallelism = parallelism)
@@ -102,15 +110,22 @@ object WhisperManifest {
       val gz = e.path.endsWith(".gz")
       (e, WhisperIO.readMetaHeaderOnly(e.path, gz, e.len))
     }
-    if (shards == 1) writeEntries(metas, out)
-    else {
+    writeAll(metas, out, shards)
+    metas.length.toLong
+  }
+
+  /** Serialize the base file and, when sharded, every shard file — all via
+   * the temp+rename publish of [[writeEntries]]. Every shard file is
+   * written even when empty: a consumer stream's load must distinguish
+   * "no entries in my shard" from "no manifest". */
+  private def writeAll(
+      metas: Seq[(WhisperIO.FileEntry, FileMeta)], out: String, shards: Int): Unit = {
+    writeEntries(metas, out)
+    if (shards > 1) {
       val byShard = metas.groupBy { case (e, _) => shardOf(e.path, shards) }
-      // every shard file is written, even empty ones: a consumer stream's
-      // load must distinguish "no entries in my shard" from "no manifest"
       for (i <- 0 until shards)
         writeEntries(byShard.getOrElse(i, Seq.empty), shardPath(out, i, shards))
     }
-    metas.length.toLong
   }
 
   /** Incremental refresh (VERDICT r12 #2): walk the tree, KEEP entries whose
@@ -122,10 +137,16 @@ object WhisperManifest {
    * full [[write]]. Returns (total entries written, headers re-read). */
   def update(patterns: Seq[String], out: String, parallelism: Int = 64, shards: Int = 1): (Long, Long) = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val old =
-      if (shards == 1) loadRaw(out)
-      else (0 until shards).map(i => loadRaw(shardPath(out, i, shards)))
-        .foldLeft(Map.empty[String, Entry])(_ ++ _)
+    // old state comes from the BASE file — [[write]] maintains it in every
+    // mode, so an update works across shard-layout transitions (unsharded
+    // -> --shards=n, n -> m, back) instead of crashing on a missing shard
+    // file; a truly absent manifest gets a clear error, not a raw FNFE.
+    val basePath = new HPath(out)
+    val baseFs = basePath.getFileSystem(WhisperIO.hadoopConf())
+    require(baseFs.exists(basePath),
+      s"update: no manifest at $out — run a full `manifest` write first " +
+        s"(sharded manifests keep the base file alongside their shard files)")
+    val old = loadRaw(out)
     val entries = WhisperIO.expandStatuses(patterns, parallelism = parallelism)
     // hits carry no I/O, so the pool only ever stalls on genuine re-reads
     val metas = WhisperIO.parMap(entries, parallelism) { e =>
@@ -134,13 +155,7 @@ object WhisperManifest {
         case _ => (e, WhisperIO.readMetaHeaderOnly(e.path, e.path.endsWith(".gz"), e.len), true)
       }
     }
-    val flat = metas.map(t => (t._1, t._2))
-    if (shards == 1) writeEntries(flat, out)
-    else {
-      val byShard = flat.groupBy { case (e, _) => shardOf(e.path, shards) }
-      for (i <- 0 until shards)
-        writeEntries(byShard.getOrElse(i, Seq.empty), shardPath(out, i, shards))
-    }
+    writeAll(metas.map(t => (t._1, t._2)), out, shards)
     (metas.length.toLong, metas.count(_._3).toLong)
   }
 
@@ -395,11 +410,17 @@ object WhisperManifest {
         line = r.readLine()
       }
     } finally r.close()
-    // tail (or sole) chunk parses inline: the small-manifest serial path,
-    // and useful reader-thread work while the last workers drain
+    // tail (or sole) chunk parses inline — the small-manifest serial path,
+    // and useful reader-thread work while the last workers drain — but its
+    // entries merge LAST: chunks drain FIFO and the map builder is
+    // last-put-wins, so file order (hence duplicate-path precedence — a
+    // concatenated base+delta manifest relies on later-line-wins) is
+    // preserved exactly as the serial loop preserved it.
+    val tail = new Array[(String, Entry)](chunk.size)
     var i = 0
-    while (i < chunk.size) { out += parse(chunk.get(i)); i += 1 }
+    while (i < chunk.size) { tail(i) = parse(chunk.get(i)); i += 1 }
     while (pending.nonEmpty) { val done = Await.result(pending.dequeue(), Duration.Inf); out ++= done }
+    out ++= tail
     out.result()
   }
 

@@ -120,9 +120,19 @@ class WhisperMicroBatchStream(
     val sample = WhisperManifest.sampleForCheck(
       servedByCache, options.manifestSpotCheck, seed = trigger.toInt)
     val ok = WhisperIO.parMap(sample, options.planningParallelism) { e =>
-      WhisperManifest.sameHeader(
+      try WhisperManifest.sameHeader(
         WhisperIO.readMetaHeaderOnly(e.path, options.gzipFor(e.path), e.len),
         metaCache.get((e.path, e.len)))
+      catch {
+        // a sampled file DELETED from the store is not a re-layout — under
+        // manifestListing it is the documented between-refreshes steady
+        // state (the plan and decode paths tolerate it as empty; r15: the
+        // stream's metaFor caches manifest-served metas too, so deleted
+        // files' keys sit in metaCache and the rotating sample eventually
+        // lands on one). Same stance as WhisperManifest.spotCheck: a
+        // missing file must not crash the stream or void the cache.
+        case _: java.io.FileNotFoundException => true
+      }
     }.forall(identity)
     if (!ok) {
       System.err.println(

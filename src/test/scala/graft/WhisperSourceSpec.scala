@@ -780,6 +780,38 @@ class WhisperSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "manifest-served entries (no mtime) must not be idle-pruned")
   }
 
+  test("stream revalidation tolerates a store-deleted manifest-listed file (r15 review fix)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.whisper.WhisperManifest
+    // under manifestListing a deleted-but-listed file is a documented
+    // steady state (plan + decode tolerate it as empty) — but the periodic
+    // header revalidation re-reads CACHED metas raw, and the stream's
+    // metaFor caches manifest-served metas too, so the rotating sample
+    // eventually lands on the deleted file's key; pre-fix that crashed the
+    // stream with FileNotFoundException on the revalidation trigger
+    val tree = Files.createTempDirectory("whisper-stream-reval")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 100, filled = 50, lastTimestamp = 1600000000L, rotation = 0)))
+    WhisperWriter.writeFile(tree.resolve("a.wsp"), spec)
+    WhisperWriter.writeFile(tree.resolve("b.wsp"), spec)
+    val manifest = tree.resolve("headers.jsonl").toString
+    assert(WhisperManifest.write(Seq(tree.toString + "/*.wsp"), manifest) == 2L)
+    val m = new java.util.HashMap[String, String]()
+    m.put("headerManifest", manifest)
+    m.put("manifestListing", "true")
+    m.put("manifestReconcileFiles", "0")  // deleted file STAYS planned (trusted manifest)
+    m.put("streamRevalidateTriggers", "2") // fire on the second planned window
+    val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
+    val st = new WhisperMicroBatchStream(Seq(tree.toString), opts, Seq.empty, opts.schema, 0L)
+    assert(st.planInputPartitions(WhisperOffset(1600000000L), WhisperOffset(1600001000L)).nonEmpty)
+    Files.delete(tree.resolve("b.wsp"))
+    // trigger 2: the revalidation sweep samples BOTH cached metas (k=8 >=
+    // served) including the deleted one — it must neither throw nor void
+    // the cache over a deletion
+    val planned = st.planInputPartitions(WhisperOffset(1600001000L), WhisperOffset(1600002000L))
+    assert(planned.nonEmpty, "revalidation trigger lost the plan")
+  }
+
   test("sharded manifest: entries tile exactly; sharded streams plan disjoint covers (r15)") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import graft.sources.whisper.{WhisperManifest, WhisperStreamMultiPartition}

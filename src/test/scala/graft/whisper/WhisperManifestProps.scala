@@ -162,13 +162,20 @@ object WhisperManifestProps extends Properties("WhisperManifest") {
       val after = (0 until n).map(i =>
         WhisperManifest.loadRaw(WhisperManifest.shardPath(base, i, n)))
       val afterUnion = after.reduce(_ ++ _)
+      // layout transitions (r15 review fix): sharded writes maintain the
+      // BASE file too, so an unsharded consumer stays fresh and a plain
+      // --update after --shards=n works — and both directions agree
+      val baseAfter = WhisperManifest.loadRaw(base)
+      val (totalPlain, rereadPlain) = WhisperManifest.update(Seq(pat), base) // back to unsharded
       tiling &&
         (total == specs.length.toLong) :| s"post-churn count $total" &&
         (reread == 1L) :| s"update re-read $reread headers, want 1 (O(changed))" &&
         afterUnion.keys.exists(_.endsWith("/zz_new.wsp")) :| "added file missing" &&
         (!afterUnion.keys.exists(_.endsWith("/m0.wsp"))) :| "deleted file retained" &&
         Prop.all(afterUnion.keys.toSeq.map(p =>
-          after(WhisperManifest.shardOf(p, n)).contains(p) :| s"post-update owner: $p"): _*)
+          after(WhisperManifest.shardOf(p, n)).contains(p) :| s"post-update owner: $p"): _*) &&
+        (baseAfter == afterUnion) :| "sharded update left the base file stale" &&
+        (totalPlain == total && rereadPlain == 0L) :| s"plain update after --shards broke: $totalPlain/$rereadPlain"
     }
 
   property("sameHeader accepts a true copy and flags ANY single-field perturbation") =
