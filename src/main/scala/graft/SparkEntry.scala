@@ -195,6 +195,9 @@ object SparkEntry {
     // ANN ops dashboard: per-cell population + integer-exact inertia over
     // the q75 IVF assignment (one argmin pass, one 16-group aggregate)
     "q121_ivf_cell_stats" -> ((s, d) => VectorOps.ivfCellStats(s, d)),
+    // rank-aware ANN eval: MRR / first-hit / head precision of the probed
+    // search vs exact ground truth (q105's recall, position-sensitive)
+    "q122_ann_rank_eval" -> ((s, d) => VectorOps.annRankEval(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1347,6 +1350,44 @@ object SparkEntry {
         |SELECT cluster, doc_id AS canonical_doc_id, quality_score_k AS canonical_quality_k,
         |  CAST(n_members AS BIGINT) AS n_members
         |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin),
+    // q122: rank-aware ANN eval — q105's CTEs with ranks kept on the IVF
+    // leg; first-hit/MRR/head-precision in exact integer arithmetic
+    "q122_ann_rank_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS step FROM e),
+        |c AS (SELECT CAST(vec_id // step AS INT) AS cid, emb AS cent FROM e, st
+        |  WHERE vec_id % step = 0 AND vec_id // step < 16),
+        |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 8),
+        |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 8),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY list_distance(q.qe, c.cent) ASC, c.cid ASC) AS rn
+        |  FROM q CROSS JOIN c) t WHERE rn <= 4),
+        |assign AS (SELECT vec_id, cid AS bucket FROM (
+        |  SELECT corp.vec_id, c.cid, row_number() OVER (PARTITION BY corp.vec_id
+        |    ORDER BY list_distance(corp.emb, c.cent) ASC, c.cid ASC) AS rn
+        |  FROM corp CROSS JOIN c) t WHERE rn = 1),
+        |scored AS (SELECT q.qid, corp.vec_id,
+        |  list_inner_product(corp.emb, q.qe)
+        |    / (sqrt(list_inner_product(corp.emb, corp.emb)) * sqrt(list_inner_product(q.qe, q.qe))) AS cos
+        |  FROM corp CROSS JOIN q),
+        |exact AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM scored) t WHERE rn <= 10),
+        |ivf AS (SELECT qid, vec_id, rn FROM (SELECT s.qid, s.vec_id,
+        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id ASC) AS rn
+        |  FROM scored s JOIN assign a ON a.vec_id = s.vec_id
+        |    JOIN probes pr ON pr.qid = s.qid AND pr.cid = a.bucket) t WHERE rn <= 10),
+        |m AS (SELECT i.qid,
+        |  COALESCE(MIN(CASE WHEN x.vec_id IS NOT NULL THEN i.rn END), 0) AS first_hit_rank,
+        |  CAST(SUM(CASE WHEN x.vec_id IS NOT NULL AND i.rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_5,
+        |  CAST(COUNT(x.vec_id) AS BIGINT) AS hits_at_k
+        |  FROM ivf i LEFT JOIN exact x ON x.qid = i.qid AND x.vec_id = i.vec_id
+        |  GROUP BY i.qid)
+        |SELECT qid, CAST(first_hit_rank AS BIGINT) AS first_hit_rank,
+        |  CAST(CASE WHEN first_hit_rank > 0 THEN 1000000 // first_hit_rank ELSE 0 END AS BIGINT) AS rr_ppm,
+        |  hits_at_5, hits_at_k
+        |FROM m ORDER BY qid""".stripMargin,
     // q121: IVF cell stats — q105's centroid/assignment CTEs + e6-integer
     // distortion (q95's quantization convention, exact on both engines)
     "q121_ivf_cell_stats" ->

@@ -921,6 +921,66 @@ object VectorOps {
   def annRecall(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, k = 10, nprobe = 4, panel = 8)
 
+  /**
+   * Rank-aware ANN evaluation (r15) — [[annRecall]]'s set-overlap recall
+   * answers "how many true neighbors did the probe find"; retrieval
+   * deployments additionally tune on WHERE they landed: MRR (the first
+   * true neighbor's reciprocal rank — the metric reported by every
+   * IR/retrieval benchmark alongside recall) and precision in the head of
+   * the list. Per panel query, against the exact top-k ground truth:
+   * `first_hit_rank` (0 = miss), `rr_ppm` (1e6/first_hit_rank, integer
+   * division — exact on both engines), `hits_at_5`, `hits_at_k`. Same
+   * legs, shapes, and determinism as q105 (systematic centroids, (cos
+   * DESC, vec_id) total orders, bit-identical kernels), so the oracle
+   * reproduces the metrics exactly — everything after the two corpus
+   * passes is O(panel * k) rows.
+   */
+  def annRankEval(spark: SparkSession, dir: String): DataFrame =
+    annRankEval(spark, dir, k = 10, nprobe = 4, panel = 8)
+
+  def annRankEval(spark: SparkSession, dir: String, k: Int, nprobe: Int, panel: Int): DataFrame = {
+    import spark.implicits._
+    require(k >= 1 && nprobe >= 1 && nprobe <= 16 && panel >= 1,
+      s"need k>=1, nprobe in [1,16], panel>=1; got $k/$nprobe/$panel")
+    graft.functions.TopKAgg.register(spark, nprobe)
+    graft.functions.TopKAgg.register(spark, k)
+    val idx = ivfIndex(spark, dir)
+    val centsDF = idx.centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < panel).select(col("vec_id").as("qid"), col("emb").as("qe"))
+    val corp = e.filter(col("vec_id") >= panel)
+    val probes = q.crossJoin(broadcast(centsDF))
+      .select(col("qid"), expr("-l2_sq(qe, centroid)").as("nd2"), col("centroid_id"))
+      .groupBy("qid").agg(expr(s"topk_cos_$nprobe(nd2, centroid_id)").as("top"))
+      .select(col("qid").as("p_qid"), explode(col("top")).as("hit"))
+      .select(col("p_qid"), col("hit._2").as("p_cid"))
+    def topKRanked(scored: DataFrame): DataFrame =
+      scored.groupBy("qid").agg(expr(s"topk_cos_$k(c, vec_id)").as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("r0", "hit")))
+        .select(col("qid"), (col("r0") + 1).cast("bigint").as("rank"), col("hit._2").as("vec_id"))
+    val exact = topKRanked(
+      corp.crossJoin(broadcast(q)).select(col("qid"), col("vec_id"), expr(CosExpr).as("c")))
+    val qp = q.join(broadcast(probes), col("qid") === col("p_qid"))
+      .select(col("qid"), col("qe"), col("p_cid"))
+    val ivf = topKRanked(
+      AnnIndex.ivfAssign(corp, "emb", "vec_id", centsDF)
+        .join(broadcast(qp), col("bucket") === col("p_cid"))
+        .select(col("qid"), col("vec_id"), expr(CosExpr).as("c")))
+    ivf
+      .join(broadcast(exact.select(col("qid"), col("vec_id"), lit(1).as("rel"))),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(
+        coalesce(min(when(col("rel") === 1, col("rank"))), lit(0L)).as("first_hit_rank"),
+        sum(when(col("rel") === 1 && col("rank") <= 5, 1L).otherwise(0L)).as("hits_at_5"),
+        count(col("rel")).as("hits_at_k"))
+      .select(col("qid"), col("first_hit_rank"),
+        expr("if(first_hit_rank > 0, 1000000 div first_hit_rank, 0)").as("rr_ppm"),
+        col("hits_at_5"), col("hits_at_k"))
+      .orderBy("qid")
+  }
+
   /** Parameterized form — `k` neighbors, `nprobe` of the 16 probed lists,
    * `panel` query vectors (vec_id < panel; corpus = the rest). The oracle
    * pins the (10, 4, 8) default; other settings are the tuning dial this

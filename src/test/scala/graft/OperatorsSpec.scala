@@ -1528,6 +1528,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q122 annRankEval: consistent with q105's recall and internally coherent (r15)") {
+    val rank = operators.VectorOps.annRankEval(spark, dir).collect()
+    val recall = operators.VectorOps.annRecall(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rank.length == 8)
+    rank.foreach { r =>
+      val (qid, fh, rr, h5, hk) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // hits_at_k must equal q105's set-overlap hits for the same (k, nprobe, panel)
+      assert(hk == recall(qid), s"q$qid hits_at_k $hk != q105 hits ${recall(qid)}")
+      assert(h5 <= hk && h5 <= 5, s"q$qid head hits incoherent: $h5 vs $hk")
+      if (hk > 0) {
+        assert(fh >= 1 && fh <= 10, s"q$qid first_hit_rank $fh out of range")
+        assert(rr == 1000000L / fh, s"q$qid rr_ppm $rr != 1e6 div $fh")
+        assert(fh <= 10 - hk + 1, s"q$qid first hit $fh impossible with $hk hits in 10")
+      } else assert(fh == 0 && rr == 0 && h5 == 0)
+    }
+  }
+
   test("q106 stream left-outer: inner rows == q104, null rows have no error in window (r10)") {
     val outer = graft.streaming.StreamReplay.intervalJoinLeftOuterReplay(spark, dir).collect()
     val inner = graft.streaming.StreamReplay.intervalJoinReplay(spark, dir).collect()

@@ -77,8 +77,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pool shape) before its label exclusion
     "q119_hard_negatives",
     // q105 broadcasts the 8-row query panel onto the corpus scan (exact
-    // leg) and the 16-row centroid table onto the panel (probe selection)
-    "q105_ann_recall",
+    // leg) and the 16-row centroid table onto the panel (probe selection);
+    // q122 runs the same two legs with ranks kept
+    "q105_ann_recall", "q122_ann_rank_eval",
     // q99 runs the same IVF assignment as q75/q88 before its ADC scoring
     "q99_ivfpq_search")
 
