@@ -198,6 +198,13 @@ object SparkEntry {
     // rank-aware ANN eval: MRR / first-hit / head precision of the probed
     // search vs exact ground truth (q105's recall, position-sensitive)
     "q122_ann_rank_eval" -> ((s, d) => VectorOps.annRankEval(s, d)),
+    // whisper streaming TAIL through the real micro-batch engine over the
+    // closed-form .wsp tree — walk-listed (q123) and manifest-listed (q124)
+    // runs share ONE oracle, so both listing modes are hash-checked
+    "q123_stream_whisper_tail" ->
+      ((s, _) => graft.streaming.StreamReplay.whisperTailReplay(s, manifestListed = false)),
+    "q124_stream_whisper_tail_mani" ->
+      ((s, _) => graft.streaming.StreamReplay.whisperTailReplay(s, manifestListed = true)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -205,6 +212,30 @@ object SparkEntry {
     "q43_curation_pipeline" -> (CurationPipeline.curate(_, _)),
     "q62_joint_curation" -> (CurationPipeline.jointCuration(_, _))
   )
+
+  /** q123/q124 oracle: built FROM the shared fixture constants
+   * ([[graft.operators.WhisperWorkload.StreamTailSpecs]] and the frozen
+   * window) so the VALUES list cannot drift from what the Scala side
+   * writes to disk. Same regeneration math as the q33/q69 oracles. */
+  private def whisperTailOracleSql: String = {
+    val values = WhisperWorkload.StreamTailSpecs
+      .map { case (m, a, spp, pts, filled, last, rot) =>
+        s"('$m', $a, $spp, $pts, $filled, $last, $rot)"
+      }
+      .mkString(",\n|  ")
+    s"""WITH spec(metric, archive, spp, pts, filled, last_ts, rot) AS (VALUES
+       |  $values),
+       |k AS (SELECT metric, archive, spp, pts, filled, last_ts, rot,
+       |  unnest(range(0, filled)) AS k FROM spec),
+       |pt AS (SELECT metric, archive, last_ts - (filled - 1 - k) * spp AS ts,
+       |  sin(CAST((rot + k) % pts AS DOUBLE) / 10) * 100 AS value FROM k),
+       |w AS (SELECT * FROM pt
+       |  WHERE ts > ${WhisperWorkload.StreamTailStart} AND ts <= ${WhisperWorkload.StreamTailNow})
+       |SELECT metric, CAST(archive AS INT) AS archive, CAST(count(*) AS BIGINT) AS n_points,
+       |CAST(min(ts) AS BIGINT) AS ts_min, CAST(max(ts) AS BIGINT) AS ts_max,
+       |round(avg(value), 4) AS avg_value
+       |FROM w GROUP BY metric, archive ORDER BY metric, archive""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -433,6 +464,14 @@ object SparkEntry {
         |CAST(min(ts) AS BIGINT) AS ts_min, CAST(max(ts) AS BIGINT) AS ts_max,
         |round(avg(value), 4) AS avg_value
         |FROM pt GROUP BY archive ORDER BY archive""".stripMargin,
+    // q123/q124: the whisper streaming tail's delivered point set is
+    // closed-form in the fixture's ArchiveSpecs (WhisperWorkload
+    // .StreamTailSpecs) plus the frozen (start, now] window — the oracle
+    // regenerates it exactly as q69's does and rolls up identically. The
+    // SAME SQL serves both listing modes: the walk-listed and the
+    // manifest-listed run must deliver the same points.
+    "q123_stream_whisper_tail" -> whisperTailOracleSql,
+    "q124_stream_whisper_tail_mani" -> whisperTailOracleSql,
     "q05_sort_topk" ->
       "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
     "q06_union_tag" ->

@@ -112,6 +112,53 @@ object WhisperWorkload {
       .orderBy("archive")
   }
 
+  /** Closed-form multi-file .wsp TREE + header manifest for the streaming
+   * tail oracles (q123/q124): four plain files and one gzipped file, two
+   * retention tiers each for the plain ones, every ArchiveSpec a formula in
+   * the file index k — so a DuckDB oracle regenerates the exact point set
+   * the tail must deliver in its (start, now] window (the q33/q69 closed-
+   * form technique applied to `readStream`). The manifest is written over
+   * the same tree so the manifest-LISTED run (q124) serves its plan from
+   * it; both runs must land on the same hash. Re-synthesized whenever any
+   * piece is missing (tree and manifest regenerate together — a fresh tree
+   * under a stale manifest would silently change what q124 plans). */
+  final case class StreamTailFixture(tree: String, manifest: String)
+
+  /** The micro-batch window the tail oracles pin: points with
+   * `StreamTailStart < timestamp <= StreamTailNow`. Both cut mid-archive so
+   * the pushed window predicate prunes real slots on every file. */
+  val StreamTailStart = 1699990000L
+  val StreamTailNow = 1700000100L
+
+  /** (metric, archive, spp, points, filled, lastTimestamp, rotation) — the
+   * closed-form spec shared verbatim with the oracle SQL's VALUES list. */
+  val StreamTailSpecs: Seq[(String, Int, Long, Long, Long, Long, Long)] =
+    (0 until 4).flatMap { k =>
+      Seq(
+        (s"m$k", 0, 10L, 4000L, 2500L + 200L * k, 1700000000L - 10L * k, 97L + k),
+        (s"m$k", 1, 60L, 1500L, 1000L + 50L * k, 1699999980L - 60L * k, 11L * k))
+    } :+ (("m4", 0, 10L, 3000L, 2000L, 1700000000L, 555L))
+
+  def streamTailFixture(): StreamTailFixture = {
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft-stream-tail")
+    val manifest = Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-stream-tail.manifest.jsonl.gz")
+    def fileOf(metric: String): Path =
+      root.resolve(if (metric == "m4") s"$metric.wsp.gz" else s"$metric.wsp")
+    val paths = StreamTailSpecs.map(_._1).distinct.map(fileOf)
+    if (!paths.forall(Files.exists(_)) || !Files.exists(manifest)) {
+      Files.createDirectories(root)
+      StreamTailSpecs.groupBy(_._1).foreach { case (metric, specs) =>
+        WhisperWriter.writeFile(fileOf(metric), FileSpec(archives =
+          specs.sortBy(_._2).map { case (_, _, spp, pts, filled, last, rot) =>
+            ArchiveSpec(spp, pts, filled = filled, lastTimestamp = last, rotation = rot)
+          }))
+      }
+      graft.sources.whisper.WhisperManifest.write(Seq(root.toString), manifest.toString)
+    }
+    StreamTailFixture(root.toString, manifest.toString)
+  }
+
   /** End-to-end whisper pipeline as a driver-checkable query (rows-only:
    * DuckDB cannot read Whisper files): scan with archive pruning + pushed
    * time filter, then the 8-method downsample to 1-hour buckets. */

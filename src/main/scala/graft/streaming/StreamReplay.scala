@@ -238,6 +238,48 @@ object StreamReplay {
       .orderBy("event_id")
   }
 
+  /** q123/q124: the whisper streaming TAIL end-to-end — the one composition
+   * that previously had spec/counter coverage but no oracle (VERDICT r15
+   * missing #1). `readStream.format("whisper")` over the closed-form
+   * multi-file .wsp tree ([[graft.operators.WhisperWorkload.streamTailFixture]],
+   * four plain files + one gzipped, two retention tiers each) runs through
+   * the REAL micro-batch engine (Trigger.AvailableNow; the engine manages
+   * its offset log in the run's checkpoint — explicit checkpoint RESUME
+   * across runs is pinned by WhisperSourceSpec's parquet-sink test, which
+   * the memory sink refuses by design). The frozen window
+   * (`streamStartTimestamp`, `streamNowOverride`] makes the delivered point
+   * set closed-form: the DuckDB oracle regenerates it from the fixture's
+   * ArchiveSpec constants (the q33/q69 technique) and the sink must roll up
+   * to the identical hash. `manifestListed=true` (q124) takes the
+   * per-trigger file list from the header manifest instead of the walk —
+   * the r15 flagship planning path — and must land on the SAME oracle hash
+   * as the walk-listed run (q123): one oracle, both listing modes green.
+   * Determinism: stateless append (every point emits in the batch it is
+   * read in, no watermark), values/timestamps closed-form, doubles only
+   * under round(avg, 4) — q69's discipline. */
+  def whisperTailReplay(spark: SparkSession, manifestListed: Boolean): DataFrame = {
+    val fx = graft.operators.WhisperWorkload.streamTailFixture()
+    var rs = spark.readStream.format("whisper")
+      .option("streamStartTimestamp", graft.operators.WhisperWorkload.StreamTailStart)
+      .option("streamNowOverride", graft.operators.WhisperWorkload.StreamTailNow)
+    if (manifestListed)
+      rs = rs.option("headerManifest", fx.manifest).option("manifestListing", "true")
+    val sink = runToSink(spark, rs.load(fx.tree), "append")
+    sink
+      .select(
+        regexp_extract(col("file"), "([^/]+)\\.wsp(\\.gz)?$", 1).as("metric"),
+        col("archive"),
+        unix_timestamp(col("timestamp")).as("ts"),
+        col("value"))
+      .groupBy("metric", "archive")
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy("metric", "archive")
+  }
+
   /** q102: per-user mapGroupsWithState session state, run through the
    * micro-batch engine in update mode; final state per user reconstructed
    * from the update log by max(n_events). */
