@@ -340,6 +340,189 @@ object MultimodalOps {
       .orderBy("id", "frame_idx")
   }
 
+  /**
+   * Image perceptual-hash near-dup (q125) — the multimodal dedup step a
+   * training pipeline runs FIRST (VERDICT r15 missing #2): average-hash
+   * (aHash) over the decoded pixel matrix, then the chunked Hamming-LSH +
+   * exact-verify composition q29/q96 established for text fingerprints.
+   *
+   * Fixture discipline (the q96 oracle-portable-twin idea applied to
+   * pixels): each document gets a 32x32 PNG painted as an 8x8 grid of 4x4
+   * blocks at gray 64 ("low") or 192 ("high"), the block pattern a
+   * closed-form integer formula in a seed ([[PerceptualHash.patternBit]]).
+   * Documents with `doc_id % 50 == 1` are NEAR-DUP TWINS: they paint the
+   * PREVIOUS document's pattern with exactly three blocks flipped
+   * ([[PerceptualHash.flipPositions]] — three disjoint position ranges, so
+   * always 3 distinct flips). The aHash of such an image IS the block
+   * pattern: with at least one low and one high block the 64-value mean
+   * lies strictly between 64 and 192 (integer-exact: mean = 64 + 2k for k
+   * high blocks, k in [1, 63] — bits 0/1 are pinned low/high so k never
+   * hits the degenerate bounds even after flips, which only touch
+   * positions >= 2), so "block mean > image mean" recovers each bit
+   * exactly and a twin lands at Hamming distance exactly 3 — within the
+   * <= 6 verify threshold, and guaranteed a clean 16-bit chunk by
+   * pigeonhole (3 flips over 4 chunks). The DuckDB oracle recomputes the
+   * hash from the pattern formula; Spark's hash comes from REAL
+   * `javax.imageio` decode + generic block-mean arithmetic over the
+   * pixels, so the compare proves the whole decode-and-hash pipeline.
+   *
+   * Scale shape: one map-side pass per image (decode + 64 integer block
+   * means), then the standard banded LSH — 4 chunk buckets per image, a
+   * windowed hot-bucket cap (<= 50) bounding pair fan-out, exact Hamming
+   * verify only inside buckets. Never all-pairs; at 100 TB the pair stage
+   * is corpus x 4 bucket rows, the same envelope as q29/q96.
+   */
+  object PerceptualHash {
+    /** Block-pattern bits (64) for `seed`: bits 0/1 pinned to 0/1 (the
+     * degenerate all-same-pattern guard), the rest the first 62 bits of
+     * md5(seed as decimal string) — the repo's standard engine-portable
+     * hash (q96's substrate), which the DuckDB oracle replays from the hex
+     * digits. Arithmetic formulas were tried first and REJECTED: the parity
+     * of any small-modulus linear form is periodic in the seed (mod 257:
+     * seeds 257 apart painted identical images), and even with a large
+     * prime modulus two seeds at a small even offset differ only where the
+     * value wraps — twin images of DIFFERENT documents landed within
+     * Hamming 2-4 of each other while genuine pairs drowned. Digest bits
+     * have no such cross-seed structure: non-planted pairs sit near
+     * Hamming 31, planted twins at exactly 3. */
+    def patternBits(seed: Long): Array[Int] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val out = new Array[Int](64)
+      var b = 0
+      while (b < 64) {
+        out(b) =
+          if (b == 0) 0
+          else if (b == 1) 1
+          else (d(b >> 3) >> (7 - (b & 7))) & 1
+        b += 1
+      }
+      out
+    }
+
+    /** The twin's three flipped block positions: disjoint ranges
+     * [2,9], [10,16], [17,21] — always 3 distinct bits, never 0/1. */
+    def flipPositions(seed: Long): Set[Int] =
+      Set(2 + (seed % 8).toInt, 10 + (seed % 7).toInt, 17 + (seed % 5).toInt)
+
+    /** Paint the 32x32 block-pattern PNG (gray 64/192 per 4x4 block). */
+    def patternPngBytes(seed: Long, twin: Boolean): Array[Byte] = {
+      val flips = if (twin) flipPositions(seed) else Set.empty[Int]
+      val bits = patternBits(seed)
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](32 * 32)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          val b = (y / 4) * 8 + (x / 4)
+          val bit = bits(b) ^ (if (flips(b)) 1 else 0)
+          val g = if (bit == 1) 192 else 64
+          px(y * 32 + x) = (g << 16) | (g << 8) | g
+          x += 1
+        }
+        y += 1
+      }
+      img.setRGB(0, 0, 32, 32, px, 0, 32)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** aHash from REAL decoded pixels, returned as 4 x 16-bit chunks (the
+     * engine-portable fingerprint shape, q96): downscale to 8x8 by integer
+     * block means of the red channel, threshold each block against the
+     * integer mean of the 64 block values, bit b of chunk j = position
+     * (15 - (b mod 16)) — all exact integer arithmetic, no float resize. */
+    def phashChunks(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w % 8 == 0 && h % 8 == 0, s"phash expects 8-divisible geometry, got ${w}x$h")
+      val bw = w / 8
+      val bh = h / 8
+      val vals = new Array[Long](64)
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          var sum = 0L
+          var y = by * bh
+          while (y < (by + 1) * bh) {
+            var x = bx * bw
+            while (x < (bx + 1) * bw) {
+              sum += (img.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          vals(by * 8 + bx) = sum / (bw * bh)
+          bx += 1
+        }
+        by += 1
+      }
+      val mean = vals.sum / 64
+      var c0 = 0; var c1 = 0; var c2 = 0; var c3 = 0
+      var b = 0
+      while (b < 64) {
+        if (vals(b) > mean) {
+          val w16 = 1 << (15 - (b & 15))
+          (b >> 4) match {
+            case 0 => c0 |= w16
+            case 1 => c1 |= w16
+            case 2 => c2 |= w16
+            case _ => c3 |= w16
+          }
+        }
+        b += 1
+      }
+      (c0, c1, c2, c3)
+    }
+  }
+
+  /** q125: synthesize the patterned PNGs, REALLY decode them, aHash the
+   * pixels, and find near-dup pairs via chunked Hamming-LSH (<= 6 bits). */
+  def imagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = t(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val twin = id % 50 == 1
+        val seed = if (twin) id - 1 else id
+        val png = PerceptualHash.patternPngBytes(seed, twin)
+        val (c0, c1, c2, c3) = PerceptualHash.phashChunks(png)
+        (id, c0, c1, c2, c3)
+      })
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+    // from here the exact q96 tail: band on the 4 chunks, cap hot buckets,
+    // verify Hamming only inside buckets
+    val chunks = hashed.select(
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+      explode(expr(
+        "array(struct(0 as c, c0 as v), struct(1 as c, c1 as v), struct(2 as c, c2 as v), struct(3 as c, c3 as v))")).as("ck"))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("ck.c").as("c"), col("ck.v").as("v"))
+    val pruned = chunks
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("c", "v")))
+      .filter(col("bsz") <= 50)
+      .drop("bsz")
+    pruned.as("x").join(
+      pruned.as("y"),
+      col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (bit_count(col("x.c0").bitwiseXOR(col("y.c0"))) +
+          bit_count(col("x.c1").bitwiseXOR(col("y.c1"))) +
+          bit_count(col("x.c2").bitwiseXOR(col("y.c2"))) +
+          bit_count(col("x.c3").bitwiseXOR(col("y.c3")))).cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("a", "b")
+  }
+
   /** Metadata/feature query (oracle-checked subset: everything here is also
    * computable by DuckDB over the raw text bytes). */
   def features(spark: SparkSession, dir: String): DataFrame =

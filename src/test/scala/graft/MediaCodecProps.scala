@@ -43,6 +43,25 @@ object MediaCodecProps extends Properties("MediaCodec") {
     step <- Gen.chooseNum(1, 7)
   } yield (id, nf, step)
 
+  property("phash of a painted pattern IS the pattern; twin at hamming exactly 3") =
+    forAll(Gen.chooseNum(0L, 1000000L)) { seed =>
+      import MultimodalOps.PerceptualHash
+      val bits = PerceptualHash.patternBits(seed)
+      def chunk(j: Int): Int =
+        (0 until 16).map(i => bits(16 * j + i) << (15 - i)).sum
+      val base = PerceptualHash.phashChunks(PerceptualHash.patternPngBytes(seed, twin = false))
+      val twin = PerceptualHash.phashChunks(PerceptualHash.patternPngBytes(seed, twin = true))
+      val hamming =
+        Integer.bitCount(base._1 ^ twin._1) + Integer.bitCount(base._2 ^ twin._2) +
+          Integer.bitCount(base._3 ^ twin._3) + Integer.bitCount(base._4 ^ twin._4)
+      // decoded-pixel hash equals the closed-form pattern (the oracle's
+      // contract), the twin sits at exactly its 3 flips, and pigeonhole
+      // leaves at least one clean 16-bit chunk for the LSH to bucket on
+      base == ((chunk(0), chunk(1), chunk(2), chunk(3))) &&
+        hamming == 3 &&
+        (base._1 == twin._1 || base._2 == twin._2 || base._3 == twin._3 || base._4 == twin._4)
+    }
+
   property("video container sampling decodes exactly the step-th frames") =
     forAll(genVideo) { case (id, nf, step) =>
       val frames = VideoCodec

@@ -133,6 +133,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("image phash near-dup finds exactly the planted twins (q125)") {
+    val rows = MultimodalOps.imagePhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = operators.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val planted = ids.filter(id => id % 50 == 1 && ids(id - 1)).toSeq.sorted
+      .map(id => (id - 1, id, 3L))
+    // every planted twin is found at its exact 3-bit distance, and NOTHING
+    // else pairs: digest-bit patterns leave unrelated images near hamming
+    // 31, far outside the <= 6 verify threshold
+    assert(rows.toSeq == planted)
+  }
+
   test("scalar quantization: codes in [0,255], reconstruction within half a step") {
     val codes = VectorOps.scalarQuantize(spark, dir).collect()
     assert(codes.nonEmpty)
