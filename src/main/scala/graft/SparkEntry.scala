@@ -208,6 +208,9 @@ object SparkEntry {
     // image near-dup: REAL PNG decode -> integer aHash -> chunked
     // Hamming-LSH; oracle recomputes the hash from the closed-form pattern
     "q125_image_phash_dedup" -> ((s, d) => MultimodalOps.imagePhashDedup(s, d)),
+    // audio near-dup: REAL WAV decode -> integer frame-energy fingerprint
+    // -> the same LSH; completes multimodal dedup across all 3 modalities
+    "q126_audio_fingerprint_dedup" -> ((s, d) => MultimodalOps.audioFingerprintDedup(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -486,6 +489,37 @@ object SparkEntry {
         |  CASE WHEN doc_id % 50 = 1 THEN 1 ELSE 0 END AS twin
         |  FROM documents),
         |bb AS (SELECT doc_id, seed, twin, md5(CAST(seed AS VARCHAR)) AS hx,
+        |  unnest(range(0, 64)) AS b FROM d),
+        |bits AS (SELECT doc_id, b,
+        |  ((CASE WHEN b = 0 THEN 0 WHEN b = 1 THEN 1
+        |     ELSE ((strpos('0123456789abcdef', hx[CAST(1 + b // 4 AS INT)]) - 1) >> CAST(3 - b % 4 AS INT)) & 1 END)
+        |   + (CASE WHEN twin = 1 AND (b = 2 + seed % 8 OR b = 10 + seed % 7 OR b = 17 + seed % 5)
+        |      THEN 1 ELSE 0 END)) % 2 AS bit
+        |  FROM bb),
+        |h AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN b < 16 THEN bit * (1 << (15 - b)) ELSE 0 END) AS INTEGER) AS c0,
+        |  CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit * (1 << (31 - b)) ELSE 0 END) AS INTEGER) AS c1,
+        |  CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit * (1 << (47 - b)) ELSE 0 END) AS INTEGER) AS c2,
+        |  CAST(sum(CASE WHEN b >= 48 THEN bit * (1 << (63 - b)) ELSE 0 END) AS INTEGER) AS c3
+        |  FROM bits GROUP BY doc_id),
+        |ck AS (SELECT doc_id, c0, c1, c2, c3, 0 AS c, c0 AS vv FROM h
+        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 1, c1 FROM h
+        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 2, c2 FROM h
+        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 3, c3 FROM h),
+        |pr AS (SELECT * FROM (SELECT ck.*, count(*) OVER (PARTITION BY c, vv) AS bsz FROM ck) t WHERE bsz <= 50),
+        |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1)) + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) AS BIGINT) AS hamming
+        |  FROM pr x JOIN pr y ON x.c = y.c AND x.vv = y.vv AND x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM p WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+    // q126: q125's oracle skeleton with the audio bit universe — frame
+    // energies recover md5('a' || seed) bits exactly (AudioFingerprint
+    // scaladoc), twins at doc_id % 50 = 2
+    "q126_audio_fingerprint_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 2 THEN doc_id - 1 ELSE doc_id END AS seed,
+        |  CASE WHEN doc_id % 50 = 2 THEN 1 ELSE 0 END AS twin
+        |  FROM documents),
+        |bb AS (SELECT doc_id, seed, twin, md5('a' || CAST(seed AS VARCHAR)) AS hx,
         |  unnest(range(0, 64)) AS b FROM d),
         |bits AS (SELECT doc_id, b,
         |  ((CASE WHEN b = 0 THEN 0 WHEN b = 1 THEN 1

@@ -129,11 +129,11 @@ object MultimodalOps {
    * containers byte-by-byte, decode side runs `AudioSystem`'s WAV parser
    * and reads back the sample stream. */
   object AudioDecoder {
-    /** Mono PCM16 WAV, `n` samples at `sampleRate` Hz; sample i is the
-     * closed-form `(id*131 + i*17) % 4096 - 2048`, so q85's oracle can
-     * recompute the decoded sample SUM in SQL without parsing audio. */
-    def wavBytes(id: Long, n: Int, sampleRate: Int): Array[Byte] = {
-      val dataLen = n * 2
+    /** Mono PCM16 RIFF/WAVE container around arbitrary samples — the
+     * encode-side primitive shared by the q85 fixture and the q126
+     * fingerprint fixtures. */
+    def pcm16WavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
       val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -147,12 +147,16 @@ object MultimodalOps {
         .putShort(16)           // bits per sample
       bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
       var i = 0
-      while (i < n) {
-        bb.putShort(((id * 131 + i * 17) % 4096 - 2048).toShort)
-        i += 1
-      }
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
       bb.array()
     }
+
+    /** Mono PCM16 WAV, `n` samples at `sampleRate` Hz; sample i is the
+     * closed-form `(id*131 + i*17) % 4096 - 2048`, so q85's oracle can
+     * recompute the decoded sample SUM in SQL without parsing audio. */
+    def wavBytes(id: Long, n: Int, sampleRate: Int): Array[Byte] =
+      pcm16WavBytes(
+        Array.tabulate(n)(i => ((id * 131 + i * 17) % 4096 - 2048).toShort), sampleRate)
 
     // The platform's audio codecs via the PUBLIC SPI, loaded ONCE:
     // `AudioSystem.getAudioInputStream` consults the JDK's service registry
@@ -210,6 +214,20 @@ object MultimodalOps {
       var sum = 0L
       while (bb.remaining() >= 2) sum += bb.getShort()
       DecodedAudio(a.id, fmt.getSampleRate.toInt, fmt.getChannels, frames, sum)
+    }
+
+    /** Decode to the raw 16-bit sample array (endianness from the parsed
+     * format) — the fingerprint stage consumes samples, not just the sum. */
+    def decodeSamples(bytes: Array[Byte]): Array[Short] = {
+      val in = audioStream(bytes)
+      val fmt = in.getFormat
+      val pcm = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Short](pcm.length / 2)
+      var i = 0
+      while (bb.remaining() >= 2) { out(i) = bb.getShort(); i += 1 }
+      out
     }
   }
 
@@ -385,9 +403,14 @@ object MultimodalOps {
      * Hamming 2-4 of each other while genuine pairs drowned. Digest bits
      * have no such cross-seed structure: non-planted pairs sit near
      * Hamming 31, planted twins at exactly 3. */
-    def patternBits(seed: Long): Array[Int] = {
+    def patternBits(seed: Long): Array[Int] = digestBits(seed.toString)
+
+    /** 64 bits from md5 of `key` with bits 0/1 pinned low/high — shared by
+     * the image pattern (key = seed) and the audio fingerprint fixture
+     * (key = "a" + seed, a distinct bit universe per modality). */
+    private[operators] def digestBits(key: String): Array[Int] = {
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(seed.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val out = new Array[Int](64)
       var b = 0
       while (b < 64) {
@@ -486,7 +509,6 @@ object MultimodalOps {
    * pixels, and find near-dup pairs via chunked Hamming-LSH (<= 6 bits). */
   def imagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val hashed = t(spark, dir, "documents")
       .select(col("doc_id"))
       .as[Long]
@@ -498,8 +520,15 @@ object MultimodalOps {
         (id, c0, c1, c2, c3)
       })
       .toDF("doc_id", "c0", "c1", "c2", "c3")
-    // from here the exact q96 tail: band on the 4 chunks, cap hot buckets,
-    // verify Hamming only inside buckets
+    hammingLshPairs(hashed)
+  }
+
+  /** The q96 LSH tail shared by the image (q125) and audio (q126) near-dup
+   * ops: band on the 4 fingerprint chunks, cap hot buckets (<= 50 via a
+   * windowed count — one shuffle, no broadcast), verify exact Hamming only
+   * inside buckets, keep pairs within 6 bits. */
+  private def hammingLshPairs(hashed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val chunks = hashed.select(
       col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       explode(expr(
@@ -521,6 +550,105 @@ object MultimodalOps {
       .distinct()
       .filter(col("hamming") <= 6)
       .orderBy("a", "b")
+  }
+
+  /**
+   * Audio energy-band fingerprint near-dup (q126) — q125's discipline for
+   * the third decoded modality (VERDICT r15 next #6): decode real WAV
+   * payloads, frame the PCM, integer frame energies, threshold against the
+   * track mean → 64-bit fingerprint → the shared chunked Hamming-LSH.
+   *
+   * Fixture: 64 frames x 16 samples at 8 kHz; frame f plays a fixed integer
+   * triangle wave at amplitude 1600 ("loud") or 400 ("quiet") per bit f of
+   * `md5("a" + seed)` ([[PerceptualHash.digestBits]] — the "a" salt keeps
+   * the audio bit universe distinct from the image pattern's). Frame energy
+   * is EXACTLY amplitude x 32 (the triangle's |sum| is 32), the 64-frame
+   * integer mean lies strictly between the two levels (bits 0/1 pinned),
+   * so thresholding recovers each bit exactly — same proof shape as the
+   * image hash. Documents with `doc_id % 50 == 2` are twins of their
+   * predecessor with 3 frames' amplitudes flipped → Hamming exactly 3.
+   * The oracle recomputes the fingerprint from the md5 hex digits while
+   * Spark derives it from genuinely decoded samples.
+   */
+  object AudioFingerprint {
+    val Frames = 64
+    val FrameLen = 16
+    /** Integer triangle period; sum of |w| = 32, so energy = 32 * amplitude
+     * exactly (amplitudes stay far inside PCM16 at 1600 * 4 = 6400). */
+    private val Wave = Array(0, 1, 2, 3, 4, 3, 2, 1, 0, -1, -2, -3, -4, -3, -2, -1)
+
+    def fingerprintBits(seed: Long): Array[Int] = PerceptualHash.digestBits("a" + seed)
+
+    def patternWavBytes(seed: Long, twin: Boolean): Array[Byte] = {
+      val flips = if (twin) PerceptualHash.flipPositions(seed) else Set.empty[Int]
+      val bits = fingerprintBits(seed)
+      val samples = new Array[Short](Frames * FrameLen)
+      var f = 0
+      while (f < Frames) {
+        val amp = if ((bits(f) ^ (if (flips(f)) 1 else 0)) == 1) 1600 else 400
+        var i = 0
+        while (i < FrameLen) {
+          samples(f * FrameLen + i) = (amp * Wave(i)).toShort
+          i += 1
+        }
+        f += 1
+      }
+      AudioDecoder.pcm16WavBytes(samples, 8000)
+    }
+
+    /** Fingerprint from REAL decoded samples, as 4 x 16-bit chunks: frame
+     * energies (sum of |sample|, exact integers), threshold against the
+     * integer mean over the 64 frames — bit f at chunk position
+     * (15 - (f mod 16)), the q125 layout. */
+    def fingerprintChunks(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+      val s = AudioDecoder.decodeSamples(bytes)
+      require(s.length == Frames * FrameLen,
+        s"fingerprint expects ${Frames * FrameLen} samples, got ${s.length}")
+      val e = new Array[Long](Frames)
+      var f = 0
+      while (f < Frames) {
+        var sum = 0L
+        var i = f * FrameLen
+        while (i < (f + 1) * FrameLen) { sum += math.abs(s(i).toLong); i += 1 }
+        e(f) = sum
+        f += 1
+      }
+      val mean = e.sum / Frames
+      var c0 = 0; var c1 = 0; var c2 = 0; var c3 = 0
+      f = 0
+      while (f < Frames) {
+        if (e(f) > mean) {
+          val w16 = 1 << (15 - (f & 15))
+          (f >> 4) match {
+            case 0 => c0 |= w16
+            case 1 => c1 |= w16
+            case 2 => c2 |= w16
+            case _ => c3 |= w16
+          }
+        }
+        f += 1
+      }
+      (c0, c1, c2, c3)
+    }
+  }
+
+  /** q126: synthesize the amplitude-pattern WAVs, REALLY decode them,
+   * fingerprint the frame energies, and find near-dup pairs via the shared
+   * chunked Hamming-LSH (<= 6 bits). */
+  def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = t(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val twin = id % 50 == 2
+        val seed = if (twin) id - 1 else id
+        val wav = AudioFingerprint.patternWavBytes(seed, twin)
+        val (c0, c1, c2, c3) = AudioFingerprint.fingerprintChunks(wav)
+        (id, c0, c1, c2, c3)
+      })
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+    hammingLshPairs(hashed)
   }
 
   /** Metadata/feature query (oracle-checked subset: everything here is also

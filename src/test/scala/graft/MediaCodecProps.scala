@@ -62,6 +62,22 @@ object MediaCodecProps extends Properties("MediaCodec") {
         (base._1 == twin._1 || base._2 == twin._2 || base._3 == twin._3 || base._4 == twin._4)
     }
 
+  property("audio fingerprint of a painted track IS the bit pattern; twin at hamming exactly 3") =
+    forAll(Gen.chooseNum(0L, 1000000L)) { seed =>
+      import MultimodalOps.AudioFingerprint
+      val bits = AudioFingerprint.fingerprintBits(seed)
+      def chunk(j: Int): Int =
+        (0 until 16).map(i => bits(16 * j + i) << (15 - i)).sum
+      val base = AudioFingerprint.fingerprintChunks(AudioFingerprint.patternWavBytes(seed, twin = false))
+      val twin = AudioFingerprint.fingerprintChunks(AudioFingerprint.patternWavBytes(seed, twin = true))
+      val hamming =
+        Integer.bitCount(base._1 ^ twin._1) + Integer.bitCount(base._2 ^ twin._2) +
+          Integer.bitCount(base._3 ^ twin._3) + Integer.bitCount(base._4 ^ twin._4)
+      base == ((chunk(0), chunk(1), chunk(2), chunk(3))) &&
+        hamming == 3 &&
+        (base._1 == twin._1 || base._2 == twin._2 || base._3 == twin._3 || base._4 == twin._4)
+    }
+
   property("video container sampling decodes exactly the step-th frames") =
     forAll(genVideo) { case (id, nf, step) =>
       val frames = VideoCodec

@@ -146,6 +146,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == planted)
   }
 
+  test("audio fingerprint near-dup finds exactly the planted twins (q126)") {
+    val rows = MultimodalOps.audioFingerprintDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = operators.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val planted = ids.filter(id => id % 50 == 2 && ids(id - 1)).toSeq.sorted
+      .map(id => (id - 1, id, 3L))
+    assert(rows.toSeq == planted)
+  }
+
   test("scalar quantization: codes in [0,255], reconstruction within half a step") {
     val codes = VectorOps.scalarQuantize(spark, dir).collect()
     assert(codes.nonEmpty)
