@@ -349,12 +349,19 @@ object WhisperIO {
       case Some((i, n)) => p => WhisperManifest.shardOf(p, n) == i
       case None         => _ => true
     }
+    // ADVICE r15: under sharding each stream owns only ~1/n of the store's
+    // lexicographic prefix, so a fixed `limit` consumed entries dilutes
+    // per-shard new-file coverage to ~limit/n — page until `limit` OWNED
+    // whisper entries have been seen, hard-capped at limit * n consumed
+    // (at most n pages instead of 1; the fleet's total LIST cost per
+    // trigger is then n * n pages, the price of n independent planners)
+    val shardN = options.shard.map(_._2).getOrElse(1)
     val reconciled =
       if (options.manifestReconcileFiles <= 0) served
       else quals.zip(globs).filter(_._2.isEmpty).map(_._1)
         .foldLeft(served)((acc, root) =>
           reconcileRoot(acc, root, options.manifestReconcileFiles,
-            options.planningParallelism, owns))
+            options.planningParallelism, owns, shardN))
     reconciled.sortBy(_.path)
   }
 
@@ -368,23 +375,37 @@ object WhisperIO {
    * listing arrived sorted (object stores do; an unsorted local listing
    * that was cut short reconciles adds/updates only). Nested files are
    * untouched — the bound covers DIRECT children, which is the flat-prefix
-   * shape this mode exists for. */
+   * shape this mode exists for.
+   *
+   * `shardN` > 1 (ADVICE r15): this consumer owns ~1/shardN of the store's
+   * entries, so the sweep pages until `limit` OWNED whisper entries have
+   * been consumed (capped at limit * shardN total), keeping each shard's
+   * effective new-file coverage at `limit` of its OWN files instead of
+   * diluting to limit/shardN. */
   private def reconcileRoot(
       entries: Seq[FileEntry], root: String, limit: Int, parallelism: Int,
-      owns: String => Boolean = _ => true): Seq[FileEntry] = {
+      owns: String => Boolean = _ => true, shardN: Int = 1): Seq[FileEntry] = {
     val rp = new HPath(root)
     val fs = rp.getFileSystem(hadoopConf())
     val seen = mutable.LinkedHashMap[String, FileEntry]() // direct whisper children listed
     var consumed = 0
+    var ownedSeen = 0
+    val consumedCap = limit.toLong * shardN
     var exhausted = false
     try {
       val it = fs.listStatusIterator(rp)
-      while (it.hasNext && consumed < limit) {
+      while (it.hasNext && ownedSeen < limit && consumed < consumedCap) {
         val st = it.next()
         consumed += 1
         val name = st.getPath.getName
-        if (!st.isDirectory && (name.endsWith(".wsp") || name.endsWith(".wsp.gz")))
+        if (!st.isDirectory && (name.endsWith(".wsp") || name.endsWith(".wsp.gz"))) {
           seen.put(name, FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
+          if (shardN == 1 || owns(st.getPath.toString)) ownedSeen += 1
+        } else if (shardN == 1) {
+          // unsharded keeps the original bound semantics exactly: every
+          // consumed entry counts toward the limit
+          ownedSeen += 1
+        }
       }
       exhausted = !it.hasNext
     } catch {

@@ -98,11 +98,15 @@ object WhisperManifest {
    * header sweep): unsharded consumers pointed at `out` stay fresh when
    * the nightly job switches to `--shards=n` (a shards-only write would
    * leave the base file silently STALE for them), and a later plain
-   * `--update` keeps working. Shard files for a DIFFERENT n are not
-   * touched — all consumers of one manifest must agree on n, and changing
-   * n requires a rewrite at the new n (document-level contract; the old
-   * n's files become garbage to delete). Returns the number of files
-   * recorded. */
+   * `--update` keeps working for EVERY consumer: existing shard files of
+   * any layout are detected by name ([[existingShardLayouts]]) and
+   * refreshed from the same entry list (ADVICE r15 — a plain `--update`
+   * over a previously sharded manifest used to refresh only the base file,
+   * silently serving sharded streams a stale listing with no error).
+   * Changing n still requires one write at the new n; superseded layouts
+   * then keep refreshing until their files are deleted (cheap driver-side
+   * serialization; deleting them is the operator's cleanup). Returns the
+   * number of files recorded. */
   def write(patterns: Seq[String], out: String, parallelism: Int = 64, shards: Int = 1): Long = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val entries = WhisperIO.expandStatuses(patterns, parallelism = parallelism)
@@ -114,18 +118,53 @@ object WhisperManifest {
     metas.length.toLong
   }
 
-  /** Serialize the base file and, when sharded, every shard file — all via
-   * the temp+rename publish of [[writeEntries]]. Every shard file is
-   * written even when empty: a consumer stream's load must distinguish
+  /** Serialize the base file, the requested shard layout, AND any shard
+   * layout already present on disk (ADVICE r15: a write/update at a
+   * different shard count — including plain `--update`, shards=1 — must
+   * not leave existing shard files stale for the streams consuming them).
+   * All via the temp+rename publish of [[writeEntries]]. Every shard file
+   * is written even when empty: a consumer stream's load must distinguish
    * "no entries in my shard" from "no manifest". */
   private def writeAll(
       metas: Seq[(WhisperIO.FileEntry, FileMeta)], out: String, shards: Int): Unit = {
     writeEntries(metas, out)
-    if (shards > 1) {
-      val byShard = metas.groupBy { case (e, _) => shardOf(e.path, shards) }
-      for (i <- 0 until shards)
-        writeEntries(byShard.getOrElse(i, Seq.empty), shardPath(out, i, shards))
+    val stale = existingShardLayouts(out) - shards
+    if (stale.nonEmpty)
+      System.err.println(
+        s"INFO WhisperManifest: refreshing existing shard layout(s) ${stale.toSeq.sorted.mkString(", ")} " +
+          s"alongside this write (shards=$shards) so their consumers stay fresh; delete the " +
+          s"superseded files if those layouts are retired")
+    for (n <- stale + shards if n > 1) {
+      val byShard = metas.groupBy { case (e, _) => shardOf(e.path, n) }
+      for (i <- 0 until n)
+        writeEntries(byShard.getOrElse(i, Seq.empty), shardPath(out, i, n))
     }
+  }
+
+  /** Shard counts for which a COMPLETE shard-file set of this manifest
+   * exists on disk (one directory listing; a partial set — some i missing —
+   * is not refreshed: it was never a servable layout). Unreadable parents
+   * yield the empty set (a fresh manifest's directory may not exist yet). */
+  private[whisper] def existingShardLayouts(out: String): Set[Int] = {
+    val p = new HPath(out)
+    val fs = p.getFileSystem(WhisperIO.hadoopConf())
+    val name = p.getName
+    val (stem, gz) =
+      if (name.endsWith(".gz")) (name.dropRight(3), true) else (name, false)
+    val re = (java.util.regex.Pattern.quote(stem) + "\\.(\\d+)of(\\d+)" +
+      (if (gz) "\\.gz" else "") + "$").r
+    val found = scala.collection.mutable.Map.empty[Int, Set[Int]]
+    try {
+      val it = fs.listStatusIterator(p.getParent)
+      while (it.hasNext) {
+        it.next().getPath.getName match {
+          case re(i, n) if n.toInt > 1 && i.toInt < n.toInt =>
+            found(n.toInt) = found.getOrElse(n.toInt, Set.empty) + i.toInt
+          case _ =>
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => return Set.empty }
+    found.collect { case (n, is) if is.size == n => n }.toSet
   }
 
   /** Incremental refresh (VERDICT r12 #2): walk the tree, KEEP entries whose
@@ -378,20 +417,39 @@ object WhisperManifest {
         // planning path never consults fileSizeActual either way
         len))
     }
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
     val chunkSize = 16384
     val maxInflight = math.max(2, Runtime.getRuntime.availableProcessors)
+    // DEDICATED bounded pool, not ExecutionContext.Implicits.global
+    // (ADVICE r15): the global pool is shared with everything else on the
+    // driver — other libraries saturating or starving it would stall scan
+    // PLANNING indefinitely, and blocking Await.result calls from inside
+    // it can deadlock under nesting. Daemon threads (a leaked pool must
+    // not pin JVM exit); shut down in the finally below. The await is a
+    // generous FINITE bound per chunk — a wedged pool fails the plan
+    // loudly instead of hanging the driver forever.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      maxInflight,
+      (task: Runnable) => {
+        val t = new Thread(task, "whisper-manifest-parse")
+        t.setDaemon(true)
+        t
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val awaitBound = 10.minutes
+    def drain(f: Future[Array[(String, Entry)]]): Array[(String, Entry)] =
+      try Await.result(f, awaitBound)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          sys.error(s"manifest parse chunk did not complete within $awaitBound ($path)")
+      }
     val out = Map.newBuilder[String, Entry]
     val pending = scala.collection.mutable.Queue.empty[Future[Array[(String, Entry)]]]
     def submit(c: java.util.ArrayList[String]): Unit = {
       // bounded inflight: drain the oldest before submitting — backpressure
       // on the reader keeps raw-line residency at (inflight + 1) chunks
-      if (pending.size >= maxInflight) {
-        val done = Await.result(pending.dequeue(), Duration.Inf)
-        out ++= done
-      }
+      if (pending.size >= maxInflight) out ++= drain(pending.dequeue())
       pending += Future {
         val a = new Array[(String, Entry)](c.size)
         var i = 0
@@ -399,29 +457,31 @@ object WhisperManifest {
         a
       }
     }
-    var chunk = new java.util.ArrayList[String](chunkSize)
     try {
-      var line = r.readLine()
-      while (line != null) {
-        if (line.nonEmpty) {
-          chunk.add(line)
-          if (chunk.size == chunkSize) { submit(chunk); chunk = new java.util.ArrayList[String](chunkSize) }
+      var chunk = new java.util.ArrayList[String](chunkSize)
+      try {
+        var line = r.readLine()
+        while (line != null) {
+          if (line.nonEmpty) {
+            chunk.add(line)
+            if (chunk.size == chunkSize) { submit(chunk); chunk = new java.util.ArrayList[String](chunkSize) }
+          }
+          line = r.readLine()
         }
-        line = r.readLine()
-      }
-    } finally r.close()
-    // tail (or sole) chunk parses inline — the small-manifest serial path,
-    // and useful reader-thread work while the last workers drain — but its
-    // entries merge LAST: chunks drain FIFO and the map builder is
-    // last-put-wins, so file order (hence duplicate-path precedence — a
-    // concatenated base+delta manifest relies on later-line-wins) is
-    // preserved exactly as the serial loop preserved it.
-    val tail = new Array[(String, Entry)](chunk.size)
-    var i = 0
-    while (i < chunk.size) { tail(i) = parse(chunk.get(i)); i += 1 }
-    while (pending.nonEmpty) { val done = Await.result(pending.dequeue(), Duration.Inf); out ++= done }
-    out ++= tail
-    out.result()
+      } finally r.close()
+      // tail (or sole) chunk parses inline — the small-manifest serial path,
+      // and useful reader-thread work while the last workers drain — but its
+      // entries merge LAST: chunks drain FIFO and the map builder is
+      // last-put-wins, so file order (hence duplicate-path precedence — a
+      // concatenated base+delta manifest relies on later-line-wins) is
+      // preserved exactly as the serial loop preserved it.
+      val tail = new Array[(String, Entry)](chunk.size)
+      var i = 0
+      while (i < chunk.size) { tail(i) = parse(chunk.get(i)); i += 1 }
+      while (pending.nonEmpty) out ++= drain(pending.dequeue())
+      out ++= tail
+      out.result()
+    } finally pool.shutdown()
   }
 
   /** [[loadRaw]] memoized PER PATH with the manifest's (length, mtime) as

@@ -237,6 +237,87 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"steady-state triggers still pay header GETs: ${SlowFs.opens.get()} over 3 triggers")
   }
 
+  test("sharded reconcile pages until `limit` OWNED entries: per-shard discovery undiluted (ADVICE r15)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.whisper.{WhisperIO, WhisperOptions}
+    val flat = Files.createTempDirectory("slow-flat-shard-rec")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0)))
+    for (f <- 0 until 40) WhisperWriter.writeFile(flat.resolve(f"m$f%02d.wsp"), spec)
+    val manifest = Files.createTempDirectory("slow-flat-shard-m").resolve("m.jsonl.gz").toString
+    SlowFs.reset(0)
+    WhisperManifest.write(Seq(slow(flat) + "/*.wsp"), manifest, shards = 4)
+    // a NEW file owned by shard 0, lexicographically between m15 and m16:
+    // position ~17 in the sorted listing — beyond the first 8 entries the
+    // undiluted bound would cover, inside the 8 * 4 = 32 sharded cap
+    val fs = new org.apache.hadoop.fs.Path(slow(flat)).getFileSystem(
+      graft.sources.whisper.WhisperIO.hadoopConf())
+    val newName = (0 until 64).map(i => f"m15a$i%02d.wsp").find { n =>
+      WhisperManifest.shardOf(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(slow(flat) + "/" + n)).toString, 4) == 0
+    }.get
+    WhisperWriter.writeFile(flat.resolve(newName), spec)
+    def listed(extra: (String, String)*): Seq[String] = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("headerManifest", manifest)
+      m.put("manifestListing", "true")
+      m.put("manifestSpotCheck", "0")
+      m.put("manifestReconcileFiles", "8")
+      extra.foreach { case (k, v) => m.put(k, v) }
+      WhisperIO.manifestListing(
+        Seq(slow(flat)), WhisperOptions(new CaseInsensitiveStringMap(m))).map(_.path)
+    }
+    // shard 0 owns ~1/4 of the prefix: a fixed 8-entry sweep would stop at
+    // m07 and never see the add; paging until 8 OWNED entries covers it
+    SlowFs.reset(0, pageSize = 8)
+    val sh = listed("streamShard" -> "0/4")
+    assert(sh.exists(_.endsWith("/" + newName)),
+      s"shard-0 reconcile missed its own new file at position ~17: ${sh.take(20)}")
+    assert(SlowFs.listPages.get() <= 4,
+      s"sharded sweep must stay within limit*n consumed (<= 4 pages of 8), got ${SlowFs.listPages.get()}")
+    // unsharded semantics unchanged: the same 8-entry bound stops before
+    // position 17 (drift there surfaces at the next manifest refresh)
+    val un = listed()
+    assert(!un.exists(_.endsWith("/" + newName)),
+      "unsharded reconcile bound grew: position-17 add should be beyond the 8-entry sweep")
+  }
+
+  test("stream base plan memoized per (path, len) list: steady triggers reuse units; add/re-layout rebuilds (r16)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions, WhisperStreamPartition}
+    // plain local tree, walk-listed, binThreshold high so units pass 1:1
+    // and the memo is observable by REFERENCE equality of the base units
+    val tree = Files.createTempDirectory("plan-memo-tree")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0)))
+    for (f <- 0 until 6) WhisperWriter.writeFile(tree.resolve(s"m$f.wsp"), spec)
+    val m = new java.util.HashMap[String, String]()
+    m.put("binThreshold", "100000")
+    val opts = WhisperOptions(new CaseInsensitiveStringMap(m))
+    val st = new WhisperMicroBatchStream(Seq(tree.toString), opts, Seq.empty, opts.schema, 0L)
+    def bases(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.collect { case p: WhisperStreamPartition => p.base }
+    val p1 = bases(st.planInputPartitions(WhisperOffset(0L), WhisperOffset(1700000000L)))
+    val p2 = bases(st.planInputPartitions(WhisperOffset(1700000000L), WhisperOffset(1800000000L)))
+    assert(p1.length == 6 && p2.length == 6)
+    // steady state: the window-independent units are the SAME instances —
+    // construction (unit build + bin-pack) did not re-run
+    assert(p1.zip(p2).forall { case (a, b) => a eq b },
+      "unchanged file list must serve the memoized base plan")
+    // a file APPEARING rebuilds: next trigger plans 7 units
+    WhisperWriter.writeFile(tree.resolve("m6.wsp"), spec)
+    val p3 = bases(st.planInputPartitions(WhisperOffset(1800000000L), WhisperOffset(1900000000L)))
+    assert(p3.length == 7, s"new file must join the rebuilt plan, got ${p3.length}")
+    // a re-layout (length change: different point count) rebuilds with the
+    // fresh archive geometry, not the memoized stale units
+    WhisperWriter.writeFile(tree.resolve("m0.wsp"), FileSpec(archives = Seq(
+      ArchiveSpec(10, 120, filled = 40, lastTimestamp = 1600000000L, rotation = 0))))
+    val p4 = bases(st.planInputPartitions(WhisperOffset(1900000000L), WhisperOffset(2000000000L)))
+    val m0 = p4.filter(_.filePath.endsWith("m0.wsp"))
+    assert(m0.length == 1 && m0.head.points == 120L,
+      s"re-layout must rebuild with fresh geometry, got ${m0.map(_.points).toSeq}")
+  }
+
   test("manifest-LISTED stream: the per-trigger walk is GONE — one bounded reconcile page, zero with reconcile off (r15)") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import graft.sources.whisper.{WhisperMicroBatchStream, WhisperOffset, WhisperOptions}

@@ -166,8 +166,21 @@ object WhisperManifestProps extends Properties("WhisperManifest") {
       // BASE file too, so an unsharded consumer stays fresh and a plain
       // --update after --shards=n works — and both directions agree
       val baseAfter = WhisperManifest.loadRaw(base)
-      val (totalPlain, rereadPlain) = WhisperManifest.update(Seq(pat), base) // back to unsharded
-      tiling &&
+      // second churn, then a PLAIN --update (shards=1): the existing shard
+      // layout must be detected and refreshed too (ADVICE r15 — it used to
+      // stay silently stale for sharded consumers)
+      WhisperWriter.writeFile(dir.resolve("zz_new2.wsp"), specs.head)
+      val (totalPlain, rereadPlain0) = WhisperManifest.update(Seq(pat), base) // plain update
+      val rereadPlain = rereadPlain0 - 1L // zz_new2 is a genuine new-header read
+      val plainShards = (0 until n).map(i =>
+        WhisperManifest.loadRaw(WhisperManifest.shardPath(base, i, n)))
+      val plainUnion = plainShards.reduce(_ ++ _)
+      val shardRefresh =
+        plainUnion.keys.exists(_.endsWith("/zz_new2.wsp")) :|
+          "plain --update left existing shard files stale (zz_new2 missing)" &&
+          (plainUnion == WhisperManifest.loadRaw(base)) :|
+          "plain --update: shard union != refreshed base"
+      tiling && shardRefresh &&
         (total == specs.length.toLong) :| s"post-churn count $total" &&
         (reread == 1L) :| s"update re-read $reread headers, want 1 (O(changed))" &&
         afterUnion.keys.exists(_.endsWith("/zz_new.wsp")) :| "added file missing" &&
@@ -175,7 +188,7 @@ object WhisperManifestProps extends Properties("WhisperManifest") {
         Prop.all(afterUnion.keys.toSeq.map(p =>
           after(WhisperManifest.shardOf(p, n)).contains(p) :| s"post-update owner: $p"): _*) &&
         (baseAfter == afterUnion) :| "sharded update left the base file stale" &&
-        (totalPlain == total && rereadPlain == 0L) :| s"plain update after --shards broke: $totalPlain/$rereadPlain"
+        (totalPlain == total + 1 && rereadPlain == 0L) :| s"plain update after --shards broke: $totalPlain/$rereadPlain"
     }
 
   property("sameHeader accepts a true copy and flags ANY single-field perturbation") =
