@@ -302,42 +302,74 @@ object WhisperIO {
    * `manifest --update` runs. The per-plan content spot check still
    * guards the served headers themselves.
    */
+  /** The SERVE phase of [[manifestListing]] memoized per (manifest path +
+   * qualified patterns, manifest version): iterating a million-entry map,
+   * pattern-matching every path, allocating the FileEntry list, and
+   * sorting it is pure driver CPU that measured ~3.7 s per call at 1M
+   * entries (r16 decomposition) — and a steady-state streaming trigger
+   * paid it EVERY trigger even after the parse and the bin-packed plan
+   * were memoized. Inputs are deterministic per manifest version, so the
+   * sorted entry list is cached exactly like the parse ([[WhisperManifest
+   * .load]]'s (len, mtime) stamp, replace-on-refresh so superseded
+   * versions are not stranded). Entries are immutable and share the
+   * parse's path strings; the reconcile sweep runs per call ON TOP of the
+   * memoized list, so store freshness is untouched. */
+  private val listingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Seq[FileEntry])]()
+
   def manifestListing(patterns: Seq[String], options: WhisperOptions): Seq[FileEntry] = {
     require(options.headerManifest.nonEmpty, "manifestListing requires headerManifest")
-    // sharded streams load their own 1/n manifest file (r15) — the serve
-    // below then tiles by construction; reconcile ADDS are shard-filtered
-    // at the end so a store file never plans in two shards
-    val manifest = WhisperManifest.load(options.effectiveManifest)
     // qualified patterns: pure path arithmetic, no store round trips
     val quals = patterns.map { pat =>
       val p = new HPath(pat)
       p.getFileSystem(hadoopConf()).makeQualified(p).toString
     }
-    val globs = quals.map(q =>
-      if (new org.apache.hadoop.fs.GlobPattern(q).hasWildcard)
-        Some(new org.apache.hadoop.fs.GlobPattern(q))
-      else None)
-    def matches(path: String): Boolean =
-      quals.indices.exists { i =>
-        globs(i) match {
-          case None => path == quals(i) || path.startsWith(quals(i) + "/")
-          case Some(g) =>
-            g.matches(path) || {
-              // a glob that named DIRECTORIES in walk mode recurses them;
-              // here: any ancestor dir matching the glob serves the file
-              var anc = path.lastIndexOf('/')
-              var hit = false
-              while (!hit && anc > 0) {
-                hit = g.matches(path.substring(0, anc))
-                anc = path.lastIndexOf('/', anc - 1)
-              }
-              hit
+    val manifestPath = options.effectiveManifest
+    val version =
+      try {
+        val p = new HPath(manifestPath)
+        val st = p.getFileSystem(hadoopConf()).getFileStatus(p)
+        (st.getLen, st.getModificationTime)
+      } catch { case scala.util.control.NonFatal(_) => null }
+    val cacheKey = manifestPath + "\u0000" + quals.mkString("\u0001")
+    val hit = if (version == null) null else listingCache.get(cacheKey)
+    val served: Seq[FileEntry] =
+      if (hit != null && hit._1 == version) hit._2
+      else {
+        // sharded streams load their own 1/n manifest file (r15) — the
+        // serve below then tiles by construction; reconcile ADDS are
+        // shard-filtered at the end so a store file never plans twice
+        val manifest = WhisperManifest.load(manifestPath)
+        val globs = quals.map(q =>
+          if (new org.apache.hadoop.fs.GlobPattern(q).hasWildcard)
+            Some(new org.apache.hadoop.fs.GlobPattern(q))
+          else None)
+        def matches(path: String): Boolean =
+          quals.indices.exists { i =>
+            globs(i) match {
+              case None => path == quals(i) || path.startsWith(quals(i) + "/")
+              case Some(g) =>
+                g.matches(path) || {
+                  // a glob that named DIRECTORIES in walk mode recurses
+                  // them; here: any ancestor dir matching the glob serves
+                  var anc = path.lastIndexOf('/')
+                  var hit = false
+                  while (!hit && anc > 0) {
+                    hit = g.matches(path.substring(0, anc))
+                    anc = path.lastIndexOf('/', anc - 1)
+                  }
+                  hit
+                }
             }
-        }
+          }
+        // a VECTOR (IndexedSeq), sorted: the reconcile fast path binary-
+        // searches it, and sorted order is the deletion-range contract
+        val built = manifest.iterator.collect {
+          case (path, e) if matches(path) => FileEntry(path, mtimeMs = -1L, len = e.len)
+        }.toVector.sortBy(_.path)
+        if (version != null) listingCache.put(cacheKey, (version, built))
+        built
       }
-    val served = manifest.iterator.collect {
-      case (path, e) if matches(path) => FileEntry(path, mtimeMs = -1L, len = e.len)
-    }.toSeq
     // bounded store reconcile: only non-glob DIRECTORY patterns (the flat
     // prefix target); glob patterns are served purely from the manifest
     // shard ownership (r15): the reconcile sweep lists STORE entries, which
@@ -356,13 +388,24 @@ object WhisperIO {
     // (at most n pages instead of 1; the fleet's total LIST cost per
     // trigger is then n * n pages, the price of n independent planners)
     val shardN = options.shard.map(_._2).getOrElse(1)
-    val reconciled =
-      if (options.manifestReconcileFiles <= 0) served
-      else quals.zip(globs).filter(_._2.isEmpty).map(_._1)
-        .foldLeft(served)((acc, root) =>
-          reconcileRoot(acc, root, options.manifestReconcileFiles,
-            options.planningParallelism, owns, shardN))
-    reconciled.sortBy(_.path)
+    if (options.manifestReconcileFiles <= 0) served // memoized list, already sorted
+    else {
+      val dirQuals =
+        quals.filterNot(q => new org.apache.hadoop.fs.GlobPattern(q).hasWildcard)
+      // mtimes are load-bearing only for the stream's opt-in idle prune
+      // (batch mtimeFloor is incompatible with manifestListing by require):
+      // with the prune off, a drift-free page may return the memoized list
+      // UNCHANGED instead of rebuilding it with store mtimes
+      val mtimesUnused = options.streamMtimeSlopSeconds < 0
+      val reconciled = dirQuals.foldLeft(served)((acc, root) =>
+        reconcileRoot(acc, root, options.manifestReconcileFiles,
+          options.planningParallelism, owns, shardN, mtimesUnused))
+      if (reconciled eq served) served // zero drift everywhere: keep the memoized instance
+      else
+        // kept entries preserve the memoized sort; only the page's handful
+        // of adds land out of order, so this re-sort is near-linear (TimSort)
+        reconciled.sortBy(_.path)
+    }
   }
 
   /** Diff the manifest-derived entry list against the FIRST `limit` direct
@@ -384,7 +427,8 @@ object WhisperIO {
    * diluting to limit/shardN. */
   private def reconcileRoot(
       entries: Seq[FileEntry], root: String, limit: Int, parallelism: Int,
-      owns: String => Boolean = _ => true, shardN: Int = 1): Seq[FileEntry] = {
+      owns: String => Boolean = _ => true, shardN: Int = 1,
+      mtimesUnused: Boolean = false): Seq[FileEntry] = {
     val rp = new HPath(root)
     val fs = rp.getFileSystem(hadoopConf())
     val seen = mutable.LinkedHashMap[String, FileEntry]() // direct whisper children listed
@@ -422,6 +466,52 @@ object WhisperIO {
         if (rest.contains('/')) None else Some(rest)
       }
     }
+    // ZERO-DRIFT fast path (r16): the steady-state trigger's store page
+    // usually matches the manifest exactly, yet the rebuild below pays an
+    // O(n) flatMap + name-set + sort over the (million-entry) list EVERY
+    // trigger — after the r16 listing/plan memos that rebuild IS the
+    // trigger floor. When the input is the memoized SORTED vector and
+    // mtimes are unused downstream (`mtimesUnused`; with the mtime idle
+    // prune active the page's fresh store mtimes are load-bearing and the
+    // rebuild must run), detect drift by binary-searching each page entry
+    // and range-scanning the covered prefix for deletions — O(page log n) —
+    // and return `entries` UNCHANGED (same instance: the stream's base-plan
+    // memo then hits on reference equality) when nothing moved.
+    val zeroDrift = mtimesUnused && (entries match {
+      case v: IndexedSeq[FileEntry] if v.nonEmpty =>
+        def lowerBound(key: String): Int = {
+          var lo = 0; var hi = v.length
+          while (lo < hi) { val m = (lo + hi) >>> 1; if (v(m).path < key) lo = m + 1 else hi = m }
+          lo
+        }
+        val pageClean = seen.valuesIterator.forall { st =>
+          val i = lowerBound(st.path)
+          i < v.length && v(i).path == st.path && v(i).len == st.len
+        }
+        pageClean && {
+          // covered deletion range: direct children up to lastName (or all,
+          // when the listing was exhausted) must all be in `seen`; bail on
+          // the first miss — the slow path below recomputes correctness
+          var i = lowerBound(root + "/")
+          var clean = true
+          var scanned = 0
+          val scanCap = seen.size * 2 + 64 // nested entries interleave; drift beyond this -> slow path
+          while (clean && i < v.length && v(i).path.startsWith(root + "/") && scanned < scanCap) {
+            direct(v(i).path) match {
+              case Some(name) if exhausted || (sortedRange && name <= lastName) =>
+                scanned += 1
+                clean = seen.contains(name)
+              case Some(name) if sortedRange && name > lastName =>
+                i = v.length // sorted: nothing below lastName remains
+              case _ => // nested entry: outside the reconcile contract
+            }
+            i += 1
+          }
+          clean && scanned <= seen.size // more covered entries than the page listed = drift
+        }
+      case _ => false
+    })
+    if (zeroDrift) return entries
     var drops = 0
     var updates = 0
     val kept = entries.flatMap { e =>

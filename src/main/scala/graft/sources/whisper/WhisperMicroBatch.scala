@@ -129,7 +129,7 @@ class WhisperMicroBatchStream(
   @volatile private var basePlan: (Seq[WhisperIO.FileEntry], Array[InputPartition]) = null
 
   private def sameFiles(a: Seq[WhisperIO.FileEntry], b: Seq[WhisperIO.FileEntry]): Boolean =
-    a.length == b.length && {
+    (a eq b) || (a.length == b.length && {
       val ia = a.iterator
       val ib = b.iterator
       var same = true
@@ -138,7 +138,7 @@ class WhisperMicroBatchStream(
         same = x.len == y.len && ((x.path eq y.path) || x.path == y.path)
       }
       same
-    }
+    })
 
   /** Distinct planned windows so far — the revalidation cadence counter
    * (re-plans of the SAME window hit the memo above and don't advance it). */
