@@ -1,8 +1,8 @@
 // Round-16 scale probe: q118 diverseRerank's 100x slope RE-MEASURED on the
 // r15 pinned-pool shape (VERDICT r15 watch #1: the 3.0x slope on record was
-// measured on the r14 plan; the pool pin changes the cost structure — a
+// measured on the r14 plan; the pool pin changes the cost structure -- a
 // materialization barrier at bench scale buying the zero-label-shuffle path
-// at 100 TB — so the claim and the measurement must match). r8 protocol:
+// at 100 TB -- so the claim and the measurement must match). r8 protocol:
 // JIT-warm, cache-cold (all session memos invalidated + clearCache + GC
 // settle between runs), min of 2, first run of a JVM discarded.
 // Run: /opt/spark/bin/spark-shell --master 'local[32]' --driver-memory 24g \
