@@ -211,6 +211,9 @@ object SparkEntry {
     // audio near-dup: REAL WAV decode -> integer frame-energy fingerprint
     // -> the same LSH; completes multimodal dedup across all 3 modalities
     "q126_audio_fingerprint_dedup" -> ((s, d) => MultimodalOps.audioFingerprintDedup(s, d)),
+    // video near-dup: REAL container parse + seek + per-sampled-frame
+    // decode + aHash; videos pair on exact shared frame hashes
+    "q127_video_phash_dedup" -> ((s, d) => MultimodalOps.videoPhashDedup(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -542,6 +545,39 @@ object SparkEntry {
         |  CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1)) + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) AS BIGINT) AS hamming
         |  FROM pr x JOIN pr y ON x.c = y.c AND x.vv = y.vv AND x.doc_id < y.doc_id)
         |SELECT a, b, hamming FROM p WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+    // q127: per-frame seed vseed*8+f, sampled frames {0,2,4} cut by the
+    // video's frame count (4 + vseed%3); twin flips frame 0's pattern at
+    // its 3 flip positions, so that frame drops out of the exact join and
+    // the pair surfaces with the remaining shared sampled frames
+    "q127_video_phash_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 3 THEN doc_id - 1 ELSE doc_id END AS vseed,
+        |  CASE WHEN doc_id % 50 = 3 THEN 1 ELSE 0 END AS twin
+        |  FROM documents),
+        |fr AS (SELECT doc_id, vseed, twin, f FROM d, (SELECT unnest([0, 2, 4]) AS f) s
+        |  WHERE f < 4 + vseed % 3),
+        |hs AS (SELECT doc_id, f, vseed * 8 + f AS hseed,
+        |  CASE WHEN twin = 1 AND f = 0 THEN 1 ELSE 0 END AS flip FROM fr),
+        |bb AS (SELECT doc_id, f, hseed, flip, md5(CAST(hseed AS VARCHAR)) AS hx,
+        |  unnest(range(0, 64)) AS b FROM hs),
+        |bits AS (SELECT doc_id, f, b,
+        |  ((CASE WHEN b = 0 THEN 0 WHEN b = 1 THEN 1
+        |     ELSE ((strpos('0123456789abcdef', hx[CAST(1 + b // 4 AS INT)]) - 1) >> CAST(3 - b % 4 AS INT)) & 1 END)
+        |   + (CASE WHEN flip = 1 AND (b = 2 + hseed % 8 OR b = 10 + hseed % 7 OR b = 17 + hseed % 5)
+        |      THEN 1 ELSE 0 END)) % 2 AS bit
+        |  FROM bb),
+        |h AS (SELECT doc_id, f,
+        |  CAST(sum(CASE WHEN b < 16 THEN bit * (1 << (15 - b)) ELSE 0 END) AS INTEGER) AS c0,
+        |  CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit * (1 << (31 - b)) ELSE 0 END) AS INTEGER) AS c1,
+        |  CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit * (1 << (47 - b)) ELSE 0 END) AS INTEGER) AS c2,
+        |  CAST(sum(CASE WHEN b >= 48 THEN bit * (1 << (63 - b)) ELSE 0 END) AS INTEGER) AS c3
+        |  FROM bits GROUP BY doc_id, f),
+        |pr AS (SELECT * FROM (SELECT h.*, count(*) OVER (PARTITION BY c0, c1, c2, c3) AS bsz FROM h) t
+        |  WHERE bsz <= 50)
+        |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared_frames
+        |FROM pr x JOIN pr y ON x.c0 = y.c0 AND x.c1 = y.c1 AND x.c2 = y.c2 AND x.c3 = y.c3
+        |  AND x.doc_id < y.doc_id
+        |GROUP BY x.doc_id, y.doc_id ORDER BY a, b""".stripMargin,
     "q05_sort_topk" ->
       "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
     "q06_union_tag" ->

@@ -632,6 +632,102 @@ object MultimodalOps {
     }
   }
 
+  /**
+   * Video perceptual near-dup (q127) — the third modality's dedup
+   * composition, completing the set with q125 (image) and q126 (audio):
+   * parse the length-prefixed container, seek past unsampled frames, REALLY
+   * decode every `step`-th frame (`javax.imageio`), aHash each decoded
+   * frame with the q125 kernel, and pair videos on EXACT shared frame
+   * hashes — the standard frame-signature video dedup (a shared sampled
+   * frame is evidence of shared footage; temporal offset does not matter,
+   * so the join is on the hash alone, not (frame, hash)).
+   *
+   * Fixture: each document's video is `4 + seed%3` patterned frames, frame
+   * f painted as the q125 block pattern of per-frame seed `vseed*8 + f`
+   * (distinct bit universes per frame). Documents with `doc_id % 50 == 3`
+   * are twins of their predecessor's video with frame 0 PERTURBED (the 3
+   * block flips — a re-encode artifact on one frame): the twin shares
+   * every OTHER sampled frame's hash exactly, so the pair surfaces with
+   * `n_shared_frames` = sampled − 1 while the perturbed frame correctly
+   * drops out of the exact-match join. Unrelated videos share nothing
+   * (digest bits). The oracle recomputes every sampled frame's hash from
+   * the per-frame pattern formula; Spark's hashes come from the real
+   * container seek + decode, so the compare proves the whole
+   * parse-sample-decode-hash pipeline.
+   *
+   * Scale shape: one map-side pass per video (container parse + ≤3 frame
+   * decodes + integer hashing), then a self-join on the 64-bit hash with
+   * the standard hot-bucket cap — identical envelope to q125's LSH stage
+   * with the hash itself as the (single) band.
+   */
+  object VideoPhash {
+    /** Length-prefixed container of patterned PNG frames (the
+     * [[VideoCodec]] layout with [[PerceptualHash]] patterns as content);
+     * `twin` perturbs frame 0's pattern by its 3 flip positions. */
+    def videoPatternBytes(vseed: Long, nFrames: Int, twin: Boolean): Array[Byte] = {
+      val frames = (0 until nFrames).map { f =>
+        PerceptualHash.patternPngBytes(vseed * 8 + f, twin = twin && f == 0)
+      }
+      val bb = java.nio.ByteBuffer.allocate(4 + frames.map(_.length + 4).sum)
+      bb.putInt(nFrames)
+      frames.foreach { p => bb.putInt(p.length); bb.put(p) }
+      bb.array()
+    }
+
+    /** Parse the container, seek past unsampled frames (length-prefix
+     * skip, the q86 read pattern), decode and aHash every `step`-th. */
+    def sampleFrameHashes(bytes: Array[Byte], step: Int): Iterator[(Int, (Int, Int, Int, Int))] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      (0 until n).iterator.flatMap { f =>
+        val len = bb.getInt()
+        if (f % step == 0) {
+          val payload = new Array[Byte](len)
+          bb.get(payload)
+          Iterator.single(f -> PerceptualHash.phashChunks(payload))
+        } else {
+          bb.position(bb.position() + len)
+          Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** q127: synthesize the patterned containers, REALLY parse + decode +
+   * hash the sampled frames, and pair videos on exact shared frame hashes. */
+  def videoPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frameHashes = t(spark, dir, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val twin = id % 50 == 3
+        val vseed = if (twin) id - 1 else id
+        val nf = 4 + (vseed % 3).toInt // the twin copies the BASE's frame count
+        val container = VideoPhash.videoPatternBytes(vseed, nf, twin)
+        VideoPhash.sampleFrameHashes(container, step = 2).map {
+          case (f, (c0, c1, c2, c3)) => (id, f, c0, c1, c2, c3)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "c0", "c1", "c2", "c3")
+    // hot-hash guard, same stance as the LSH bucket cap: a frame hash
+    // shared by k videos yields k^2/2 pairs; cap the group
+    val pruned = frameHashes
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("c0", "c1", "c2", "c3")))
+      .filter(col("bsz") <= 50)
+      .drop("bsz")
+    pruned.as("x").join(
+      pruned.as("y"),
+      col("x.c0") === col("y.c0") && col("x.c1") === col("y.c1") &&
+        col("x.c2") === col("y.c2") && col("x.c3") === col("y.c3") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .orderBy("a", "b")
+  }
+
   /** q126: synthesize the amplitude-pattern WAVs, REALLY decode them,
    * fingerprint the frame energies, and find near-dup pairs via the shared
    * chunked Hamming-LSH (<= 6 bits). */

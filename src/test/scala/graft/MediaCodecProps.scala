@@ -78,6 +78,27 @@ object MediaCodecProps extends Properties("MediaCodec") {
         (base._1 == twin._1 || base._2 == twin._2 || base._3 == twin._3 || base._4 == twin._4)
     }
 
+  property("video phash sampling recovers each sampled frame's pattern; twin differs ONLY at frame 0") =
+    forAll(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(2, 8), Gen.chooseNum(1, 3)) {
+      (vseed, nf, step) =>
+        import MultimodalOps.{PerceptualHash, VideoPhash}
+        def chunk(bits: Array[Int], j: Int): Int =
+          (0 until 16).map(i => bits(16 * j + i) << (15 - i)).sum
+        def expected(f: Int) = {
+          val bits = PerceptualHash.patternBits(vseed * 8 + f)
+          (chunk(bits, 0), chunk(bits, 1), chunk(bits, 2), chunk(bits, 3))
+        }
+        val base = VideoPhash
+          .sampleFrameHashes(VideoPhash.videoPatternBytes(vseed, nf, twin = false), step).toSeq
+        val twin = VideoPhash
+          .sampleFrameHashes(VideoPhash.videoPatternBytes(vseed, nf, twin = true), step).toSeq
+        base.map(_._1) == (0 until nf by step) &&
+          base.forall { case (f, h) => h == expected(f) } &&
+          twin.zip(base).forall { case ((tf, th), (bf, bh)) =>
+            tf == bf && (if (tf == 0) th != bh else th == bh)
+          }
+    }
+
   property("video container sampling decodes exactly the step-th frames") =
     forAll(genVideo) { case (id, nf, step) =>
       val frames = VideoCodec

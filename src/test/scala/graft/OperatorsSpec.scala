@@ -156,6 +156,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == planted)
   }
 
+  test("video phash near-dup finds exactly the planted twins with the right shared-frame counts (q127)") {
+    val rows = MultimodalOps.videoPhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = operators.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // a twin shares every sampled frame except the perturbed frame 0:
+    // nf = 4 + vseed%3 -> sampled {0,2} or {0,2,4} -> 1 or 2 shared
+    val planted = ids.filter(id => id % 50 == 3 && ids(id - 1)).toSeq.sorted
+      .map { id => (id - 1, id, if ((id - 1) % 3 == 0) 1L else 2L) }
+    assert(rows.toSeq == planted)
+  }
+
   test("scalar quantization: codes in [0,255], reconstruction within half a step") {
     val codes = VectorOps.scalarQuantize(spark, dir).collect()
     assert(codes.nonEmpty)
