@@ -168,6 +168,107 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == planted)
   }
 
+  test("payload-facing near-dup APIs run on a handmade Dataset[Asset] (r17: not fixture-coupled)") {
+    import spark.implicits._
+    import MultimodalOps.{Asset, PerceptualHash, AudioFingerprint, VideoPhash}
+    // user data: ids and payloads with NO relation to the documents table
+    val imgs = Seq(
+      Asset(100L, "image/png", PerceptualHash.patternPngBytes(41L, twin = false), "user"),
+      Asset(200L, "image/png", PerceptualHash.patternPngBytes(41L, twin = true), "user"),
+      Asset(300L, "image/png", PerceptualHash.patternPngBytes(7L, twin = false), "user")).toDS()
+    assert(MultimodalOps.imageNearDupPairs(imgs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((100L, 200L, 3L)))
+    val dct = MultimodalOps.imageDctNearDupPairs(imgs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(dct.toSeq == Seq((100L, 200L))) // twin found by DCT verify, unrelated image not
+    val wavs = Seq(
+      Asset(10L, "audio/wav", AudioFingerprint.patternWavBytes(13L, twin = false), "user"),
+      Asset(20L, "audio/wav", AudioFingerprint.patternWavBytes(13L, twin = true), "user"),
+      Asset(30L, "audio/wav", AudioFingerprint.patternWavBytes(29L, twin = false), "user")).toDS()
+    assert(MultimodalOps.audioNearDupPairs(wavs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((10L, 20L, 3L)))
+    val vids = Seq(
+      Asset(1L, "video/x-graft-frames", VideoPhash.videoPatternBytes(5L, 5, twin = false), "user"),
+      Asset(2L, "video/x-graft-frames", VideoPhash.videoPatternBytes(5L, 5, twin = true), "user"),
+      Asset(3L, "video/x-graft-frames", VideoPhash.videoPatternBytes(6L, 4, twin = false), "user")).toDS()
+    assert(MultimodalOps.videoNearDupPairs(vids).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 2L)))
+  }
+
+  test("cross-modal dedup: a doc that SURVIVES text dedup falls to its image twin (q128)") {
+    val ids = operators.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // pick an image-twin pair (id % 50 == 1) that the TEXT pair graph does
+    // not connect: q60's clusters keep both, the cross-modal union must not
+    val textPairs = DedupOps.minhashPairs(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val imageTwin = ids.filter(id => id % 50 == 1 && ids(id - 1)).toSeq.sorted
+      .find(id => !textPairs.contains((id - 1, id)))
+      .getOrElse(fail("fixture has no image twin outside the text graph"))
+    val kept = DedupOps.crossModalDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exactly one of the pair survives, in a cluster that displaced >= 1 doc
+    val survivors = Seq(imageTwin - 1, imageTwin).filter(kept.contains)
+    assert(survivors.size == 1, s"expected one survivor of ($imageTwin-1, $imageTwin), got $survivors")
+    assert(kept(survivors.head)._2 >= 1L)
+    // and the union CHAINS modalities: ids 100..103 connect via image
+    // (101%50==1), audio (102%50==2), video (103%50==3) twins when present
+    if (Seq(100L, 101L, 102L, 103L).forall(ids)) {
+      val chainSurvivors = Seq(100L, 101L, 102L, 103L).filter(kept.contains)
+      // the chain is one component (its canonical may even live outside
+      // 100..103 if a text edge pulls in a higher-quality doc): at most one
+      // survivor, and any survivor displaced the >= 3 other chain members
+      assert(chainSurvivors.size <= 1, s"chain 100..103 kept several: $chainSurvivors")
+      chainSurvivors.foreach(s => assert(kept(s)._2 >= 3L))
+    }
+    // every doc appears exactly once across kept + displaced: kept docs +
+    // sum(n_removed) == corpus
+    assert(kept.size + kept.valuesIterator.map(_._2).sum == ids.size)
+  }
+
+  test("DCT hash: exact brightness-shift invariance, gradient robustness where aHash flips (q129)") {
+    import MultimodalOps.{PerceptualHash, DctHash}
+    def ham(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    // real PNG round trip: pattern at two-level {0, 60} gray, plus variants
+    def png(seed: Long, lo: Int, hi: Int, ramp: Int => Int): Array[Byte] = {
+      val bits = PerceptualHash.patternBits(seed)
+      val img = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = Array.tabulate(32 * 32) { i =>
+        val y = i / 32; val x = i % 32
+        val b = (y / 4) * 8 + (x / 4)
+        val g = (if (bits(b) == 1) hi else lo) + ramp(x)
+        require(g >= 0 && g <= 255, s"out of gamut: $g")
+        (g << 16) | (g << 8) | g
+      }
+      img.setRGB(0, 0, 32, 32, px, 0, 32)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    for (seed <- 0L until 40L) {
+      val base = DctHash.dctHashChunks(png(seed, 0, 60, _ => 0))
+      // brightness +40: every non-DC coefficient is EXACTLY unchanged
+      // (column sums of the integer cosine table are exactly 0 for u >= 1),
+      // so the hash is identical — not merely close
+      assert(DctHash.dctHashChunks(png(seed, 40, 100, _ => 0)) == base,
+        s"seed $seed: brightness shift moved the DCT hash")
+      // contrast x3 (positive scale): all coefficients scale together,
+      // every threshold comparison is preserved
+      assert(DctHash.dctHashChunks(png(seed, 0, 180, _ => 0)) == base,
+        s"seed $seed: contrast scale moved the DCT hash")
+      // strong horizontal gradient (+0..186): flips >= 10 aHash bits (block
+      // means cross the shifted global mean wholesale) while the DCT hash
+      // moves <= 6 bits (a ramp lands only in the v = 0 coefficient column)
+      val aBase = PerceptualHash.phashChunks(png(seed, 0, 60, _ => 0))
+      val aRamp = PerceptualHash.phashChunks(png(seed, 0, 60, x => 6 * x))
+      val dRamp = DctHash.dctHashChunks(png(seed, 0, 60, x => 6 * x))
+      assert(ham(aBase, aRamp) >= 10, s"seed $seed: aHash moved only ${ham(aBase, aRamp)}")
+      assert(ham(base, dRamp) <= 6, s"seed $seed: DCT moved ${ham(base, dRamp)}")
+    }
+  }
+
   test("scalar quantization: codes in [0,255], reconstruction within half a step") {
     val codes = VectorOps.scalarQuantize(spark, dir).collect()
     assert(codes.nonEmpty)
