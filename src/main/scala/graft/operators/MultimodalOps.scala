@@ -356,15 +356,28 @@ object MultimodalOps {
       }
     } catch { case scala.util.control.NonFatal(_) => }
 
+  /** Read a stored fixture back SPREAD across the session's cores: the
+   * fixture parquet is a couple of small files, so a plain read yields 1-2
+   * scan partitions and the CPU-bound decode stage would run on 1-2 of 32
+   * cores (r17: this serialization, not the decode itself, dominated the
+   * multimodal walls). One tiny blob shuffle (~MBs) buys full decode
+   * parallelism; real 100 TB asset tables arrive in thousands of files and
+   * never need this. */
+  private def readStored(spark: SparkSession, path: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Asset]
+  }
+
   private val videoAssetCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def invalidateVideoAssetCache(dir: String): Unit = videoAssetCache.remove(dir)
 
   def videoAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    spark.read.parquet(
-      storedFixture(videoAssetCache, "graft_video_assets", dir)(videoAssets(spark, dir))
-    ).as[Asset]
+    readStored(spark,
+      storedFixture(videoAssetCache, "graft_video_assets", dir)(videoAssets(spark, dir)))
   }
 
   /** q86: REAL video frame sampling — read stored containers, seek past
@@ -978,7 +991,7 @@ object MultimodalOps {
 
   def videoPatternAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    spark.read.parquet(storedFixture(videoPatternCache, "graft_video_pattern_assets", dir) {
+    readStored(spark, storedFixture(videoPatternCache, "graft_video_pattern_assets", dir) {
       t(spark, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
@@ -989,7 +1002,7 @@ object MultimodalOps {
           Asset(id, "video/x-graft-frames",
             VideoPhash.videoPatternBytes(vseed, nf, twin), "pattern-fixture")
         })
-    }).as[Asset]
+    })
   }
 
   /** Patterned PNG fixtures for q125/q129, stored (r17, VERDICT r16 #1):
@@ -1002,7 +1015,7 @@ object MultimodalOps {
 
   def imagePatternAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    spark.read.parquet(storedFixture(imagePatternCache, "graft_image_pattern_assets", dir) {
+    readStored(spark, storedFixture(imagePatternCache, "graft_image_pattern_assets", dir) {
       t(spark, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
@@ -1011,7 +1024,7 @@ object MultimodalOps {
           val seed = if (twin) id - 1 else id
           Asset(id, "image/png", PerceptualHash.patternPngBytes(seed, twin), "pattern-fixture")
         })
-    }).as[Asset]
+    })
   }
 
   /** Amplitude-pattern WAV fixtures for q126, stored — same discipline;
@@ -1022,7 +1035,7 @@ object MultimodalOps {
 
   def audioPatternAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
-    spark.read.parquet(storedFixture(audioPatternCache, "graft_audio_pattern_assets", dir) {
+    readStored(spark, storedFixture(audioPatternCache, "graft_audio_pattern_assets", dir) {
       t(spark, dir, "documents")
         .select(col("doc_id"))
         .as[Long]
@@ -1031,7 +1044,7 @@ object MultimodalOps {
           val seed = if (twin) id - 1 else id
           Asset(id, "audio/wav", AudioFingerprint.patternWavBytes(seed, twin), "pattern-fixture")
         })
-    }).as[Asset]
+    })
   }
 
   /** Payload-facing video near-dup API (r17): parse each asset's container,

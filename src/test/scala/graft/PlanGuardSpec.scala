@@ -129,7 +129,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q120's labels-JOIN-quality: both sides potentially corpus-sized
     // (labels O(paired docs), quality O(corpus)) — the q114 stance: SMJ on
     // doc_id is the scale-correct shape, a forced broadcast would be the bug
-    "q120_canonical_by_quality")
+    "q120_canonical_by_quality",
+    // q128's election join (labels-JOIN-quality) and loner anti-join
+    // (documents-ANTI-labels) are q120's exact shape over the cross-modal
+    // label table: both sides potentially corpus-sized, SMJ on doc_id is
+    // the scale-correct shape
+    "q128_crossmodal_dedup")
 
   test("no query plans a Cartesian product; BNLJ/SMJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
