@@ -140,14 +140,32 @@ object WhisperWorkload {
     } :+ (("m4", 0, 10L, 3000L, 2000L, 1700000000L, 555L))
 
   def streamTailFixture(): StreamTailFixture = {
+    // Stamp file carries a hash of the spec constants + the window
+    // (ADVICE r16): an all-files-present tree from an EARLIER build with
+    // different StreamTailSpecs — or a partial file from a crashed write —
+    // would otherwise be served silently and fail the q123/q124 oracle
+    // with no invalidation path. Spec drift now regenerates; the stamp is
+    // written LAST, so a crash mid-synthesis leaves no stamp and the next
+    // call rebuilds the whole tree + manifest together.
+    val specHash = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.update(s"$StreamTailStart|$StreamTailNow|$StreamTailSpecs".getBytes("UTF-8"))
+      d.digest().map("%02x".format(_)).mkString
+    }
     val root = Paths.get(System.getProperty("java.io.tmpdir"), "graft-stream-tail")
     val manifest = Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-stream-tail.manifest.jsonl.gz")
+    val stamp = root.resolve(s"_spec.$specHash.stamp")
     def fileOf(metric: String): Path =
       root.resolve(if (metric == "m4") s"$metric.wsp.gz" else s"$metric.wsp")
     val paths = StreamTailSpecs.map(_._1).distinct.map(fileOf)
-    if (!paths.forall(Files.exists(_)) || !Files.exists(manifest)) {
+    if (!paths.forall(Files.exists(_)) || !Files.exists(manifest) || !Files.exists(stamp)) {
       Files.createDirectories(root)
+      // drop stale stamps from previous spec versions before rebuilding
+      val old = Files.list(root)
+      try old.filter(p => p.getFileName.toString.startsWith("_spec."))
+        .forEach(p => Files.deleteIfExists(p))
+      finally old.close()
       StreamTailSpecs.groupBy(_._1).foreach { case (metric, specs) =>
         WhisperWriter.writeFile(fileOf(metric), FileSpec(archives =
           specs.sortBy(_._2).map { case (_, _, spp, pts, filled, last, rot) =>
@@ -155,6 +173,7 @@ object WhisperWorkload {
           }))
       }
       graft.sources.whisper.WhisperManifest.write(Seq(root.toString), manifest.toString)
+      Files.write(stamp, Array.emptyByteArray)
     }
     StreamTailFixture(root.toString, manifest.toString)
   }

@@ -397,9 +397,18 @@ object WhisperIO {
       // with the prune off, a drift-free page may return the memoized list
       // UNCHANGED instead of rebuilding it with store mtimes
       val mtimesUnused = options.streamMtimeSlopSeconds < 0
-      val reconciled = dirQuals.foldLeft(served)((acc, root) =>
-        reconcileRoot(acc, root, options.manifestReconcileFiles,
-          options.planningParallelism, owns, shardN, mtimesUnused))
+      // sorted-input flag (ADVICE r16): the zero-drift fast path binary-
+      // searches `entries`, which is only valid on the memoized SORTED
+      // vector — after one root takes the slow path (kept ++ unsorted
+      // adds), later roots in the fold must not attempt it
+      val (reconciled, _) = dirQuals.foldLeft((served: Seq[FileEntry], true)) {
+        case ((acc, sorted), root) =>
+          val r = reconcileRoot(acc, root, options.manifestReconcileFiles,
+            options.planningParallelism, owns, shardN, mtimesUnused, sorted,
+            options.manifestReconcilePageBudget,
+            cacheKey + "\u0002" + String.valueOf(version) + "\u0002" + root)
+          (r, sorted && (r eq acc))
+      }
       if (reconciled eq served) served // zero drift everywhere: keep the memoized instance
       else
         // kept entries preserve the memoized sort; only the page's handful
@@ -407,6 +416,30 @@ object WhisperIO {
         reconciled.sortBy(_.path)
     }
   }
+
+  /** Persistent roaming LIST cursor for the SHARDED manifest reconcile
+   * (VERDICT r16 watch #2): one continuation iterator per (stream cache
+   * key, root) surviving across micro-batch triggers, so each trigger
+   * consumes `pageBudget * limit` entries and the directory is swept
+   * round-robin — the continuation-token shape object stores serve
+   * natively. `lastName` is the window's exclusive lower bound for the
+   * next trigger's deletion range. Bounded map; an entry holds only a
+   * lazy listing iterator. */
+  private final class RoamCursor {
+    var it: org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.FileStatus] = null
+    var lastName: String = ""
+    // drift MEMORY (name -> Some(entry) for an add/length-update, None for
+    // a deletion): a change discovered in one window must stay applied on
+    // triggers whose windows do NOT cover it — without this a new file
+    // would be in 1 of ceil(dir/limit) plans and its stream windows would
+    // silently lose points. Reset by manifest refresh (the version is part
+    // of the cursor key) and re-decided by any window that covers the name.
+    var overrides: Map[String, Option[FileEntry]] = Map.empty
+  }
+  private val roamCursors = new java.util.concurrent.ConcurrentHashMap[String, RoamCursor]()
+
+  /** Test/maintenance hook: drop all roaming reconcile cursors. */
+  private[graft] def resetRoamCursors(): Unit = roamCursors.clear()
 
   /** Diff the manifest-derived entry list against the FIRST `limit` direct
    * entries of `root` (one bounded paged LIST — on object stores a
@@ -420,45 +453,88 @@ object WhisperIO {
    * untouched — the bound covers DIRECT children, which is the flat-prefix
    * shape this mode exists for.
    *
-   * `shardN` > 1 (ADVICE r15): this consumer owns ~1/shardN of the store's
-   * entries, so the sweep pages until `limit` OWNED whisper entries have
-   * been consumed (capped at limit * shardN total), keeping each shard's
-   * effective new-file coverage at `limit` of its OWN files instead of
-   * diluting to limit/shardN. */
+   * `shardN` > 1 (VERDICT r16 watch #2, superseding the r15
+   * n-pages-per-trigger owned-coverage sweep): the consumer owns ~1/shardN
+   * of the store's entries and sweeps the directory with a PERSISTENT
+   * ROAMING CURSOR instead of re-listing the same prefix — each call
+   * consumes up to `pageBudget * limit` entries CONTINUING where the
+   * previous trigger's window ended (the continuation-token shape object
+   * stores serve natively), so per-trigger LIST cost is flat (budget
+   * pages) and full-directory drift coverage is EVENTUAL: a new, deleted,
+   * or changed file is surfaced within one full sweep — at most
+   * ceil(dirEntries / (pageBudget * limit)) triggers after the sweep that
+   * snapshotted before the change finishes (see the discovery-latency
+   * spec). Deletions are ranged per WINDOW, (windowStart, lastListed],
+   * both bounds meaningful only on sorted listings; `pageBudget = shardN`
+   * restores r15's per-trigger owned coverage on top of the roaming
+   * cursor. */
   private def reconcileRoot(
       entries: Seq[FileEntry], root: String, limit: Int, parallelism: Int,
       owns: String => Boolean = _ => true, shardN: Int = 1,
-      mtimesUnused: Boolean = false): Seq[FileEntry] = {
+      mtimesUnused: Boolean = false, sortedInput: Boolean = true,
+      pageBudget: Int = 1, cursorKey: String = null): Seq[FileEntry] = {
     val rp = new HPath(root)
     val fs = rp.getFileSystem(hadoopConf())
     val seen = mutable.LinkedHashMap[String, FileEntry]() // direct whisper children listed
     var consumed = 0
-    var ownedSeen = 0
-    val consumedCap = limit.toLong * shardN
     var exhausted = false
+    var windowStart = "" // exclusive lower bound of this window ("" = dir start)
+    var lastListed = ""  // last consumed name (any entry type)
+    val roaming = shardN > 1 && cursorKey != null
+    var cur: RoamCursor = null
+    var remembered: Map[String, Option[FileEntry]] = Map.empty
     try {
-      val it = fs.listStatusIterator(rp)
-      while (it.hasNext && ownedSeen < limit && consumed < consumedCap) {
-        val st = it.next()
-        consumed += 1
-        val name = st.getPath.getName
-        if (!st.isDirectory && (name.endsWith(".wsp") || name.endsWith(".wsp.gz"))) {
-          seen.put(name, FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
-          if (shardN == 1 || owns(st.getPath.toString)) ownedSeen += 1
-        } else if (shardN == 1) {
-          // unsharded keeps the original bound semantics exactly: every
-          // consumed entry counts toward the limit
-          ownedSeen += 1
+      if (roaming) {
+        // bound the cursor map (keys churn with manifest versions)
+        if (roamCursors.size > 256) roamCursors.clear()
+        cur = roamCursors.computeIfAbsent(cursorKey, _ => new RoamCursor)
+        cur.synchronized {
+          remembered = cur.overrides
+          if (cur.it == null) { cur.it = fs.listStatusIterator(rp); cur.lastName = "" }
+          windowStart = cur.lastName
+          val cap = pageBudget.toLong * limit
+          while (cur.it.hasNext && consumed < cap) {
+            val st = cur.it.next()
+            consumed += 1
+            val name = st.getPath.getName
+            if (!st.isDirectory && (name.endsWith(".wsp") || name.endsWith(".wsp.gz")))
+              seen.put(name, FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
+            cur.lastName = name
+          }
+          lastListed = cur.lastName
+          exhausted = !cur.it.hasNext
+          if (exhausted) { cur.it = null; cur.lastName = "" } // next trigger re-lists from the top
         }
+      } else {
+        val it = fs.listStatusIterator(rp)
+        while (it.hasNext && consumed < limit) {
+          val st = it.next()
+          consumed += 1
+          val name = st.getPath.getName
+          if (!st.isDirectory && (name.endsWith(".wsp") || name.endsWith(".wsp.gz")))
+            seen.put(name, FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
+          lastListed = name
+        }
+        exhausted = !it.hasNext
       }
-      exhausted = !it.hasNext
     } catch {
-      case _: java.io.FileNotFoundException => return entries // root gone: manifest as-is
+      case _: java.io.FileNotFoundException =>
+        if (roaming) roamCursors.remove(cursorKey)
+        return entries // root gone: manifest as-is
     }
-    if (seen.isEmpty && !exhausted) return entries
+    if (seen.isEmpty && !exhausted && !roaming) return entries
     val names = seen.keys.toVector
-    val sortedRange = names.iterator.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
-    val lastName = if (names.isEmpty) "" else names.max
+    // window order evidence: whisper names sorted AND consistent with the
+    // previous window's bound — deletions are only safe on sorted listings
+    val windowSorted = names.iterator.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)) &&
+      (windowStart.isEmpty || names.isEmpty || names.head > windowStart)
+    val fullCover = exhausted && windowStart.isEmpty
+    // this window's deletion range: a direct child in it that the store
+    // page did not list is deleted
+    def covered(name: String): Boolean =
+      fullCover || (windowSorted &&
+        (windowStart.isEmpty || name > windowStart) &&
+        (exhausted || name <= lastListed))
     def direct(path: String): Option[String] = { // Some(name) iff a direct child of root
       if (!path.startsWith(root + "/")) None
       else {
@@ -470,44 +546,53 @@ object WhisperIO {
     // usually matches the manifest exactly, yet the rebuild below pays an
     // O(n) flatMap + name-set + sort over the (million-entry) list EVERY
     // trigger — after the r16 listing/plan memos that rebuild IS the
-    // trigger floor. When the input is the memoized SORTED vector and
-    // mtimes are unused downstream (`mtimesUnused`; with the mtime idle
-    // prune active the page's fresh store mtimes are load-bearing and the
-    // rebuild must run), detect drift by binary-searching each page entry
-    // and range-scanning the covered prefix for deletions — O(page log n) —
-    // and return `entries` UNCHANGED (same instance: the stream's base-plan
-    // memo then hits on reference equality) when nothing moved.
-    val zeroDrift = mtimesUnused && (entries match {
+    // trigger floor. When the input is the memoized SORTED vector
+    // (`sortedInput`, ADVICE r16: a prior root's slow-path result is NOT
+    // sorted and must not be binary-searched) and mtimes are unused
+    // downstream (`mtimesUnused`; with the mtime idle prune active the
+    // page's fresh store mtimes are load-bearing and the rebuild must
+    // run), detect drift by binary-searching each page entry and
+    // range-scanning the covered window for deletions — O(page log n) —
+    // and return `entries` UNCHANGED (same instance: the stream's
+    // base-plan memo then hits on reference equality) when nothing moved.
+    val zeroDrift = mtimesUnused && sortedInput && remembered.isEmpty && (entries match {
       case v: IndexedSeq[FileEntry] if v.nonEmpty =>
         def lowerBound(key: String): Int = {
           var lo = 0; var hi = v.length
           while (lo < hi) { val m = (lo + hi) >>> 1; if (v(m).path < key) lo = m + 1 else hi = m }
           lo
         }
-        val pageClean = seen.valuesIterator.forall { st =>
+        // sharded streams: the page lists EVERY shard's files but v holds
+        // only this shard's manifest — foreign entries are not drift
+        // (ADVICE r16: without this filter the fast path never fired under
+        // sharding and every trigger paid the O(n) rebuild)
+        val ownedPage =
+          if (shardN == 1) seen.valuesIterator.toSeq
+          else seen.valuesIterator.filter(st => owns(st.path)).toSeq
+        val pageClean = ownedPage.forall { st =>
           val i = lowerBound(st.path)
           i < v.length && v(i).path == st.path && v(i).len == st.len
         }
         pageClean && {
-          // covered deletion range: direct children up to lastName (or all,
-          // when the listing was exhausted) must all be in `seen`; bail on
-          // the first miss — the slow path below recomputes correctness
-          var i = lowerBound(root + "/")
+          // covered deletion range: direct children in this window must
+          // all be in `seen`; bail on the first miss — the slow path
+          // below recomputes correctness
+          var i = lowerBound(root + "/" + windowStart)
           var clean = true
           var scanned = 0
           val scanCap = seen.size * 2 + 64 // nested entries interleave; drift beyond this -> slow path
           while (clean && i < v.length && v(i).path.startsWith(root + "/") && scanned < scanCap) {
             direct(v(i).path) match {
-              case Some(name) if exhausted || (sortedRange && name <= lastName) =>
+              case Some(name) if covered(name) =>
                 scanned += 1
                 clean = seen.contains(name)
-              case Some(name) if sortedRange && name > lastName =>
-                i = v.length // sorted: nothing below lastName remains
-              case _ => // nested entry: outside the reconcile contract
+              case Some(name) if !exhausted && windowSorted && name > lastListed =>
+                i = v.length // sorted: nothing covered remains
+              case _ => // window's exclusive bound / nested entry: outside the contract
             }
             i += 1
           }
-          clean && scanned <= seen.size // more covered entries than the page listed = drift
+          clean && scanned <= ownedPage.size // more covered entries than the page listed = drift
         }
       case _ => false
     })
@@ -520,23 +605,55 @@ object WhisperIO {
           val st = seen(name)
           if (st.len != e.len) updates += 1
           Some(st) // store's mtime + length win (length mismatch => fresh header read)
-        case Some(name) if exhausted || (sortedRange && name <= lastName) =>
-          drops += 1; None // covered range, absent from the store: deleted
-        case _ => Some(e) // nested / beyond the bound: trust the manifest
+        case Some(name) if covered(name) =>
+          drops += 1; None // covered window, absent from the store: deleted
+        case Some(name) if remembered.contains(name) =>
+          remembered(name) // outside this window: an earlier window's verdict stands
+        case _ => Some(e) // nested / beyond the window: trust the manifest
       }
     }
-    val known = entries.iterator.flatMap(e => direct(e.path)).toSet
+    // name -> manifest length for the direct children (one pass; also the
+    // O(1) lookup the drift recording below needs)
+    val knownLen: Map[String, Long] =
+      entries.iterator.flatMap(e => direct(e.path).map(n => n -> e.len)).toMap
     // `seen` stays UNFILTERED (the deletion range and length refresh cover
     // exactly what the page listed); ownership gates only what may JOIN
     val adds = seen.collect {
-      case (name, st) if !known.contains(name) && owns(st.path) => st
+      case (name, st) if !knownLen.contains(name) && owns(st.path) => st
     }.toSeq
+    // remembered adds from earlier windows, not re-decided by this one
+    val rememberedAdds = remembered.collect {
+      case (name, Some(fe))
+          if !knownLen.contains(name) && !seen.contains(name) && !covered(name) => fe
+    }.toSeq
+    if (roaming) cur.synchronized {
+      // this window's verdicts supersede memory inside its range...
+      var ov = cur.overrides.filter { case (name, _) =>
+        !covered(name) && !seen.contains(name)
+      }
+      // ...and its own drift is recorded: adds + length-updates (store
+      // entry differs from the manifest) and deletions
+      seen.foreach { case (name, st) =>
+        if (owns(st.path)) {
+          knownLen.get(name) match {
+            case None                      => ov += name -> Some(st)
+            case Some(len) if len != st.len => ov += name -> Some(st)
+            case _                          =>
+          }
+        }
+      }
+      knownLen.keysIterator.foreach { name =>
+        if (covered(name) && !seen.contains(name)) ov += name -> None
+      }
+      cur.overrides = ov
+    }
     if (drops + updates + adds.size > 0)
       System.err.println(
-        s"INFO WhisperIO.manifestListing: reconciled $root against its first $consumed " +
-          s"store entries: +${adds.size} new, -$drops deleted, $updates length-changed " +
-          s"(drift beyond the first ${limit} entries surfaces at the next manifest refresh)")
-    kept ++ adds
+        s"INFO WhisperIO.manifestListing: reconciled $root against $consumed " +
+          s"store entries" + (if (roaming) s" (window after '$windowStart')" else "") +
+          s": +${adds.size} new, -$drops deleted, $updates length-changed " +
+          "(drift beyond this window surfaces on later triggers or at the next manifest refresh)")
+    kept ++ adds ++ rememberedAdds
   }
 
   /** Header-only metadata read (gzip-aware). Mirrors `WhisperFile.read` +

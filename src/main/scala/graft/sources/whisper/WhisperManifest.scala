@@ -143,8 +143,12 @@ object WhisperManifest {
 
   /** Shard counts for which a COMPLETE shard-file set of this manifest
    * exists on disk (one directory listing; a partial set — some i missing —
-   * is not refreshed: it was never a servable layout). Unreadable parents
-   * yield the empty set (a fresh manifest's directory may not exist yet). */
+   * is not refreshed: it was never a servable layout). A MISSING parent
+   * yields the empty set (a fresh manifest's directory may not exist yet);
+   * any other listing failure PROPAGATES (ADVICE r16: a transient store
+   * error swallowed here would silently skip refreshing existing shard
+   * layouts — reintroducing the stale-shard-manifest bug this method
+   * exists to prevent — so the writeAll must fail loudly instead). */
   private[whisper] def existingShardLayouts(out: String): Set[Int] = {
     val p = new HPath(out)
     val fs = p.getFileSystem(WhisperIO.hadoopConf())
@@ -163,7 +167,7 @@ object WhisperManifest {
           case _ =>
         }
       }
-    } catch { case scala.util.control.NonFatal(_) => return Set.empty }
+    } catch { case _: java.io.FileNotFoundException => return Set.empty }
     found.collect { case (n, is) if is.size == n => n }.toSet
   }
 

@@ -237,7 +237,7 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"steady-state triggers still pay header GETs: ${SlowFs.opens.get()} over 3 triggers")
   }
 
-  test("sharded reconcile pages until `limit` OWNED entries: per-shard discovery undiluted (ADVICE r15)") {
+  test("sharded reconcile roams a persistent cursor: 1 page/trigger, eventual + sticky discovery (r17)") {
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     import graft.sources.whisper.{WhisperIO, WhisperOptions}
     val flat = Files.createTempDirectory("slow-flat-shard-rec")
@@ -267,19 +267,77 @@ class LatencyPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       WhisperIO.manifestListing(
         Seq(slow(flat)), WhisperOptions(new CaseInsensitiveStringMap(m))).map(_.path)
     }
-    // shard 0 owns ~1/4 of the prefix: a fixed 8-entry sweep would stop at
-    // m07 and never see the add; paging until 8 OWNED entries covers it
+    // r17 (VERDICT r16 watch #2): the sharded reconcile ROAMS a persistent
+    // cursor — each trigger pays ONE page (budget * limit consumed entries)
+    // and the add at position ~17 is discovered within ceil(41/8) = 6
+    // triggers; once discovered it STAYS in every later plan (the cursor's
+    // drift memory) even though later windows don't cover it
     SlowFs.reset(0, pageSize = 8)
-    val sh = listed("streamShard" -> "0/4")
-    assert(sh.exists(_.endsWith("/" + newName)),
-      s"shard-0 reconcile missed its own new file at position ~17: ${sh.take(20)}")
-    assert(SlowFs.listPages.get() <= 4,
-      s"sharded sweep must stay within limit*n consumed (<= 4 pages of 8), got ${SlowFs.listPages.get()}")
-    // unsharded semantics unchanged: the same 8-entry bound stops before
-    // position 17 (drift there surfaces at the next manifest refresh)
+    graft.sources.whisper.WhisperIO.resetRoamCursors()
+    var foundAt = -1
+    for (t <- 1 to 6) {
+      val before = SlowFs.listPages.get()
+      val sh = listed("streamShard" -> "0/4")
+      val pages = SlowFs.listPages.get() - before
+      assert(pages <= 1, s"trigger $t paid $pages LIST pages; the budget is 1")
+      if (foundAt < 0 && sh.exists(_.endsWith("/" + newName))) foundAt = t
+      if (foundAt > 0)
+        assert(sh.exists(_.endsWith("/" + newName)),
+          s"trigger $t LOST the add discovered at trigger $foundAt (drift memory broken)")
+    }
+    assert(foundAt > 0,
+      "roaming reconcile never discovered the shard-0 add within one full sweep")
+    // unsharded semantics unchanged: the same 8-entry prefix bound stops
+    // before position 17 (drift there surfaces at the next manifest refresh)
     val un = listed()
     assert(!un.exists(_.endsWith("/" + newName)),
       "unsharded reconcile bound grew: position-17 add should be beyond the 8-entry sweep")
+  }
+
+  test("roaming reconcile discovery latency: any churn surfaces within one full sweep of triggers (r17)") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.whisper.{WhisperIO, WhisperOptions}
+    val flat = Files.createTempDirectory("slow-flat-roam")
+    val spec = FileSpec(archives = Seq(
+      ArchiveSpec(10, 60, filled = 30, lastTimestamp = 1600000000L, rotation = 0)))
+    for (f <- 0 until 24) WhisperWriter.writeFile(flat.resolve(f"r$f%02d.wsp"), spec)
+    val manifest = Files.createTempDirectory("slow-flat-roam-m").resolve("m.jsonl.gz").toString
+    SlowFs.reset(0)
+    WhisperManifest.write(Seq(slow(flat) + "/*.wsp"), manifest, shards = 2)
+    def listed(): Seq[String] = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("headerManifest", manifest)
+      m.put("manifestListing", "true")
+      m.put("manifestSpotCheck", "0")
+      m.put("manifestReconcileFiles", "6")
+      m.put("streamShard", "0/2")
+      WhisperIO.manifestListing(
+        Seq(slow(flat)), WhisperOptions(new CaseInsensitiveStringMap(m))).map(_.path)
+    }
+    graft.sources.whisper.WhisperIO.resetRoamCursors()
+    // churn of all three kinds, scattered through the directory
+    val fs = new org.apache.hadoop.fs.Path(slow(flat)).getFileSystem(WhisperIO.hadoopConf())
+    def owned(n: String): Boolean = WhisperManifest.shardOf(
+      fs.makeQualified(new org.apache.hadoop.fs.Path(slow(flat) + "/" + n)).toString, 2) == 0
+    val addName = (0 until 64).map(i => f"r10x$i%02d.wsp").find(owned).get
+    WhisperWriter.writeFile(flat.resolve(addName), spec)
+    val delName = (0 until 24).map(f => f"r$f%02d.wsp").find(owned).get
+    Files.delete(flat.resolve(delName))
+    // worst case: the change can land just behind a mid-sweep cursor and
+    // needs the REST of that sweep plus one full fresh sweep to surface —
+    // ceil(25/6) = 5 windows per sweep, so 2 * 5 triggers bound it
+    var addSeen = -1; var delGone = -1
+    for (t <- 1 to 10) {
+      val l = listed()
+      if (addSeen < 0 && l.exists(_.endsWith("/" + addName))) addSeen = t
+      if (delGone < 0 && !l.exists(_.endsWith("/" + delName))) delGone = t
+    }
+    assert(addSeen > 0 && addSeen <= 10, s"add not discovered within 2 sweeps (addSeen=$addSeen)")
+    assert(delGone > 0 && delGone <= 10, s"delete not discovered within 2 sweeps (delGone=$delGone)")
+    // and both verdicts persist on the NEXT trigger (memory, not luck)
+    val after = listed()
+    assert(after.exists(_.endsWith("/" + addName)) && !after.exists(_.endsWith("/" + delName)),
+      "discovered churn did not persist across the following trigger")
   }
 
   test("stream base plan memoized per (path, len) list: steady triggers reuse units; add/re-layout rebuilds (r16)") {
