@@ -221,6 +221,10 @@ object SparkEntry {
     // (pigeonhole recall for small edits), DCT Hamming VERIFIES (the
     // structure-robust distance — brightness-shift-exact by construction)
     "q129_dct_phash_dedup" -> ((s, d) => MultimodalOps.dctPhashDedup(s, d)),
+    // shift-robust audio: landmark PAIRS (peak energies + frame delta)
+    // pair docs on relative structure — time-shifted twins surface, which
+    // q126's absolute framing cannot do
+    "q130_audio_landmark_dedup" -> ((s, d) => MultimodalOps.audioLandmarkDedup(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -675,6 +679,46 @@ object SparkEntry {
         |  CAST(bit_count(xor(xa.d0, xb.d0)) + bit_count(xor(xa.d1, xb.d1)) + bit_count(xor(xa.d2, xb.d2)) + bit_count(xor(xa.d3, xb.d3)) AS BIGINT) AS hamming
         |  FROM cp JOIN dh xa ON xa.doc_id = cp.a JOIN dh xb ON xb.doc_id = cp.b)
         |SELECT a, b, hamming FROM pd WHERE hamming <= 20 ORDER BY a, b""".stripMargin),
+    // q130: landmark-pair audio dedup — the oracle replays the staircase
+    // levels from the md5 hex digits (frame energy EXACTLY 6400*(1+level),
+    // quantized 100*(1+level) — order-isomorphic to Spark's integer
+    // energies, so peak detection agrees), shifts twins by 2 silent
+    // frames, and recomputes the same peak/landmark/cap/join pipeline;
+    // Spark's landmarks come from genuinely decoded samples
+    "q130_audio_landmark_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 4 THEN doc_id - 1 ELSE doc_id END AS seed,
+        |  CASE WHEN doc_id % 50 = 4 THEN 1 ELSE 0 END AS twin
+        |  FROM documents),
+        |hx AS (SELECT doc_id, twin,
+        |  md5('L0' || CAST(seed AS VARCHAR)) || md5('L1' || CAST(seed AS VARCHAR)) ||
+        |  md5('L2' || CAST(seed AS VARCHAR)) || md5('L3' || CAST(seed AS VARCHAR)) AS h
+        |  FROM d),
+        |lv AS (SELECT doc_id, twin, f,
+        |  ((strpos('0123456789abcdef', h[CAST(2*f+1 AS INT)]) - 1) * 16
+        |   + (strpos('0123456789abcdef', h[CAST(2*f+2 AS INT)]) - 1)) % 32 AS v
+        |  FROM hx, (SELECT unnest(range(0, 64)) AS f) s),
+        |frames AS (
+        |  SELECT doc_id, f + 2 * twin AS g, 100 * (1 + v) AS q FROM lv
+        |  UNION ALL
+        |  SELECT doc_id, s.g, 0 AS q FROM d, (SELECT unnest([0, 1]) AS g) s WHERE twin = 1),
+        |pk AS (SELECT doc_id, g, q FROM (
+        |    SELECT doc_id, g, q,
+        |      lag(q) OVER (PARTITION BY doc_id ORDER BY g) AS pq,
+        |      lead(q) OVER (PARTITION BY doc_id ORDER BY g) AS nq
+        |    FROM frames) t
+        |  WHERE pq IS NOT NULL AND nq IS NOT NULL AND q > pq AND q >= nq),
+        |k AS (SELECT DISTINCT a.doc_id, a.q AS qa, b.q AS qb, b.g - a.g AS dt
+        |  FROM pk a JOIN pk b ON a.doc_id = b.doc_id AND b.g > a.g AND b.g - a.g <= 8),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY doc_id),
+        |kc AS (SELECT * FROM (SELECT k.*, count(*) OVER (PARTITION BY qa, qb, dt) AS bsz FROM k) t WHERE bsz <= 50),
+        |p AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kc x JOIN kc y ON x.qa = y.qa AND x.qb = y.qb AND x.dt = y.dt AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT p.a, p.b, p.n_shared FROM p
+        |JOIN cnt ca ON ca.doc_id = p.a JOIN cnt cb ON cb.doc_id = p.b
+        |WHERE p.n_shared >= 4 AND 2 * p.n_shared >= least(ca.c, cb.c)
+        |ORDER BY a, b""".stripMargin,
     "q05_sort_topk" ->
       "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
     "q06_union_tag" ->

@@ -1090,6 +1090,169 @@ object MultimodalOps {
   def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame =
     audioNearDupPairs(audioPatternAssetsStored(spark, dir))
 
+  /**
+   * SHIFT-ROBUST audio fingerprint (q130, VERDICT r16 next #6): q126's
+   * energy-band fingerprint positions frames ABSOLUTELY, so any temporal
+   * offset breaks it. The classic fix is landmark PAIRS (Wang, "An
+   * Industrial-Strength Audio Search Algorithm", ISMIR 2003): anchor on
+   * energy PEAKS (local maxima of the frame-energy sequence) and hash the
+   * RELATIVE structure — (quantized anchor energy, quantized peer energy,
+   * frame delta) for peer peaks within [[LandmarkMaxDt]] frames. A uniform
+   * time shift moves every peak by the same offset; deltas and energies
+   * are untouched, so shifted copies share their full landmark set.
+   *
+   * Exactness: energies are integer |sample| sums; peaks are strict-left /
+   * non-strict-right integer comparisons; quantization is `energy >> 6`.
+   * The q130 fixture plays a 32-level amplitude staircase (levels from md5
+   * hex digits, frame energy EXACTLY 6400*(1+level), so the quantized
+   * value is 100*(1+level) — closed form for the DuckDB oracle); twins at
+   * `doc_id % 50 == 4` replay the PREVIOUS doc's signal shifted by 2
+   * SILENT frames, which preserves every interior landmark.
+   *
+   * Scale shape: one map-side decode + landmark extraction per asset
+   * (bounded: <= LandmarkMaxDt keys per peak), hot landmark keys capped
+   * (<= `hotKeyCap` via a windowed count), equi-join on the key, pairs
+   * kept at >= `minShared` shared landmarks — never all-pairs, the q127
+   * envelope with landmark keys instead of frame hashes.
+   */
+  object AudioLandmarks {
+    val FrameLen = 16
+    val LandmarkMaxDt = 8
+    private val Wave = Array(0, 1, 2, 3, 4, 3, 2, 1, 0, -1, -2, -3, -4, -3, -2, -1)
+
+    /** 64 amplitude levels in [0, 32) from md5 hex digits (2 per frame,
+     * 4 digests — the oracle replays the same concatenation). */
+    def levels(seed: Long): Array[Int] = {
+      val hex = (0 until 4).map { i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"L$i$seed".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.mkString
+      Array.tabulate(64) { f =>
+        val hi = Character.digit(hex.charAt(2 * f), 16)
+        val lo = Character.digit(hex.charAt(2 * f + 1), 16)
+        (hi * 16 + lo) % 32
+      }
+    }
+
+    /** The staircase WAV: frame f plays the integer triangle at amplitude
+     * `200 * (1 + level(f))` (energy exactly 6400 * (1 + level)); a twin
+     * prepends 2 silent frames — a pure time shift. */
+    def staircaseWavBytes(seed: Long, twin: Boolean): Array[Byte] = {
+      val lv = levels(seed)
+      val pad = if (twin) 2 else 0
+      val samples = new Array[Short]((64 + pad) * FrameLen)
+      var f = 0
+      while (f < 64) {
+        val amp = 200 * (1 + lv(f))
+        var i = 0
+        while (i < FrameLen) {
+          samples((f + pad) * FrameLen + i) = (amp * Wave(i)).toShort
+          i += 1
+        }
+        f += 1
+      }
+      AudioDecoder.pcm16WavBytes(samples, 8000)
+    }
+
+    /** Distinct landmark keys (qa, qb, dt) from REAL decoded samples:
+     * integer frame energies, interior peaks, peer peaks within
+     * [[LandmarkMaxDt]], energies quantized by `>> 6`. Length-agnostic —
+     * frames = samples / FrameLen — which is what makes the extraction
+     * shift-invariant. */
+    def landmarkKeys(bytes: Array[Byte]): Array[(Int, Int, Int)] = {
+      val s = AudioDecoder.decodeSamples(bytes)
+      val nF = s.length / FrameLen
+      val e = new Array[Long](nF)
+      var f = 0
+      while (f < nF) {
+        var sum = 0L
+        var i = f * FrameLen
+        while (i < (f + 1) * FrameLen) { sum += math.abs(s(i).toLong); i += 1 }
+        e(f) = sum
+        f += 1
+      }
+      val peaks = (1 until nF - 1).filter(f => e(f) > e(f - 1) && e(f) >= e(f + 1))
+      val keys = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, Int)]
+      var a = 0
+      while (a < peaks.length) {
+        var b = a + 1
+        while (b < peaks.length && peaks(b) - peaks(a) <= LandmarkMaxDt) {
+          keys += (((e(peaks(a)) >> 6).toInt, (e(peaks(b)) >> 6).toInt, peaks(b) - peaks(a)))
+          b += 1
+        }
+        a += 1
+      }
+      keys.toArray
+    }
+  }
+
+  /** Payload-facing shift-robust audio pairing: assets pair when they
+   * share at least `minShared` landmark keys AND at least HALF of the
+   * smaller asset's key set — the score normalization real audio-matching
+   * systems apply. Peaks skew toward high energy levels, so landmark keys
+   * concentrate and an absolute count alone admits chance pairs by the
+   * thousands (measured: 2578 of C(500,2) at sf0.01 before the ratio
+   * gate); a true shifted copy shares ~100% of the original's keys while
+   * chance overlap sits near 5%. */
+  def audioShiftRobustPairs(
+      assets: Dataset[Asset], minShared: Int = 4, hotKeyCap: Int = 50): DataFrame = {
+    import assets.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val keys = assets
+      .mapPartitions(_.flatMap { a =>
+        AudioLandmarks.landmarkKeys(a.bytes).iterator.map {
+          case (qa, qb, dt) => (a.id, qa, qb, dt)
+        }
+      })
+      .toDF("doc_id", "qa", "qb", "dt")
+    // per-asset DISTINCT key counts (pre-cap: the normalization denominator
+    // must not depend on which buckets the cap drops)
+    val counts = keys.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val pruned = keys
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("qa", "qb", "dt")))
+      .filter(col("bsz") <= hotKeyCap)
+      .drop("bsz")
+    pruned.as("x").join(
+      pruned.as("y"),
+      col("x.qa") === col("y.qa") && col("x.qb") === col("y.qb") &&
+        col("x.dt") === col("y.dt") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("doc_id").as("a"), col("c").as("ca")), "a")
+      .join(counts.select(col("doc_id").as("b"), col("c").as("cb")), "b")
+      .filter(col("n_shared") >= minShared &&
+        col("n_shared") * 2 >= least(col("ca"), col("cb")))
+      .select(col("a"), col("b"), col("n_shared"))
+      .orderBy("a", "b")
+  }
+
+  /** Staircase WAV fixtures for q130, stored — twins at doc_id % 50 == 4
+   * replay the previous doc's signal time-shifted by 2 silent frames. */
+  private val audioLandmarkCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def invalidateAudioLandmarkCache(dir: String): Unit = audioLandmarkCache.remove(dir)
+
+  def audioLandmarkAssetsStored(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    readStored(spark, storedFixture(audioLandmarkCache, "graft_audio_landmark_assets", dir) {
+      t(spark, dir, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val twin = id % 50 == 4
+          val seed = if (twin) id - 1 else id
+          Asset(id, "audio/wav", AudioLandmarks.staircaseWavBytes(seed, twin), "pattern-fixture")
+        })
+    })
+  }
+
+  /** q130: read the stored staircase WAVs, REALLY decode them, extract
+   * landmark pairs, and pair docs on shared relative structure — the
+   * time-shifted twins surface, which q126's absolute framing cannot do. */
+  def audioLandmarkDedup(spark: SparkSession, dir: String): DataFrame =
+    audioShiftRobustPairs(audioLandmarkAssetsStored(spark, dir))
+
   /** Metadata/feature query (oracle-checked subset: everything here is also
    * computable by DuckDB over the raw text bytes). */
   def features(spark: SparkSession, dir: String): DataFrame =

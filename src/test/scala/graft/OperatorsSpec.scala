@@ -195,6 +195,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L, 2L)))
   }
 
+  test("shift-robust audio landmarks: time-shifted twin found; planted fixture exact (q130)") {
+    import spark.implicits._
+    import MultimodalOps.{Asset, AudioLandmarks}
+    // handmade payload test: the SAME staircase signal shifted by 3 whole
+    // frames of silence (a pure temporal offset, NOT the fixture's 2) must
+    // pair under the landmark op; an unrelated staircase must not
+    val base = AudioLandmarks.staircaseWavBytes(77L, twin = false)
+    val shifted = {
+      val lv = AudioLandmarks.levels(77L)
+      val wave = Array(0, 1, 2, 3, 4, 3, 2, 1, 0, -1, -2, -3, -4, -3, -2, -1)
+      val pad = 3
+      val samples = new Array[Short]((64 + pad) * 16)
+      for (f <- 0 until 64; i <- 0 until 16)
+        samples((f + pad) * 16 + i) = (200 * (1 + lv(f)) * wave(i)).toShort
+      MultimodalOps.AudioDecoder.pcm16WavBytes(samples, 8000)
+    }
+    val ds = Seq(
+      Asset(1L, "audio/wav", base, "user"),
+      Asset(2L, "audio/wav", shifted, "user"),
+      Asset(3L, "audio/wav", AudioLandmarks.staircaseWavBytes(99L, twin = false), "user")).toDS()
+    val pairs = MultimodalOps.audioShiftRobustPairs(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)), s"expected only the shifted twin pair, got ${pairs.toList}")
+    // the differentiator: q126's ABSOLUTE energy-band fingerprint cannot
+    // pair a time-shifted copy (frames are positionally misaligned) — it
+    // requires its fixed 1024-sample layout, so it outright rejects the
+    // shifted container; the landmark op is the shift-tolerant tool
+    intercept[IllegalArgumentException] {
+      MultimodalOps.AudioFingerprint.fingerprintChunks(shifted)
+    }
+    // fixture end-to-end: exactly the planted twins, each sharing ALL of
+    // its base's landmark keys (the twin's set is a superset)
+    val ids = operators.Tables.t(spark, dir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rows = MultimodalOps.audioLandmarkDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = ids.filter(id => id % 50 == 4 && ids(id - 1)).toSeq.sorted.map { id =>
+      (id - 1, id,
+        AudioLandmarks.landmarkKeys(AudioLandmarks.staircaseWavBytes(id - 1, twin = false)).length.toLong)
+    }
+    assert(rows.toSeq == planted)
+  }
+
   test("cross-modal dedup: a doc that SURVIVES text dedup falls to its image twin (q128)") {
     val ids = operators.Tables.t(spark, dir, "documents")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
