@@ -21,6 +21,15 @@ import graft.functions.ByteHistogram
 object MultimodalOps {
   import Tables.t
 
+  // ImageIO spools every encode/decode through a temp-FILE cache stream by
+  // default — per-image DISK I/O that dominates a hot byte-array codec loop.
+  // Disabled at the OBJECT level (r17): it used to live only in
+  // [[ImageDecoder]]'s initializer, so a JVM that touched the perceptual-
+  // hash paths first (the q125/q127/q129 kernels call ImageIO directly)
+  // paid ~3x wall until something initialized ImageDecoder — caught when
+  // scale_check17's fresh shell ran 3.5x slower than the bench JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Asset row: payload + typed metadata, the schema contract for all
    * multimodal stages. At 100 TB payloads stay in their own column so column
    * pruning lets metadata-only queries skip them entirely. */

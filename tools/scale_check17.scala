@@ -35,6 +35,7 @@ for ((tag, dir) <- Seq(("sf0.1", "/root/testdata/sf0.1"), ("sf10_100x", "/tmp/gr
   probe(s"q126_audio_fingerprint/$tag")(MultimodalOps.audioFingerprintDedup(spark, dir).count())
   probe(s"q127_video_phash/$tag")(MultimodalOps.videoPhashDedup(spark, dir).count())
   probe(s"q129_dct_phash/$tag")(MultimodalOps.dctPhashDedup(spark, dir).count())
+  probe(s"q130_audio_landmark/$tag")(MultimodalOps.audioLandmarkDedup(spark, dir).count())
   probe(s"q128_crossmodal/$tag")(DedupOps.crossModalDedup(spark, dir).count())
 }
 sys.exit(0)
