@@ -225,6 +225,9 @@ object SparkEntry {
     // pair docs on relative structure — time-shifted twins surface, which
     // q126's absolute framing cannot do
     "q130_audio_landmark_dedup" -> ((s, d) => MultimodalOps.audioLandmarkDedup(s, d)),
+    // CCNet-style paragraph dedup: repeated 16-token chunks dropped except
+    // their first occurrence; docs reassembled from surviving chunks
+    "q131_paragraph_dedup" -> ((s, d) => DedupOps.paragraphDedup(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1966,6 +1969,23 @@ object SparkEntry {
         |SELECT den.doc_id, den.n_grams, CAST(coalesce(hit.n_dup, 0) AS BIGINT) AS n_dup,
         |CAST(coalesce(hit.n_dup, 0) * 1000000 // den.n_grams AS BIGINT) AS dup_ppm
         |FROM den LEFT JOIN hit ON den.doc_id = hit.doc_id ORDER BY den.doc_id""".stripMargin,
+    // q131: CCNet paragraph dedup — chunk = 16-token window, dedup key =
+    // 64-bit md5 prefix of the chunk text, first (doc_id, idx) occurrence
+    // wins (row_number == Spark's min-struct argmin), docs reassembled from
+    // surviving chunks; md5('') aligns the all-dropped edge on both engines
+    "q131_paragraph_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |ch AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, CAST(ceil(len(arr) / 16.0) AS BIGINT)),
+        |    i -> {'idx': i, 'chunk': array_to_string(list_slice(arr, CAST(i * 16 + 1 AS BIGINT), CAST(i * 16 + 16 AS BIGINT)), ' ')})) AS c
+        |  FROM tok),
+        |occ AS (SELECT doc_id, c.idx AS idx, c.chunk AS chunk, substr(md5(c.chunk), 1, 16) AS h FROM ch),
+        |rn AS (SELECT doc_id, idx, chunk,
+        |  row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM occ)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS new_hash
+        |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q60_dedup_clusters" ->
       (ClusterCte +
         """

@@ -871,4 +871,76 @@ object DedupOps {
       .select(col("doc_id"), col("doc_id").as("cluster"), lit(0L).as("n_removed"))
     winners.unionByName(loners).orderBy("doc_id")
   }
+
+  /**
+   * CCNet-style paragraph-level dedup (Wenzek et al. 2020, "CCNet:
+   * Extracting High Quality Monolingual Datasets from Web Crawl Data") —
+   * sub-document dedup: instead of dropping whole documents, every
+   * repeated PARAGRAPH is dropped except its first occurrence, and each
+   * document is reassembled from its surviving paragraphs. The corpus here
+   * is single-line text, so "paragraph" is a fixed window of
+   * `chunkTokens` whitespace tokens (the same fixed-window stance as
+   * q76's chunk_split); the dedup key is the 64-bit md5 prefix of the
+   * chunk text (engine-portable, the house hash convention). First
+   * occurrence = minimum (doc_id, chunk_idx), a total order both engines
+   * reproduce.
+   *
+   * Scale shape — the text column NEVER enters a shuffle: the keep/drop
+   * decision runs on a narrow (doc_id, idx, hash) projection derived
+   * map-side (~24 B/chunk on the wire); the decision is one
+   * groupBy(hash) keeping only hashes with >= 2 occurrences (the winner
+   * table is duplication-sized, not corpus-sized), one hash-keyed join
+   * back of those narrow rows (exchange-reused from the groupBy), and one
+   * doc_id groupBy of dropped indexes (drop-sized). The rebuild re-derives
+   * chunks map-side from the original text with a left join against the
+   * small drop table — at 100 TB the shuffled bytes are proportional to
+   * chunk COUNT and duplicate volume, never to text volume.
+   */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedup(t(spark, dir, "documents"))
+
+  /** Payload-facing core of [[paragraphDedup]]: runs on any frame with
+   * (doc_id, text) — the library surface a user points at their own
+   * corpus. */
+  def paragraphDedup(docs: DataFrame, chunkTokens: Int = 16): DataFrame = {
+    val k = chunkTokens
+    // narrow per-chunk occurrence table: (doc_id, idx, 64-bit hash);
+    // chunking + hashing are one map-side projection over the split array
+    val occ = docs
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(
+        col("doc_id"),
+        expr(
+          s"""explode(transform(sequence(0, cast(ceil(size(arr) / $k.0) as int) - 1),
+             |  i -> named_struct(
+             |    'idx', cast(i as bigint),
+             |    'h', substring(md5(array_join(slice(arr, i * $k + 1, $k), ' ')), 1, 16))))""".stripMargin
+            .replace("\n", " ")).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"), col("c.h").as("h"))
+    // hashes seen >= 2 times, each with its first occurrence — min over a
+    // struct is the argmin, partial-aggregated map-side before the shuffle
+    val winners = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("h", "w")
+    // every non-first occurrence of a repeated hash, folded per doc
+    val drops = occ.join(winners, "h")
+      .filter(struct(col("doc_id"), col("idx")) =!= col("w"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("idx")).as("drop_idx"))
+    // rebuild map-side: re-chunk the original text, skip dropped indexes
+    docs
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("arr"), col("drop_idx"))
+      .selectExpr(
+        "doc_id",
+        s"cast(ceil(size(arr) / $k.0) as bigint) as n_chunks",
+        "cast(coalesce(size(drop_idx), 0) as bigint) as n_dropped",
+        s"""md5(array_join(transform(
+           |  filter(sequence(0, cast(ceil(size(arr) / $k.0) as int) - 1),
+           |    i -> drop_idx is null or not array_contains(drop_idx, cast(i as bigint))),
+           |  i -> array_join(slice(arr, i * $k + 1, $k), ' ')), ' ')) as new_hash"""
+          .stripMargin.replace("\n", " "))
+      .orderBy("doc_id")
+  }
 }

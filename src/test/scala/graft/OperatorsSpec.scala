@@ -1150,6 +1150,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withDup.isEmpty || withDup.length >= 2)
   }
 
+  test("paragraphDedup: first occurrence wins, within-doc dups drop, partial chunks kept") {
+    import spark.implicits._
+    def words(tag: String, n: Int): String = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val a = words("a", 16); val b = words("b", 16); val c = words("c", 16)
+    val docs = Seq(
+      (1L, s"$a $b"),          // 2 chunks, both first occurrences
+      (2L, s"$a $c"),          // chunk A repeats doc 1 -> dropped here
+      (3L, "short tail"),      // one partial chunk, unique
+      (4L, s"$b $b")           // within-doc repeat: idx 1 drops (doc 1 owns B)
+    ).toDF("doc_id", "text")
+    val got = DedupOps.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((2L, 0L, h(s"$a $b"))))
+    assert(got(2L) == ((2L, 1L, h(c))))   // only C survives
+    assert(got(3L) == ((1L, 0L, h("short tail"))))
+    assert(got(4L) == ((2L, 2L, h("")))) // doc 1 owns B; both copies drop
+  }
+
   test("windowRank partial top-k == row_number window formulation") {
     // q13 was rewritten from a row_number window (5 sort tasks max at any
     // cluster size) to a TopKAgg partial aggregation; this pins the
