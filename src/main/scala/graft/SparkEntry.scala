@@ -228,6 +228,10 @@ object SparkEntry {
     // CCNet-style paragraph dedup: repeated 16-token chunks dropped except
     // their first occurrence; docs reassembled from surviving chunks
     "q131_paragraph_dedup" -> ((s, d) => DedupOps.paragraphDedup(s, d)),
+    // streaming MinHash-LSH near-dup flagging: per-band-bucket owner state
+    // (one Long per occupied bucket) flags arriving docs that collide with
+    // an earlier doc — q25's candidate stage as an online ingest gate
+    "q132_stream_lsh_dedup" -> ((s, d) => graft.streaming.StreamReplay.lshDedupReplay(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -1986,6 +1990,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  md5(coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS new_hash
         |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q132: batch dual of the streaming LSH band dedup — q25's signature and
+    // band CTEs verbatim; a doc collides on a band iff the bucket's
+    // min(doc_id) (the stream's running owner state) is smaller than it
+    "q132_stream_lsh_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(arr)-1), i -> arr[i]||' '||arr[i+1]||' '||arr[i+2])) AS s
+        |  FROM toks WHERE len(arr)>=3)),
+        |shd AS (SELECT doc_id, md5(s) || md5('x'||s) AS d FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(substr(d,1,8)) h0, min(substr(d,9,8)) h1,
+        |  min(substr(d,17,8)) h2, min(substr(d,25,8)) h3,
+        |  min(substr(d,33,8)) h4, min(substr(d,41,8)) h5,
+        |  min(substr(d,49,8)) h6, min(substr(d,57,8)) h7
+        |  FROM shd GROUP BY doc_id),
+        |bands AS (SELECT doc_id, '0'||h0||h1 AS bk FROM sig UNION ALL SELECT doc_id, '1'||h2||h3 FROM sig
+        |  UNION ALL SELECT doc_id, '2'||h4||h5 FROM sig UNION ALL SELECT doc_id, '3'||h6||h7 FROM sig),
+        |own AS (SELECT bk, min(doc_id) AS owner FROM bands GROUP BY bk)
+        |SELECT b.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bands_hit,
+        |  min(o.owner) AS first_owner
+        |FROM bands b JOIN own o ON b.bk = o.bk AND o.owner < b.doc_id
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
     "q60_dedup_clusters" ->
       (ClusterCte +
         """

@@ -302,4 +302,26 @@ object StreamReplay {
         round(col("s.total_value"), 2).as("total_value"))
       .orderBy("user_id")
   }
+
+  /** q132: streaming MinHash-LSH near-dup flagging
+   * ([[StreamingOps.lshBandDedup]]) replayed bounded over the documents
+   * table. The sink holds one row per (doc, band) collision against an
+   * earlier-arriving owner; the replay folds them per doc — how many of
+   * the doc's 4 bands hit an occupied bucket, and the earliest owner it
+   * collided with. documents.parquet arrives in one micro-batch, so the
+   * per-bucket owner state equals the bucket's global min(doc_id), which
+   * the batch-dual oracle reproduces exactly (sorted in-batch processing
+   * makes this hold across ANY batch split too). */
+  def lshDedupReplay(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.operators.Tables.t(spark, dir, "documents").schema
+    val docs = spark.readStream.schema(schema).parquet(s"$dir/documents*")
+    val sink = runToSink(
+      spark,
+      StreamingOps.lshBandDedup(spark, docs.select("doc_id", "text")),
+      "append")
+    sink
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bands_hit"), min(col("owner")).as("first_owner"))
+      .orderBy("doc_id")
+  }
 }

@@ -150,4 +150,65 @@ object StreamingOps {
       }
       .toDF()
   }
+
+  final case class BandRow(bk: String, doc_id: Long)
+  final case class BandCollision(doc_id: Long, bk: String, owner: Long)
+
+  /**
+   * Streaming MinHash-LSH near-dup flagging — the streaming dual of the
+   * batch q25 pipeline's candidate stage: documents arriving on a stream
+   * are checked against every document seen SO FAR via per-band-bucket
+   * state. The signature (8 md5-slice min-hashes, banded 4x2 — identical
+   * constants to [[graft.operators.DedupOps.minhashPairs]]) is computed
+   * STATELESSLY map-side; the only state is one Long per occupied band
+   * bucket: the smallest doc_id that ever claimed it. A document that
+   * lands in a bucket already owned by a smaller id emits a collision row
+   * (doc_id, band key, owner) — "this doc is a near-dup CANDIDATE of the
+   * earlier owner" — which is exactly the decision an online ingest
+   * pipeline needs at arrival time, without ever joining the stream
+   * against the corpus.
+   *
+   * Determinism: batch members are processed in doc_id order and the
+   * owner is the running minimum, so a collision's owner is the bucket's
+   * global min(doc_id) regardless of micro-batch boundaries — the batch
+   * dual (min per band key) reproduces it exactly.
+   *
+   * Scale shape: state is O(occupied buckets) Longs — duplication-free
+   * corpora occupy at most 4 buckets/doc, and a production deployment
+   * bounds it with a state TTL (timeout) the same way
+   * [[dedupWithinWatermark]] bounds its key set; the collision output is
+   * dup-sized, never corpus-sized.
+   */
+  def lshBandDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("sharr"))
+      .filter(size(col("sharr")) >= 1)
+      .select(col("doc_id"), expr("minhash8(sharr)").as("h"))
+      .select(
+        col("doc_id"),
+        explode(array(
+          concat(lit("0"), col("h")(0), col("h")(1)),
+          concat(lit("1"), col("h")(2), col("h")(3)),
+          concat(lit("2"), col("h")(4), col("h")(5)),
+          concat(lit("3"), col("h")(6), col("h")(7))
+        )).as("bk"))
+      .select(col("bk"), col("doc_id"))
+      .as[BandRow]
+      .groupByKey(_.bk)
+      .flatMapGroupsWithState[Long, BandCollision](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bk: String, rows: Iterator[BandRow], state: GroupState[Long]) =>
+          val ids = rows.map(_.doc_id).toArray.sorted
+          var owner = state.getOption.getOrElse(Long.MaxValue)
+          val out = Seq.newBuilder[BandCollision]
+          ids.foreach { id =>
+            if (owner < id) out += BandCollision(id, bk, owner)
+            else if (id < owner) owner = id
+          }
+          if (owner != Long.MaxValue) state.update(owner)
+          out.result().iterator
+      }
+      .toDF()
+  }
 }

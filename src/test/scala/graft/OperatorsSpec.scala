@@ -439,6 +439,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(0) == batchDf.count())
   }
 
+  test("streaming lshBandDedup: cross-batch state flags a later near-dup against the earlier owner") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("stream-lsh")
+    val dup = "alpha beta gamma delta epsilon zeta"
+    Seq((1L, dup), (3L, "one two three four five six"))
+      .toDF("doc_id", "text").write.mode("append").parquet(tmp.toString)
+    Thread.sleep(1100) // FileStreamSource orders by mod time; force file 2 later
+    Seq((2L, dup), (4L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text").write.mode("append").parquet(tmp.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val streamDf = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+    val q = graft.streaming.StreamingOps.lshBandDedup(spark, streamDf)
+      .writeStream.outputMode("append").format("memory").queryName("lshdd")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not self-terminate"); q.stop()
+    val rows = spark.sql("SELECT doc_id, owner FROM lshdd").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // doc 2 (file 2) duplicates doc 1 (file 1): its collision can ONLY come
+    // from the per-bucket owner STATE carried across micro-batches
+    assert(rows.length == 4, s"expected 4 band collisions, got ${rows.toSeq}")
+    assert(rows.forall(_ == ((2L, 1L))), s"wrong collision rows: ${rows.toSeq}")
+  }
+
   test("streaming interval join matches the batch join exactly") {
     import org.apache.spark.sql.streaming.Trigger
     val events = operators.Tables.t(spark, dir, "events")
