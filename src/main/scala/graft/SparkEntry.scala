@@ -232,6 +232,10 @@ object SparkEntry {
     // (one Long per occupied bucket) flags arriving docs that collide with
     // an earlier doc — q25's candidate stage as an online ingest gate
     "q132_stream_lsh_dedup" -> ((s, d) => graft.streaming.StreamReplay.lshDedupReplay(s, d)),
+    // streaming curation: the q43 flagship as an online ingest pipeline —
+    // quality gate inside the stream's scan stage, then the q132 owner
+    // state flags near-dups among ADMITTED docs; kept = gated minus collided
+    "q133_stream_curation" -> ((s, d) => graft.streaming.StreamReplay.streamCurationReplay(s, d)),
     // -- whisper source end-to-end (rows-only: DuckDB cannot read .wsp) --
     "q33_whisper_pipeline" -> (WhisperWorkload.pipeline(_, _)),
     "q69_whisper_ref_scale" -> (WhisperWorkload.refScale(_, _)),
@@ -2012,6 +2016,54 @@ object SparkEntry {
         |  min(o.owner) AS first_owner
         |FROM bands b JOIN own o ON b.bk = o.bk AND o.owner < b.doc_id
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    // q133: q43's quality/lang CTEs + q132's band/owner CTEs restricted to
+    // the GATED set — kept corpus = gated docs with no band collision
+    // against a smaller admitted doc_id
+    "q133_stream_curation" ->
+      """WITH q AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |  CAST(len(regexp_extract_all(text,'[^A-Za-z0-9 ]')) AS DOUBLE)/length(text) AS punct_r,
+        |  CAST(len(list_filter(string_split(text,' '), x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_r,
+        |  length(text) AS lt FROM documents),
+        |quality AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(least(1.0, lt/500.0)*(1.0-punct_r)*(0.5+0.5*stop_r)*1000.0, 0) AS BIGINT) AS quality_score_k
+        |  FROM q),
+        |gated AS (SELECT doc_id, n_tokens, quality_score_k FROM quality
+        |  WHERE quality_score_k >= 300 AND n_tokens >= 20),
+        |c AS (SELECT doc_id,
+        | len(list_filter(string_split(text,' '), x->list_contains(['the','a','of','and','to','in'],x))) AS c_en,
+        | len(list_filter(string_split(text,' '), x->list_contains(['der','die','das','und','nicht'],x))) AS c_de,
+        | len(list_filter(string_split(text,' '), x->list_contains(['el','la','de','y','que'],x))) AS c_es,
+        | len(list_filter(string_split(text,' '), x->list_contains(['le','la','de','et','les'],x))) AS c_fr,
+        | len(list_filter(string_split(text,' '), x->list_contains(['的','是','在'],x))) AS c_zh
+        | FROM documents),
+        |lang AS (SELECT doc_id,
+        | CASE WHEN c_zh>=c_fr AND c_zh>=c_es AND c_zh>=c_en AND c_zh>=c_de THEN 'zh'
+        |  WHEN c_fr>=c_es AND c_fr>=c_en AND c_fr>=c_de THEN 'fr'
+        |  WHEN c_es>=c_en AND c_es>=c_de THEN 'es'
+        |  WHEN c_en>=c_de THEN 'en' ELSE 'de' END AS lang_pred FROM c),
+        |toksv AS (SELECT d.doc_id, string_split(d.text,' ') AS arr FROM documents d
+        |  JOIN gated g ON d.doc_id = g.doc_id),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(arr)-1), i -> arr[i]||' '||arr[i+1]||' '||arr[i+2])) AS s
+        |  FROM toksv WHERE len(arr)>=3)),
+        |shd AS (SELECT doc_id, md5(s) || md5('x'||s) AS d FROM sh),
+        |sig AS (SELECT doc_id,
+        |  min(substr(d,1,8)) h0, min(substr(d,9,8)) h1,
+        |  min(substr(d,17,8)) h2, min(substr(d,25,8)) h3,
+        |  min(substr(d,33,8)) h4, min(substr(d,41,8)) h5,
+        |  min(substr(d,49,8)) h6, min(substr(d,57,8)) h7
+        |  FROM shd GROUP BY doc_id),
+        |bands AS (SELECT doc_id, '0'||h0||h1 AS bk FROM sig UNION ALL SELECT doc_id, '1'||h2||h3 FROM sig
+        |  UNION ALL SELECT doc_id, '2'||h4||h5 FROM sig UNION ALL SELECT doc_id, '3'||h6||h7 FROM sig),
+        |own AS (SELECT bk, min(doc_id) AS owner FROM bands GROUP BY bk),
+        |coll AS (SELECT DISTINCT b.doc_id FROM bands b
+        |  JOIN own o ON b.bk = o.bk AND o.owner < b.doc_id)
+        |SELECT g.doc_id AS doc_id, lang.lang_pred AS lang_pred,
+        |  g.n_tokens AS n_tokens, g.quality_score_k AS quality_score_k
+        |FROM gated g JOIN lang ON g.doc_id = lang.doc_id
+        |WHERE g.doc_id NOT IN (SELECT doc_id FROM coll)
+        |ORDER BY doc_id""".stripMargin,
     "q60_dedup_clusters" ->
       (ClusterCte +
         """

@@ -61,7 +61,23 @@ object TextOps {
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, composite. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    withQualityGateCols(t(spark, dir, "documents"))
+      .selectExpr(
+        "doc_id",
+        "n_tokens",
+        "round(punct_r, 4) as punct_ratio",
+        "round(stop_r, 4) as stopword_ratio",
+        "quality_score_k"
+      ).orderBy("doc_id")
+
+  /** The quality formula as ADDED COLUMNS on any (doc_id, text) frame — the
+   * single source of truth shared by [[qualityScore]] and the streaming
+   * curation gate ([[graft.streaming.StreamingOps.streamCuration]]), so the
+   * stream's admit decision can never drift from the batch score. Caller
+   * must have registered `punct_count` (VectorFunctions). Adds toks /
+   * punct_r / stop_r / n_tokens / quality_score_k. */
+  private[graft] def withQualityGateCols(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr("split(text, ' ')"))
       // punct_count == regexp_count(text, '[^A-Za-z0-9 ]') exactly
       // (property-pinned), but as one codegen byte scan instead of Spark's
@@ -72,17 +88,14 @@ object TextOps {
         "stop_r",
         expr(s"cast(size(filter(toks, x -> x in ${inList(StopEn)})) as double) / size(toks)")
       )
-      .selectExpr(
-        "doc_id",
-        "cast(size(toks) as bigint) as n_tokens",
-        "round(punct_r, 4) as punct_ratio",
-        "round(stop_r, 4) as stopword_ratio",
-        // composite score quantized to an INTEGER 0..1000: engines may differ
-        // by 1 ulp on the triple product (FMA contraction), so a float output
-        // rounded at 4 digits can flip a hash at a .00005 boundary; a coarse
-        // integer bucket makes that 10x less likely and hashes exactly.
-        "cast(round(least(1.0, length(text) / 500.0) * (1.0 - punct_r) * (0.5 + 0.5 * stop_r) * 1000.0, 0) as bigint) as quality_score_k"
-      ).orderBy("doc_id")
+      .withColumn("n_tokens", expr("cast(size(toks) as bigint)"))
+      // composite score quantized to an INTEGER 0..1000: engines may differ
+      // by 1 ulp on the triple product (FMA contraction), so a float output
+      // rounded at 4 digits can flip a hash at a .00005 boundary; a coarse
+      // integer bucket makes that 10x less likely and hashes exactly.
+      .withColumn(
+        "quality_score_k",
+        expr("cast(round(least(1.0, length(text) / 500.0) * (1.0 - punct_r) * (0.5 + 0.5 * stop_r) * 1000.0, 0) as bigint)"))
 
   /** Document fingerprinting: md5 of normalized text (same hex in DuckDB). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =

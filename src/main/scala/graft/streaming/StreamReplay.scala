@@ -324,4 +324,33 @@ object StreamReplay {
       .agg(count(lit(1)).as("n_bands_hit"), min(col("owner")).as("first_owner"))
       .orderBy("doc_id")
   }
+
+  /** q133: streaming curation ([[StreamingOps.streamCuration]]) replayed
+   * bounded. The STREAM makes the expensive decisions (quality gate inside
+   * the scan stage; near-dup collisions against the per-bucket owner
+   * state); the replay subtracts the collision sink from the gated set and
+   * decorates survivors with the batch lang-ID — the decoration re-runs
+   * deterministic row expressions, so the output is exactly what a
+   * deployment's downstream writer would persist per admitted doc. Output
+   * mirrors q43's kept-corpus shape; the dedup semantic differs by design
+   * (arrival-time BAND-CANDIDATE gate — any bucket collision drops the
+   * doc — vs q43's verified-Jaccard pair losers). */
+  def streamCurationReplay(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.operators.Tables.t(spark, dir, "documents").schema
+    val docs = spark.readStream.schema(schema).parquet(s"$dir/documents*")
+    val sink = runToSink(
+      spark,
+      StreamingOps.streamCuration(spark, docs.select("doc_id", "text")),
+      "append")
+    val collided = sink.select("doc_id").distinct()
+    val quality = graft.operators.TextOps.qualityScore(spark, dir)
+      .select("doc_id", "quality_score_k", "n_tokens")
+    val lang = graft.operators.TextOps.langId(spark, dir).select("doc_id", "lang_pred")
+    quality
+      .filter(col("quality_score_k") >= 300 && col("n_tokens") >= 20)
+      .join(collided, Seq("doc_id"), "left_anti")
+      .join(lang, Seq("doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality_score_k"))
+      .orderBy("doc_id")
+  }
 }

@@ -211,4 +211,27 @@ object StreamingOps {
       }
       .toDF()
   }
+
+  /**
+   * Streaming curation — the q43 flagship as an ONLINE ingest pipeline:
+   * arriving documents pass the quality gate (score >= 300, >= 20 tokens,
+   * the batch formula verbatim via
+   * [[graft.operators.TextOps.withQualityGateCols]] so the stream's admit
+   * decision cannot drift from the batch score), and gated docs flow into
+   * [[lshBandDedup]]'s per-bucket owner state, emitting a collision row
+   * when they near-dup anything previously ADMITTED. The kept corpus is
+   * the gated set minus collision docs.
+   *
+   * The stateless gates run inside the stream's scan stage (one codegen
+   * span, no state, no shuffle); only the gated survivors' band keys reach
+   * the state store — on a 100 TB ingest the stateful stage sees the
+   * post-gate fraction, not the firehose.
+   */
+  def streamCuration(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val gated = graft.operators.TextOps.withQualityGateCols(docs)
+      .filter(col("quality_score_k") >= 300 && col("n_tokens") >= 20)
+      .select("doc_id", "text")
+    lshBandDedup(spark, gated)
+  }
 }

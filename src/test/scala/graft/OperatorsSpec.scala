@@ -466,6 +466,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_ == ((2L, 1L))), s"wrong collision rows: ${rows.toSeq}")
   }
 
+  test("streaming curation: gated-out docs never claim dedup state; admitted dups drop") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // 25 distinct 20-char words, no punctuation: length 524 -> quality 500
+    def hi(tag: String): String =
+      (1 to 25).map(i => (tag * 20).take(16) + f"$i%04d").mkString(" ")
+    val t1 = hi("a")
+    val t3 = hi("b")
+    // t3's words + one 400-char '!' token: punct_r 0.43 -> quality 284 < 300,
+    // but 23 of its 24 shingles are t3's — near-dup of t3, gated out
+    val t2 = t3 + " " + ("!" * 400)
+    // precondition: t2/t3 DO share a band (else the state assertion below
+    // would pass vacuously) — batch-mode lshBandDedup sees them collide
+    val pre = graft.streaming.StreamingOps
+      .lshBandDedup(spark, Seq((2L, t2), (3L, t3)).toDF("doc_id", "text")).collect()
+    assert(pre.nonEmpty, "fixture invalid: t2/t3 share no LSH band")
+    val tmp = java.nio.file.Files.createTempDirectory("stream-cur")
+    Seq((1L, t1), (2L, t2), (3L, t3), (4L, t1))
+      .toDF("doc_id", "text").write.mode("append").parquet(tmp.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val streamDf = spark.readStream.schema(schema).parquet(tmp.toString)
+    val q = graft.streaming.StreamingOps.streamCuration(spark, streamDf)
+      .writeStream.outputMode("append").format("memory").queryName("scur")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not self-terminate"); q.stop()
+    val coll = spark.sql("SELECT DISTINCT doc_id, owner FROM scur").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 4 (dup of admitted doc 1) collides; doc 3 does NOT — its near-dup
+    // doc 2 failed the quality gate and never claimed the shared bucket
+    assert(coll == Set((4L, 1L)), s"wrong collision set: $coll")
+  }
+
   test("streaming interval join matches the batch join exactly") {
     import org.apache.spark.sql.streaming.Trigger
     val events = operators.Tables.t(spark, dir, "events")
