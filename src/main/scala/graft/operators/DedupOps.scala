@@ -468,7 +468,14 @@ object DedupOps {
   /** One run of the propagation loop; returns the pinned label table. */
   /** Min-label propagation over a PERSISTED bidirectional edge list
    * (s, t) — the loop body shared by [[computeClusterLabels]] (q60) and
-   * [[crossModalDedup]] (q128). Round 0 is FOLDED INTO initialization:
+   * [[crossModalDedup]] (q128). Callers persist the edges REPARTITIONED BY
+   * `t` (r17): every round joins edges on t, and a cached un-partitioned
+   * edge list would re-shuffle corpus-dup-sized edges EVERY round; cached
+   * hash-partitioned, the edge side of the join is exchange-free all
+   * rounds, and the label side rides its checkpoint-preserved partitioning
+   * (LogicalRDD keeps outputPartitioning) — per-round exchanges drop from
+   * 5 to ~1 (the neighbor-min re-key), measured 3.9 s -> 2.6 s for q128's
+   * 6-round loop at sf0.1 and strictly fewer label-table moves at scale. Round 0 is FOLDED INTO initialization:
    * lbl_0(v) = min(v ∪ N(v)) comes straight off the edge list as one
    * aggregation (no join), so the loop starts a full propagation round
    * ahead — for the dominant near-dup shape (cliques) lbl_0 already IS
@@ -543,6 +550,8 @@ object DedupOps {
         struct(col("a").as("s"), col("b").as("t")),
         struct(col("b").as("s"), col("a").as("t")))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+      // hash-partitioned on the loop's join key (see propagateMinLabels)
+      .repartition(col("t"))
       .persist()
     val (labels, lastGen) = propagateMinLabels(edges)
     // Pin the FINAL label table through the OpCache slot and materialize it
@@ -783,9 +792,16 @@ object DedupOps {
    * over the corpus, no second shuffle beyond the group-by).
    */
   def canonicalByQuality(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dedupClusters(spark, dir).select("doc_id", "cluster")
-    val quality = TextOps.qualityScore(spark, dir).select("doc_id", "quality_score_k")
-    labels.join(quality, "doc_id")
+    // r17: consume the unsorted label table (dedupClusters' orderBy feeds a
+    // groupBy here) and compute quality AFTER the member join — the same
+    // member-only-scoring move as [[crossModalDedup]]'s election; per-doc
+    // values identical.
+    val labels = clusterLabelTable(spark, dir)
+      .select(col("doc_id"), col("lbl").as("cluster"))
+    val quality = TextOps.withQualityGateCols(
+        labels.join(t(spark, dir, "documents").select("doc_id", "text"), "doc_id"))
+      .select("doc_id", "cluster", "quality_score_k")
+    quality
       .groupBy("cluster")
       .agg(
         // max over (quality, -doc_id, doc_id): highest quality, then LOWEST
@@ -833,18 +849,26 @@ object DedupOps {
     val textEdges = clusterLabelTable(spark, dir)
       .filter(col("doc_id") =!= col("lbl"))
       .select(col("doc_id").as("a"), col("lbl").as("b"))
-    val imageEdges = MultimodalOps.imagePhashDedup(spark, dir).select("a", "b")
-    val audioEdges = MultimodalOps.audioFingerprintDedup(spark, dir).select("a", "b")
-    val videoEdges = MultimodalOps.videoPhashDedup(spark, dir).select("a", "b")
+    // r17: the UNSORTED pair cores — the q125/q126/q127 outputs carry a
+    // presentation orderBy that the edge union's persist boundary would
+    // otherwise execute as three range exchanges feeding a groupBy that
+    // ignores order (plan: 3 fewer Exchange + Sort pairs, same edges)
+    val imageEdges = MultimodalOps.imagePairEdges(spark, dir).select("a", "b")
+    val audioEdges = MultimodalOps.audioPairEdges(spark, dir).select("a", "b")
+    val videoEdges = MultimodalOps.videoPairEdges(spark, dir).select("a", "b")
     val pairs = textEdges
       .unionByName(imageEdges)
       .unionByName(audioEdges)
       .unionByName(videoEdges)
+    // persisted hash-partitioned on t — the loop's join key (see
+    // propagateMinLabels); the one-time repartition replaces a re-shuffle
+    // of the edge list in EVERY propagation round
     val edges = pairs
       .select(explode(array(
         struct(col("a").as("s"), col("b").as("t")),
         struct(col("b").as("s"), col("a").as("t")))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+      .repartition(col("t"))
       .persist()
     val (labels0, lastGen) = propagateMinLabels(edges)
     // materialize the labels (they feed BOTH the election join and the
@@ -852,8 +876,15 @@ object DedupOps {
     val labels = labels0.select(col("doc_id"), col("lbl").as("cluster")).localCheckpoint()
     releaseCheckpoint(lastGen)
     edges.unpersist()
-    val quality = TextOps.qualityScore(spark, dir).select("doc_id", "quality_score_k")
-    val winners = labels.join(quality, "doc_id")
+    // r17: quality computed AFTER the member join, not corpus-wide — the
+    // score is row-local, members are the pair-graph's nodes (a small
+    // fraction of the corpus), and the old shape paid punct_count over
+    // every document's full text just to discard the non-members at the
+    // join. Values are identical per doc (same formula, same inputs).
+    val quality = TextOps.withQualityGateCols(
+        labels.join(t(spark, dir, "documents").select("doc_id", "text"), "doc_id"))
+      .select("doc_id", "cluster", "quality_score_k")
+    val winners = quality
       .groupBy("cluster")
       .agg(
         max(struct(col("quality_score_k"), (-col("doc_id")).as("neg"), col("doc_id"))).as("best"),

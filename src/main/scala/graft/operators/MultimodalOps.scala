@@ -743,31 +743,51 @@ object MultimodalOps {
    * fixture. One map-side pass per image, then the banded LSH; never
    * all-pairs.
    */
-  def imageNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 6): DataFrame = {
+  def imageNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 6): DataFrame =
+    hammingLshPairs(imageHashedChunks(assets), maxHamming)
+
+  /** The decode + aHash stage of [[imageNearDupPairs]] as a chunk table. */
+  private def imageHashedChunks(assets: Dataset[Asset]): DataFrame = {
     import assets.sparkSession.implicits._
-    val hashed = assets
+    assets
       .mapPartitions(_.map { a =>
         val (c0, c1, c2, c3) = PerceptualHash.phashChunks(a.bytes)
         (a.id, c0, c1, c2, c3)
       })
       .toDF("doc_id", "c0", "c1", "c2", "c3")
-    hammingLshPairs(hashed, maxHamming)
   }
+
+  /** Unsorted image pair edges on the stored fixture — the q128 feed. */
+  private[operators] def imagePairEdges(spark: SparkSession, dir: String): DataFrame =
+    bandedVerifyPairsUnsorted(imageHashedChunks(imagePatternAssetsStored(spark, dir)),
+      Seq("c0", "c1", "c2", "c3"), Seq("c0", "c1", "c2", "c3"))
 
   /** Payload-facing audio near-dup API: decode each asset's real WAV
    * bytes, fingerprint the frame energies
    * ([[AudioFingerprint.fingerprintChunks]]), LSH-pair within
    * `maxHamming` bits. */
-  def audioNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 6): DataFrame = {
+  def audioNearDupPairs(assets: Dataset[Asset], maxHamming: Int = 6): DataFrame =
+    hammingLshPairs(audioHashedChunks(assets), maxHamming)
+
+  /** The decode + fingerprint stage of [[audioNearDupPairs]]. */
+  private def audioHashedChunks(assets: Dataset[Asset]): DataFrame = {
     import assets.sparkSession.implicits._
-    val hashed = assets
+    assets
       .mapPartitions(_.map { a =>
         val (c0, c1, c2, c3) = AudioFingerprint.fingerprintChunks(a.bytes)
         (a.id, c0, c1, c2, c3)
       })
       .toDF("doc_id", "c0", "c1", "c2", "c3")
-    hammingLshPairs(hashed, maxHamming)
   }
+
+  /** Unsorted audio pair edges on the stored fixture — the q128 feed. */
+  private[operators] def audioPairEdges(spark: SparkSession, dir: String): DataFrame =
+    bandedVerifyPairsUnsorted(audioHashedChunks(audioPatternAssetsStored(spark, dir)),
+      Seq("c0", "c1", "c2", "c3"), Seq("c0", "c1", "c2", "c3"))
+
+  /** Unsorted video pair edges on the stored fixture — the q128 feed. */
+  private[operators] def videoPairEdges(spark: SparkSession, dir: String): DataFrame =
+    videoNearDupPairsUnsorted(videoPatternAssetsStored(spark, dir))
 
   /** q125: read the stored patterned PNGs, REALLY decode them, aHash the
    * pixels, and find near-dup pairs via chunked Hamming-LSH (<= 6 bits).
@@ -796,6 +816,17 @@ object MultimodalOps {
    * distance — never all-pairs either way. */
   def bandedVerifyPairs(
       hashed: DataFrame, bandCols: Seq[String], verifyCols: Seq[String],
+      maxHamming: Int = 6, bucketCap: Int = 50): DataFrame =
+    bandedVerifyPairsUnsorted(hashed, bandCols, verifyCols, maxHamming, bucketCap)
+      .orderBy("a", "b")
+
+  /** [[bandedVerifyPairs]] without the presentation sort (r17) — the
+   * minhashLsh/minhashPairs split applied here: consumers that immediately
+   * re-aggregate the pair list (the q128 cross-modal edge union) would pay
+   * the global range exchange for nothing, and the persist boundary they
+   * materialize the union under blocks Catalyst's sort elimination. */
+  private[operators] def bandedVerifyPairsUnsorted(
+      hashed: DataFrame, bandCols: Seq[String], verifyCols: Seq[String],
       maxHamming: Int = 6, bucketCap: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bandArr = bandCols.zipWithIndex
@@ -819,7 +850,6 @@ object MultimodalOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("a", "b")
   }
 
   /**
@@ -1062,7 +1092,13 @@ object MultimodalOps {
    * `Dataset[Asset]` of length-prefixed frame containers. The hot-hash
    * guard shares the LSH bucket-cap stance: a frame hash shared by k
    * videos yields k^2/2 pairs; cap the group at `hotHashCap`. */
-  def videoNearDupPairs(assets: Dataset[Asset], step: Int = 2, hotHashCap: Int = 50): DataFrame = {
+  def videoNearDupPairs(assets: Dataset[Asset], step: Int = 2, hotHashCap: Int = 50): DataFrame =
+    videoNearDupPairsUnsorted(assets, step, hotHashCap).orderBy("a", "b")
+
+  /** [[videoNearDupPairs]] without the presentation sort (r17) — see
+   * [[bandedVerifyPairsUnsorted]]. */
+  private[operators] def videoNearDupPairsUnsorted(
+      assets: Dataset[Asset], step: Int = 2, hotHashCap: Int = 50): DataFrame = {
     import assets.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val frameHashes = assets
@@ -1084,7 +1120,6 @@ object MultimodalOps {
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("n_shared_frames"))
-      .orderBy("a", "b")
   }
 
   /** q127: read the stored containers, REALLY parse + seek + decode + hash
@@ -1215,10 +1250,15 @@ object MultimodalOps {
         }
       })
       .toDF("doc_id", "qa", "qb", "dt")
-    // per-asset DISTINCT key counts (pre-cap: the normalization denominator
-    // must not depend on which buckets the cap drops)
-    val counts = keys.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val pruned = keys
+    // per-asset key counts (pre-cap: the normalization denominator must not
+    // depend on which buckets the cap drops) carried IN-LINEAGE as a second
+    // window (r17): the former separate groupBy(doc_id) branch re-ran the
+    // landmark decode for every asset a second time (branches do not share
+    // scans) and paid two count joins; a doc_id window over the same key
+    // rows is one exchange, decode runs once, values identical.
+    val withC = keys
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val pruned = withC
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("qa", "qb", "dt")))
       .filter(col("bsz") <= hotKeyCap)
       .drop("bsz")
@@ -1227,9 +1267,8 @@ object MultimodalOps {
       col("x.qa") === col("y.qa") && col("x.qb") === col("y.qb") &&
         col("x.dt") === col("y.dt") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(counts.select(col("doc_id").as("a"), col("c").as("ca")), "a")
-      .join(counts.select(col("doc_id").as("b"), col("c").as("cb")), "b")
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("x.c")).as("ca"), max(col("y.c")).as("cb"))
       .filter(col("n_shared") >= minShared &&
         col("n_shared") * 2 >= least(col("ca"), col("cb")))
       .select(col("a"), col("b"), col("n_shared"))

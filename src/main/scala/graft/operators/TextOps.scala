@@ -258,12 +258,10 @@ object TextOps {
    * cross-engine exactness holds by construction; magnitude bounds hold to
    * ~10¹² docs / ~10¹⁸ tokens. Measured linear 1x→100x (BENCH_NOTES r12).
    *
-   * Shape: derives entirely from the shared [[docTermTable]] relation (ONE
-   * corpus tokenize pass, shared with q53/q83 — composing all three in a
-   * session tokenizes once). The query-term df table and the (T, N) totals
-   * broadcast (≤ |query| rows); the per-(doc, term) scoring rows are the
-   * FILTERED corpus (only query-term hits survive the isin pushdown), the
-   * dl join and the final groupBy share the doc_id shuffle key, and the
+   * Shape (r17): two map-side scans of `documents` — a 1-row stats
+   * aggregate (T, N, per-term df) that broadcasts, and a scoring pass that
+   * derives (m, dl) per doc from the token array in place (see
+   * [[bm25Scores]]) — then one partial-aggregated doc_id groupBy; the
    * top-k is TakeOrderedAndProject — never a global sort.
    */
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
@@ -274,17 +272,51 @@ object TextOps {
   /** The full BM25 score relation behind [[bm25TopK]] — one row per doc
    * hitting >= 1 query term, UNBOUNDED (no top-k): the input a corpus-scale
    * fusion ([[rrfFusionCorpus]]) ranks in full. Same exact-integer ppm
-   * arithmetic; the plan is partial-agg + two broadcasts, no global sort. */
+   * arithmetic.
+   *
+   * r17 shape (was: the [[docTermTable]] tokenize-and-shuffle): a 5-term
+   * query never needs the corpus term MULTISET — per-doc term frequencies
+   * are `size(filter(toks, x -> x = term))`, a map-side array scan, and the
+   * doc length is `size(toks)`. So the plan is now two scans of `documents`
+   * and ONE corpus-wide exchange instead of four: (1) a single partial
+   * aggregate computes the 1-row stats vector (t_tot, n_docs, df per query
+   * term — df as `sum(m > 0)`); (2) the scoring pass derives (m, dl)
+   * map-side, drops no-hit docs, cross-joins the broadcast 1-row stats and
+   * partial-aggregates contribs per doc_id. At 100 TB the old shape
+   * shuffled and cached the full exploded token table to score 5 terms;
+   * this one moves only the ≤|query|-rows-per-doc contrib table. The
+   * integer law and every emitted value are unchanged (same m, dl, df,
+   * t_tot, n_docs feeding the same ppm expression — oracle-checked).
+   * In-session sharing note: q53/q83/q109 keep [[docTermTable]]; BM25 no
+   * longer taxes it (nor pays its build when composed alone). */
   def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
-    val docTok = docTermTable(spark, dir).select("doc_id", "tok", "m")
-    val dl = docTok.groupBy("doc_id").agg(sum("m").as("dl"))
-    val tot = dl.agg(sum("dl").as("t_tot"), count(lit(1)).as("n_docs"))
-    val hits = docTok.filter(col("tok").isin(Bm25Query: _*))
-    val dfTab = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    def mOf(term: String) =
+      expr(s"cast(size(filter(toks, x -> x = '$term')) as bigint)")
+    // 1-row corpus stats: total tokens, doc count, per-term doc frequency
+    val statAggs =
+      sum(size(col("toks")).cast("long")).as("t_tot") +:
+        count(lit(1)).as("n_docs") +:
+        Bm25Query.zipWithIndex.map { case (term, i) =>
+          sum(when(mOf(term) > 0L, 1L).otherwise(0L)).as(s"df_$i")
+        }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    // per-(doc, term) hits with dl carried on the row — no dl join
+    val hits = docs
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(array(Bm25Query.zipWithIndex.map { case (term, i) =>
+          struct(lit(i).as("ti"), mOf(term).as("m"))
+        }: _*)).as("h"))
+      .select(col("doc_id"), col("dl"), col("h.ti").as("ti"), col("h.m").as("m"))
+      .filter(col("m") > 0L)
+    val dfByIdx = expr(
+      Bm25Query.indices.map(i => s"when ti = $i then df_$i").mkString("case ", " ", " end"))
     hits
-      .join(broadcast(dfTab), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(stats))
+      .withColumn("df", dfByIdx)
       .withColumn("contrib_ppm", expr(
         "(44000000 * least(m, 100000) * 1000000 div " +
           "(20000000 * least(m, 100000) + 6000000 + 18 * (dl * 1000000 div (t_tot div n_docs)))) * " +
@@ -531,7 +563,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val pool = OpCache.persistBounded("q118_pool",
       hybridRetrieval(spark, dir, k = poolK).select("doc_id", "rrf_ppm"))
-    val labels = DedupOps.dedupClusters(spark, dir).select("doc_id", "cluster")
+    // r17: the unsorted label table — dedupClusters' presentation orderBy
+    // would feed a left-semi join that ignores order
+    val labels = DedupOps.clusterLabelTable(spark, dir)
+      .select(col("doc_id"), col("lbl").as("cluster"))
     val poolLabels = labels
       .join(broadcast(pool.select("doc_id")), Seq("doc_id"), "left_semi")
     val labeled = pool

@@ -873,7 +873,10 @@ object VectorOps {
         .select(col("qid"), col("hit._2").as("vec_id"), col("hit._1").as("cos")))
     val ids = pool.select(col("vec_id").as("doc_id"))
       .union(pool.select(col("qid").as("doc_id"))).distinct()
-    val labels = DedupOps.dedupClusters(spark, dir).select("doc_id", "cluster")
+    // r17: the unsorted label table — dedupClusters' presentation orderBy
+    // would feed a semi-join + broadcast that ignore order
+    val labels = DedupOps.clusterLabelTable(spark, dir)
+      .select(col("doc_id"), col("lbl").as("cluster"))
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
     val wQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     pool

@@ -55,6 +55,18 @@ object StreamReplay {
     ev.filter(col("event_type") === kind)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
 
+  /** min(max purchase ts, max error ts) in ONE pass (r17): the outer-join
+   * replays previously ran two separate driver aggregations for the two
+   * sides' maxima — same exact-micros semantics, one scan instead of two. */
+  private def minOfSideMaxUs(ev: DataFrame): Long = {
+    val r = ev.filter(col("event_type").isin("purchase", "error"))
+      .agg(
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"),
+        max(when(col("event_type") === "error", unix_micros(col("ts")))).as("e"))
+      .head()
+    math.min(r.getLong(0), r.getLong(1))
+  }
+
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.operators.Tables.t(spark, dir, "events").schema
     // events.parquet is a FILE; FileStreamSource requires a directory
@@ -173,10 +185,9 @@ object StreamReplay {
    * -1 (both engines), keeping the 4-key total order well-defined. */
   def intervalJoinLeftOuterReplay(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.operators.Tables.t(spark, dir, "events")
-    // exact-micros pull ([[maxEventTsUs]]); the margin itself is 1h, so the
+    // exact-micros pull ([[minOfSideMaxUs]]); the margin itself is 1h, so the
     // engine's own ms-precision watermark arithmetic stays far inside it
-    val wmUs = math.min(maxEventTsUs(ev, "purchase"), maxEventTsUs(ev, "error")) -
-      2L * 3600 * 1000 * 1000
+    val wmUs = minOfSideMaxUs(ev) - 2L * 3600 * 1000 * 1000
     val cutoffUs = wmUs - 3600L * 1000 * 1000
     val s = eventsStream(spark, dir)
     val joined = StreamingOps.intervalJoinLeftOuter(
@@ -202,9 +213,8 @@ object StreamReplay {
    * keeping the 4-key total order well-defined. */
   def intervalJoinFullOuterReplay(spark: SparkSession, dir: String): DataFrame = {
     val ev = graft.operators.Tables.t(spark, dir, "events")
-    // exact-micros pull ([[maxEventTsUs]]), same reason as the left-outer replay
-    val wmUs = math.min(maxEventTsUs(ev, "purchase"), maxEventTsUs(ev, "error")) -
-      2L * 3600 * 1000 * 1000
+    // exact-micros pull ([[minOfSideMaxUs]]), same reason as the left-outer replay
+    val wmUs = minOfSideMaxUs(ev) - 2L * 3600 * 1000 * 1000
     val hourUs = 3600L * 1000 * 1000
     val s = eventsStream(spark, dir)
     val joined = StreamingOps.intervalJoinFullOuter(
