@@ -852,13 +852,14 @@ object DedupOps {
     // r17: the UNSORTED pair cores — the q125/q126/q127 outputs carry a
     // presentation orderBy that the edge union's persist boundary would
     // otherwise execute as three range exchanges feeding a groupBy that
-    // ignores order (plan: 3 fewer Exchange + Sort pairs, same edges)
-    val imageEdges = MultimodalOps.imagePairEdges(spark, dir).select("a", "b")
-    val audioEdges = MultimodalOps.audioPairEdges(spark, dir).select("a", "b")
+    // ignores order (plan: 3 fewer Exchange + Sort pairs, same edges) —
+    // with image + audio additionally FUSED through one LSH tail
+    // ([[MultimodalOps.imageAudioPairEdges]]: same edge set, one bucket-cap
+    // window + one self-join instead of two of each)
+    val imageAudioEdges = MultimodalOps.imageAudioPairEdges(spark, dir)
     val videoEdges = MultimodalOps.videoPairEdges(spark, dir).select("a", "b")
     val pairs = textEdges
-      .unionByName(imageEdges)
-      .unionByName(audioEdges)
+      .unionByName(imageAudioEdges)
       .unionByName(videoEdges)
     // persisted hash-partitioned on t — the loop's join key (see
     // propagateMinLabels); the one-time repartition replaces a re-shuffle

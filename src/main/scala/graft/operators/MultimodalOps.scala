@@ -757,11 +757,6 @@ object MultimodalOps {
       .toDF("doc_id", "c0", "c1", "c2", "c3")
   }
 
-  /** Unsorted image pair edges on the stored fixture — the q128 feed. */
-  private[operators] def imagePairEdges(spark: SparkSession, dir: String): DataFrame =
-    bandedVerifyPairsUnsorted(imageHashedChunks(imagePatternAssetsStored(spark, dir)),
-      Seq("c0", "c1", "c2", "c3"), Seq("c0", "c1", "c2", "c3"))
-
   /** Payload-facing audio near-dup API: decode each asset's real WAV
    * bytes, fingerprint the frame energies
    * ([[AudioFingerprint.fingerprintChunks]]), LSH-pair within
@@ -780,10 +775,45 @@ object MultimodalOps {
       .toDF("doc_id", "c0", "c1", "c2", "c3")
   }
 
-  /** Unsorted audio pair edges on the stored fixture — the q128 feed. */
-  private[operators] def audioPairEdges(spark: SparkSession, dir: String): DataFrame =
-    bandedVerifyPairsUnsorted(audioHashedChunks(audioPatternAssetsStored(spark, dir)),
-      Seq("c0", "c1", "c2", "c3"), Seq("c0", "c1", "c2", "c3"))
+  /** Image + audio pair edges FUSED through one LSH tail (r17, q128 only):
+   * both modalities run the identical chunked Hamming-LSH (4 x 16-bit
+   * bands, cap 50, Hamming <= 6), so their chunk tables union with a
+   * modality tag riding the band key — ONE bucket-cap window and ONE
+   * self-join instead of two of each. The tag in the partition key keeps
+   * caps per-modality and the join within-modality, so the edge SET is
+   * exactly `imagePairEdges ∪ audioPairEdges` (the cross-modal union the
+   * consumer feeds to connected components tolerates duplicate edges by
+   * construction — groupBy-min). */
+  private[operators] def imageAudioPairEdges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = imageHashedChunks(imagePatternAssetsStored(spark, dir))
+      .withColumn("mod", lit(0))
+      .unionByName(audioHashedChunks(audioPatternAssetsStored(spark, dir))
+        .withColumn("mod", lit(1)))
+    val chunks = hashed.select(
+      col("doc_id"), col("mod"), col("c0"), col("c1"), col("c2"), col("c3"),
+      explode(expr(
+        "array(struct(0 as c, c0 as v), struct(1 as c, c1 as v), " +
+          "struct(2 as c, c2 as v), struct(3 as c, c3 as v))")).as("ck"))
+      .select(col("doc_id"), col("mod"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("ck.c").as("c"), col("ck.v").as("v"))
+    val pruned = chunks
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("mod", "c", "v")))
+      .filter(col("bsz") <= 50)
+      .drop("bsz")
+    val hamming = Seq("c0", "c1", "c2", "c3")
+      .map(c => bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))))
+      .reduce(_ + _)
+      .cast("bigint")
+    pruned.as("x").join(
+      pruned.as("y"),
+      col("x.mod") === col("y.mod") && col("x.c") === col("y.c") &&
+        col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .select("a", "b")
+  }
 
   /** Unsorted video pair edges on the stored fixture — the q128 feed. */
   private[operators] def videoPairEdges(spark: SparkSession, dir: String): DataFrame =
