@@ -80,6 +80,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r17: the app-status and SQL stores retain per-job/stage/task metrics
+      // for the WHOLE 122-query x 4-pass run at their defaults (1000 jobs /
+      // 1000 stages / 100k tasks / 1000 SQL executions) — bookkeeping for a
+      // UI this process disables, accruing driver heap + GC tax that lands
+      // on the LATER passes (rising pass totals). A small window keeps the
+      // same diagnostics for the current queries without the accrual.
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       // reliable checkpoint() data (the opt-in partition-identity pin,
       // OpCache.pinPartitions) is NOT cleaned by default and releaseAll/
       // clearCache never touch it — a bench loop cycling q55/q98/q113 would
