@@ -606,10 +606,36 @@ object Bench {
     // record lives at bench_file, committed in the repo.
     val worst5 = official.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(
+    // r18 (VERDICT r17 #2): per-query seconds IN the digest so the driver's
+    // PERF can compute per-query regressions, geomean, and core-scaling
+    // ratios. The stdout window the driver keeps is ~2000 bytes (every
+    // BENCH_rXX.json tail is exactly tail[-2000:], and the r1-r3 records —
+    // which printed the full map — are the ones with parsed=false), so the
+    // full 133-entry map (~3.5 KB) cannot ride: entries are BUDGETED —
+    // sorted by descending official seconds (batch + streaming), appended
+    // until the digest line would exceed SPARK_GRAFT_DIGEST_BUDGET bytes
+    // (default 1880, headroom under the 2000-byte tail for sbt's trailing
+    // "[success]" line). The worst/most-regression-prone queries are thus
+    // always visible; the complete map stays in bench_file as before.
+    val digestBudget = sys.env.getOrElse("SPARK_GRAFT_DIGEST_BUDGET", "1880").toInt
+    val fixedDigest =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries_n":${official.size},""" +
       s""""pass_totals":[${passTotals.map(f3).mkString(",")}],"worst5":$worst5,""" +
-      s""""errors":$errs$whisperJson$ratioDigest$boxHealthJson,"bench_file":"${outFile}","sf":"$sfDir"}""")
+      s""""errors":$errs$whisperJson$ratioDigest$boxHealthJson,"bench_file":"${outFile}","sf":"$sfDir"}"""
+    val perQueryEntries = {
+      val pool = (official ++ streamOfficial).filter(_._2 >= 0).sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      val overheadLen = ""","per_query":{}""".length
+      var room = digestBudget - fixedDigest.length - overheadLen
+      pool.takeWhile { e =>
+        val need = e.length + 1 // +1 for the comma
+        if (need <= room) { room -= need; true } else false
+      }
+    }
+    val perQueryJson =
+      if (perQueryEntries.isEmpty) ""
+      else perQueryEntries.mkString(""","per_query":{""", ",", "}")
+    println(fixedDigest.dropRight(1) + perQueryJson + "}")
     spark.stop()
   }
 }

@@ -846,21 +846,43 @@ object DedupOps {
    * holds more than O(edges + corpus keys).
    */
   def crossModalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val textEdges = clusterLabelTable(spark, dir)
-      .filter(col("doc_id") =!= col("lbl"))
-      .select(col("doc_id").as("a"), col("lbl").as("b"))
+    // r18 (guide §2.6 "overlap independent jobs"): the text-leg label build
+    // (the q60 MinHash lineage + propagation loop, eager inside
+    // clusterLabelTable) and the modal edge build (three decode kernels +
+    // LSH tails) are INDEPENDENT jobs that previously ran back-to-back —
+    // the label build's narrow tail stages left most cores idle while the
+    // decode-bound edge legs waited. The modal pair list is materialized
+    // under its own action on a driver side thread while this thread runs
+    // the label build; the scheduler backfills each job's stragglers with
+    // the other's tasks. Results are unchanged (same two edge sets, same
+    // union); the modal persist is released once the loop's edge table is
+    // materialized. Measured min-of-3 at sf0.1: q128 4.46 -> 4.08 s (a
+    // finer split — one action PER modal leg on a 2-thread pool — measured
+    // WORSE, 4.97 s: three concurrent 32-task jobs oversubscribe the cores,
+    // while the single modal action already overlaps its independent union
+    // branches as AQE stage futures).
+    val modalEdges = MultimodalOps.crossModalPairEdges(spark, dir).persist()
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "q128-modal-edges"); t.setDaemon(true); t
+    })
+    val modalCount = exec.submit(new java.util.concurrent.Callable[Long] {
+      override def call(): Long = modalEdges.count()
+    })
+    val textEdges =
+      try clusterLabelTable(spark, dir)
+        .filter(col("doc_id") =!= col("lbl"))
+        .select(col("doc_id").as("a"), col("lbl").as("b"))
+      finally exec.shutdown()
+    modalCount.get() // surface a modal-leg failure before the loop runs
     // r17: the UNSORTED pair cores — the q125/q126/q127 outputs carry a
     // presentation orderBy that the edge union's persist boundary would
     // otherwise execute as three range exchanges feeding a groupBy that
-    // ignores order (plan: 3 fewer Exchange + Sort pairs, same edges) —
-    // with image + audio additionally FUSED through one LSH tail
-    // ([[MultimodalOps.imageAudioPairEdges]]: same edge set, one bucket-cap
+    // ignores order (plan: 3 fewer Exchange + Sort pairs, same edges);
+    // image + audio additionally FUSED through one LSH tail
+    // ([[MultimodalOps.crossModalPairEdges]]: same edge set, one bucket-cap
     // window + one self-join instead of two of each)
-    val imageAudioEdges = MultimodalOps.imageAudioPairEdges(spark, dir)
-    val videoEdges = MultimodalOps.videoPairEdges(spark, dir).select("a", "b")
     val pairs = textEdges
-      .unionByName(imageAudioEdges)
-      .unionByName(videoEdges)
+      .unionByName(modalEdges)
     // persisted hash-partitioned on t — the loop's join key (see
     // propagateMinLabels); the one-time repartition replaces a re-shuffle
     // of the edge list in EVERY propagation round
@@ -877,6 +899,7 @@ object DedupOps {
     val labels = labels0.select(col("doc_id"), col("lbl").as("cluster")).localCheckpoint()
     releaseCheckpoint(lastGen)
     edges.unpersist()
+    modalEdges.unpersist()
     // r17: quality computed AFTER the member join, not corpus-wide — the
     // score is row-local, members are the pair-graph's nodes (a small
     // fraction of the corpus), and the old shape paid punct_count over

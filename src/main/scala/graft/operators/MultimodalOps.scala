@@ -775,49 +775,39 @@ object MultimodalOps {
       .toDF("doc_id", "c0", "c1", "c2", "c3")
   }
 
-  /** Image + audio pair edges FUSED through one LSH tail (r17, q128 only):
-   * both modalities run the identical chunked Hamming-LSH (4 x 16-bit
-   * bands, cap 50, Hamming <= 6), so their chunk tables union with a
-   * modality tag riding the band key — ONE bucket-cap window and ONE
-   * self-join instead of two of each. The tag in the partition key keeps
-   * caps per-modality and the join within-modality, so the edge SET is
-   * exactly `imagePairEdges ∪ audioPairEdges` (the cross-modal union the
-   * consumer feeds to connected components tolerates duplicate edges by
-   * construction — groupBy-min). */
-  private[operators] def imageAudioPairEdges(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hashed = imageHashedChunks(imagePatternAssetsStored(spark, dir))
-      .withColumn("mod", lit(0))
-      .unionByName(audioHashedChunks(audioPatternAssetsStored(spark, dir))
-        .withColumn("mod", lit(1)))
-    val chunks = hashed.select(
-      col("doc_id"), col("mod"), col("c0"), col("c1"), col("c2"), col("c3"),
-      explode(expr(
-        "array(struct(0 as c, c0 as v), struct(1 as c, c1 as v), " +
-          "struct(2 as c, c2 as v), struct(3 as c, c3 as v))")).as("ck"))
-      .select(col("doc_id"), col("mod"), col("c0"), col("c1"), col("c2"), col("c3"),
-        col("ck.c").as("c"), col("ck.v").as("v"))
-    val pruned = chunks
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("mod", "c", "v")))
-      .filter(col("bsz") <= 50)
-      .drop("bsz")
-    val hamming = Seq("c0", "c1", "c2", "c3")
-      .map(c => bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))))
-      .reduce(_ + _)
-      .cast("bigint")
-    pruned.as("x").join(
-      pruned.as("y"),
-      col("x.mod") === col("y.mod") && col("x.c") === col("y.c") &&
-        col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 6)
+  /** Image + audio + video pair edges for the q128 union — image and audio
+   * FUSED through one LSH tail (r17: identical chunked Hamming-LSH shapes,
+   * so their band-row tables union with a modality tag riding the window
+   * partition key AND the join condition via [[bandRowVerifyPairs]]
+   * `groupCols` — one bucket-cap window + one self-join instead of two of
+   * each), video as its OWN independent branch of the output union.
+   *
+   * r18 measured and REJECTED folding the video leg in too (VERDICT r17
+   * next #1): banding video on the packed 64-bit frame hash reproduces the
+   * q127 edge set exactly inside the shared tail (one fewer window +
+   * self-join pair, plan-verified), but the single fused exchange is a
+   * STAGE BARRIER across all three decode legs — image/audio LSH work then
+   * waits for the slowest decode (video's ~12.5k frame decodes) where the
+   * union-of-independent-branches shape lets the scheduler overlap each
+   * leg's window/join stages with the other legs' decodes. Measured
+   * min-of-3 edge-build noop at sf0.1: separate-video 2.16 s vs 3-way
+   * fused 2.57 s; full q128 bench 4.46 -> 4.84 s. Same bytes shuffled
+   * either way, so the barrier is pure loss at both ends of the scale.
+   * Cap and Hamming constants come from the one shared tail's defaults —
+   * no re-inlined fork to drift from q125/q126/q127 (ADVICE r17). */
+  private[operators] def crossModalPairEdges(spark: SparkSession, dir: String): DataFrame = {
+    val chunkBands = Seq("c0", "c1", "c2", "c3")
+    val img = bandRows(imageHashedChunks(imagePatternAssetsStored(spark, dir)),
+      chunkBands, chunkBands).withColumn("mod", lit(0))
+    val aud = bandRows(audioHashedChunks(audioPatternAssetsStored(spark, dir)),
+      chunkBands, chunkBands).withColumn("mod", lit(1))
+    val imageAudio = bandRowVerifyPairs(img.unionByName(aud),
+      chunkBands, groupCols = Seq("mod"))
       .select("a", "b")
+    val video = videoNearDupPairsUnsorted(videoPatternAssetsStored(spark, dir))
+      .select("a", "b")
+    imageAudio.unionByName(video)
   }
-
-  /** Unsorted video pair edges on the stored fixture — the q128 feed. */
-  private[operators] def videoPairEdges(spark: SparkSession, dir: String): DataFrame =
-    videoNearDupPairsUnsorted(videoPatternAssetsStored(spark, dir))
 
   /** q125: read the stored patterned PNGs, REALLY decode them, aHash the
    * pixels, and find near-dup pairs via chunked Hamming-LSH (<= 6 bits).
@@ -833,9 +823,19 @@ object MultimodalOps {
    * `maxHamming` bits. Public (r17): the shared tail of every
    * payload-facing near-dup API; input contract is one row per asset with
    * `(doc_id, c0, c1, c2, c3)` int chunks. */
-  def hammingLshPairs(hashed: DataFrame, maxHamming: Int = 6, bucketCap: Int = 50): DataFrame =
+  def hammingLshPairs(
+      hashed: DataFrame, maxHamming: Int = DefaultMaxHamming,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
     bandedVerifyPairs(hashed, Seq("c0", "c1", "c2", "c3"), Seq("c0", "c1", "c2", "c3"),
       maxHamming, bucketCap)
+
+  /** THE LSH-tail constants (r18, ADVICE r17): every banded near-dup path —
+   * q125/q126/q129's chunk bands, q127's hot-hash cap, q128's fused
+   * cross-modal tail — takes its cap and Hamming threshold from these two
+   * defaults, so a tuning change can never de-synchronize the per-modality
+   * queries from the fused edge set. */
+  val DefaultMaxHamming = 6
+  val DefaultBucketCap = 50
 
   /** The generalized band-then-verify core (r17): bucket assets on exact
    * matches of `bandCols` (one banding row per column — q96's chunked LSH
@@ -846,7 +846,7 @@ object MultimodalOps {
    * distance — never all-pairs either way. */
   def bandedVerifyPairs(
       hashed: DataFrame, bandCols: Seq[String], verifyCols: Seq[String],
-      maxHamming: Int = 6, bucketCap: Int = 50): DataFrame =
+      maxHamming: Int = DefaultMaxHamming, bucketCap: Int = DefaultBucketCap): DataFrame =
     bandedVerifyPairsUnsorted(hashed, bandCols, verifyCols, maxHamming, bucketCap)
       .orderBy("a", "b")
 
@@ -857,26 +857,50 @@ object MultimodalOps {
    * materialize the union under blocks Catalyst's sort elimination. */
   private[operators] def bandedVerifyPairsUnsorted(
       hashed: DataFrame, bandCols: Seq[String], verifyCols: Seq[String],
-      maxHamming: Int = 6, bucketCap: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      maxHamming: Int = DefaultMaxHamming, bucketCap: Int = DefaultBucketCap): DataFrame =
+    bandRowVerifyPairs(bandRows(hashed, bandCols, verifyCols), verifyCols,
+      maxHamming, bucketCap)
+
+  /** Explode a one-row-per-asset hash table into band rows
+   * `(doc_id, verifyCols..., c, v)` — one row per band column, `v` widened
+   * to bigint so heterogeneous band definitions (16-bit chunks, packed
+   * 64-bit full hashes) can union into one [[bandRowVerifyPairs]] tail. */
+  private def bandRows(
+      hashed: DataFrame, bandCols: Seq[String], verifyCols: Seq[String]): DataFrame = {
     val bandArr = bandCols.zipWithIndex
-      .map { case (c, i) => s"struct($i as c, $c as v)" }
+      .map { case (c, i) => s"struct($i as c, cast($c as bigint) as v)" }
       .mkString("array(", ", ", ")")
     val carry = col("doc_id") +: verifyCols.map(col)
-    val chunks = hashed
+    hashed
       .select(carry :+ explode(expr(bandArr)).as("ck"): _*)
       .select(carry :+ col("ck.c").as("c") :+ col("ck.v").as("v"): _*)
-    val pruned = chunks
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("c", "v")))
+  }
+
+  /** The band-then-verify core over a PRE-EXPLODED band-row table (r18):
+   * cap hot buckets at `bucketCap` via one windowed count, self-join
+   * within buckets, verify candidate pairs by Hamming distance over
+   * `verifyCols`. `groupCols` ride BOTH the window partition key and the
+   * join condition, so caps and pairing stay within-group — the hook the
+   * fused cross-modal tail uses to keep three modalities' buckets
+   * disjoint while sharing one exchange + one join. This is the single
+   * home of the cap/Hamming defaults (ADVICE r17). */
+  private[operators] def bandRowVerifyPairs(
+      bandRowTable: DataFrame, verifyCols: Seq[String],
+      maxHamming: Int = DefaultMaxHamming, bucketCap: Int = DefaultBucketCap,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = groupCols ++ Seq("c", "v")
+    val pruned = bandRowTable
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       .filter(col("bsz") <= bucketCap)
       .drop("bsz")
     val hamming = verifyCols
       .map(c => bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))))
       .reduce(_ + _)
       .cast("bigint")
-    pruned.as("x").join(
-      pruned.as("y"),
-      col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
+    val joinCond = (keyCols.map(c => col(s"x.$c") === col(s"y.$c")) :+
+      (col("x.doc_id") < col("y.doc_id"))).reduce(_ && _)
+    pruned.as("x").join(pruned.as("y"), joinCond)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -1122,23 +1146,32 @@ object MultimodalOps {
    * `Dataset[Asset]` of length-prefixed frame containers. The hot-hash
    * guard shares the LSH bucket-cap stance: a frame hash shared by k
    * videos yields k^2/2 pairs; cap the group at `hotHashCap`. */
-  def videoNearDupPairs(assets: Dataset[Asset], step: Int = 2, hotHashCap: Int = 50): DataFrame =
+  def videoNearDupPairs(
+      assets: Dataset[Asset], step: Int = 2,
+      hotHashCap: Int = DefaultBucketCap): DataFrame =
     videoNearDupPairsUnsorted(assets, step, hotHashCap).orderBy("a", "b")
 
-  /** [[videoNearDupPairs]] without the presentation sort (r17) — see
-   * [[bandedVerifyPairsUnsorted]]. */
-  private[operators] def videoNearDupPairsUnsorted(
-      assets: Dataset[Asset], step: Int = 2, hotHashCap: Int = 50): DataFrame = {
+  /** The parse + seek + decode + hash stage of [[videoNearDupPairs]] as a
+   * per-sampled-frame table — shared with the fused cross-modal tail
+   * ([[crossModalPairEdges]]) so q127 and q128's video legs cannot drift. */
+  private def videoFrameHashes(assets: Dataset[Asset], step: Int = 2): DataFrame = {
     import assets.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val frameHashes = assets
+    assets
       .mapPartitions(_.flatMap { a =>
         VideoPhash.sampleFrameHashes(a.bytes, step).map {
           case (f, (c0, c1, c2, c3)) => (a.id, f, c0, c1, c2, c3)
         }
       })
       .toDF("doc_id", "frame_idx", "c0", "c1", "c2", "c3")
-    val pruned = frameHashes
+  }
+
+  /** [[videoNearDupPairs]] without the presentation sort (r17) — see
+   * [[bandedVerifyPairsUnsorted]]. */
+  private[operators] def videoNearDupPairsUnsorted(
+      assets: Dataset[Asset], step: Int = 2,
+      hotHashCap: Int = DefaultBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pruned = videoFrameHashes(assets, step)
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy("c0", "c1", "c2", "c3")))
       .filter(col("bsz") <= hotHashCap)

@@ -290,10 +290,18 @@ object TextOps {
    * In-session sharing note: q53/q83/q109 keep [[docTermTable]]; BM25 no
    * longer taxes it (nor pays its build when composed alone). */
   def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    // NULL text dropped up front (ADVICE r17): the oracle's exploded-token
+    // shape never sees a NULL-text doc, and a stats pass that counted them
+    // in n_docs but not t_tot would skew the avg-doc-length denominator on
+    // corpora that have any (the fixture has none — values unchanged).
     val docs = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // typed per-term frequency (ADVICE r17): no SQL-string interpolation of
+    // the term, so a quoted/odd term in a future query list cannot break
+    // parsing; same filter-lambda expression Catalyst built from the string
     def mOf(term: String) =
-      expr(s"cast(size(filter(toks, x -> x = '$term')) as bigint)")
+      size(filter(col("toks"), x => x === lit(term))).cast("bigint")
     // 1-row corpus stats: total tokens, doc count, per-term doc frequency
     val statAggs =
       sum(size(col("toks")).cast("long")).as("t_tot") +:
